@@ -1,0 +1,62 @@
+"""Benchmark harness: runs the headline query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Metric: total wall seconds over the suite (lower is better), plus
+per-query seconds. Each query is forced to full materialization with a
+count-style action (no driver-side row transfer beyond the aggregate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from datapipe_spark import get_spark
+    from datapipe_spark.plans import registry
+
+    spark = get_spark("datapipe-bench")
+    qs = registry.queries()
+
+    # Warm the JVM + file listing once (not timed): tiny scan
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_suite = time.perf_counter()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+    total = round(time.perf_counter() - t_suite, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(cpus),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""Scalar function library (SURVEY §2.7 F1–F19).
+
+Everything is built on ``pyspark.sql.functions`` so expressions stay
+inside whole-stage codegen — no Python UDFs in the hot path. Each
+helper cites the reference definition it re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Money columns: the reference stores DECIMAL(10,2) and CDC serializes
+# decimals as strings (users-debezium-connector.json:38). Testdata uses
+# doubles; we pin an exact decimal type before aggregation so sums are
+# order-independent (critical for distributed agg AND oracle parity).
+MONEY = "decimal(18,2)"
+RATE = "decimal(6,2)"
+
+
+def money(c: str | Column) -> Column:
+    """F15: cast to exact money decimal before arithmetic/aggregation."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(MONEY)
+
+
+def email_valid(c: str | Column) -> Column:
+    """F2: is_valid_email regex (batch design.md:409)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.rlike(r"^[^@]+@[^@]+\.[^@]+$")
+
+
+def op_label(c: str | Column) -> Column:
+    """F3: CDC __op code → label, fallback to raw code
+    (s3_parquet_query.py:191-198)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (
+        F.when(c == "c", "CREATE")
+        .when(c == "u", "UPDATE")
+        .when(c == "d", "DELETE")
+        .when(c == "r", "READ")
+        .otherwise(c)
+    )
+
+
+def price_tier(price: Column) -> Column:
+    """F4: CASE bucketing budget/mid/premium (batch design.md:433)."""
+    return (
+        F.when(price < 500, "budget").when(price < 1200, "mid_range").otherwise("premium")
+    )
+
+
+def order_size_category(amount: Column) -> Column:
+    """F4: small/medium/large order buckets (batch design.md:455)."""
+    return (
+        F.when(amount < 50, "small").when(amount < 200, "medium").otherwise("large")
+    )
+
+
+def epoch_ms_to_ts(c: str | Column) -> Column:
+    """F8: epoch-millis → timestamp (TimestampConverter SMT,
+    orders-s3-sink-connector.json:31-47)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.timestamp_millis(c.cast("long"))
+
+
+def json_amount(props: str | Column, field: str = "amount") -> Column:
+    """F11: JSONExtractFloat(properties, field) (realtime design.md:285)."""
+    props = F.col(props) if isinstance(props, str) else props
+    return F.get_json_object(props, f"$.{field}").cast("double")
+
+
+def row_json(*cols: str) -> Column:
+    """F12: to_json(struct(*)) row serialization for DLQ/retry sinks
+    (realtime design.md:506,533)."""
+    return F.to_json(F.struct(*cols) if cols else F.struct("*"))
+
+
+def ratio(num: Column, den: Column) -> Column:
+    """A11: zero-guarded ratio KPI (batch design.md:717-724)."""
+    return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+
+def time_partition_cols(ts: str | Column) -> list[Column]:
+    """S5/F18: year/month/day/hour partition columns derived from a
+    record timestamp (task10-s3-sink-connector-config.json:14-21)."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return [
+        F.year(ts).alias("year"),
+        F.month(ts).alias("month"),
+        F.dayofmonth(ts).alias("day"),
+        F.hour(ts).alias("hour"),
+    ]

@@ -1,0 +1,116 @@
+"""Queryable CDC operators (SURVEY §2.1 S1, §2.2 P6, §2.5 W5/W6, §2.4 A7).
+
+These re-express the reference's ad-hoc parquet query tool
+(``utils-dev/s3_parquet_query.py``) and archive invariants over the
+synthesized deterministic changelog, so each is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipe_spark.functions import op_label
+from datapipe_spark.sources.cdc import (
+    SYNTH_CHANGELOG_SQL_BODY,
+    compact_latest,
+    synth_changelog,
+)
+
+
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the flattened CDC stream itself (schema parity check)."""
+    return synth_changelog(spark, sf_dir)
+
+
+CDC_CHANGELOG_SQL = SYNTH_CHANGELOG_SQL_BODY
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 + F15: snapshot compaction by newest LSN per key, with the
+    stringified CDC decimal re-cast for arithmetic
+    (utils-dev/read_s3_parquet.py:51; users-debezium-connector.json:38)."""
+    latest = compact_latest(synth_changelog(spark, sf_dir))
+    return latest.select(
+        "id",
+        "user_id",
+        "status",
+        F.col("total_amount").cast("decimal(18,2)").cast("double").alias("total_amount"),
+        "created_at",
+        "__op",
+        "__source_lsn",
+    )
+
+
+CDC_LATEST_STATE_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY __source_lsn DESC) AS rn
+  FROM changelog
+)
+SELECT id, user_id, status,
+       CAST(CAST(total_amount AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+       created_at, __op, __source_lsn
+FROM ranked WHERE rn = 1 AND __op <> 'd'
+"""
+
+
+def cdc_op_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + F3: per-operation record count and first/last source
+    timestamp, with op codes mapped to labels
+    (s3_parquet_query.py:191-210)."""
+    return (
+        synth_changelog(spark, sf_dir)
+        .groupBy(op_label("__op").alias("operation"))
+        .agg(
+            F.count("*").alias("record_count"),
+            F.min("__source_ts_ms").alias("first_ts"),
+            F.max("__source_ts_ms").alias("last_ts"),
+        )
+    )
+
+
+CDC_OP_SUMMARY_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY})
+SELECT CASE __op WHEN 'c' THEN 'CREATE' WHEN 'u' THEN 'UPDATE'
+                 WHEN 'd' THEN 'DELETE' WHEN 'r' THEN 'READ'
+                 ELSE __op END AS operation,
+       COUNT(*) AS record_count,
+       MIN(__source_ts_ms) AS first_ts,
+       MAX(__source_ts_ms) AS last_ts
+FROM changelog GROUP BY 1
+"""
+
+
+def cdc_deleted_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: deleted-only filter (s3_parquet_query.py:160-166) — delete
+    rows are rewritten with full payload, not tombstoned."""
+    return synth_changelog(spark, sf_dir).filter(F.col("__op") == "d")
+
+
+CDC_DELETED_RECORDS_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY})
+SELECT * FROM changelog WHERE __op = 'd'
+"""
+
+
+def cdc_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3 + W6: per-user change history — membership filter on a
+    user set, projected and orderable by __ts_ms
+    (s3_parquet_query.py:139-142,176-179). Row order is not part of
+    the contract (hash is order-insensitive); the sort exists for the
+    human-facing tool."""
+    return (
+        synth_changelog(spark, sf_dir)
+        .filter(F.col("user_id").isin([1, 2, 3, 4, 5]))
+        .select("id", "user_id", "status", "__op", "__ts_ms", "__source_lsn")
+        .orderBy("__ts_ms", "__source_lsn")
+    )
+
+
+CDC_USER_HISTORY_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY})
+SELECT id, user_id, status, __op, __ts_ms, __source_lsn
+FROM changelog WHERE user_id IN (1, 2, 3, 4, 5)
+ORDER BY __ts_ms, __source_lsn
+"""

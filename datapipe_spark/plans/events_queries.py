@@ -1,0 +1,282 @@
+"""Speed-layer analytics in batch form (SURVEY §2.4 A5/A6/A9/A10, §2.8).
+
+Re-expresses the three ClickHouse materialized views and the
+sessionization operator of
+``.kiro/specs/realtime-analytics-speed-layer/design.md:255-383`` over
+the testdata ``events`` table (event types: view/click/purchase/
+signup/error ≈ the reference's 9-type funnel). The streaming forms of
+these live in ``datapipe_spark.streaming``; these batch forms are the
+deterministic, oracle-checkable semantics (same aggregation logic —
+streaming equivalence is asserted in tests).
+
+Scale notes: all rollups are single-shuffle groupBys on bounded-
+cardinality keys; sessionization shuffles once on user_id (same
+distribution a stateful streaming job would use). Exact
+count-distincts here are oracle-checkable; the 100 TB path swaps
+``countDistinct`` → ``approx_count_distinct`` (A6, the reference's
+ClickHouse ``uniq()``) — provided as separate ``*_approx`` queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datapipe_spark.functions import json_amount, money, ratio
+from datapipe_spark.sources.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/A9/A11: daily conversion-funnel rollup (the
+    ``conversion_funnel_mv`` SummingMergeTree MV, realtime
+    design.md:256-272) with exact uniques for oracle parity."""
+    e = _events(spark, sf_dir)
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(f"{t}s")  # noqa: E731
+    daily = e.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("total_events"),
+        cnt("view"),
+        cnt("click"),
+        cnt("purchase"),
+        cnt("signup"),
+        cnt("error"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.sum(F.when(F.col("event_type") == "purchase", money("value"))).alias("_rev"),
+    )
+    return daily.select(
+        "event_date",
+        "total_events",
+        "views",
+        "clicks",
+        "purchases",
+        "signups",
+        "errors",
+        "unique_users",
+        F.col("_rev").cast("double").alias("purchase_revenue"),
+        ratio(F.col("clicks"), F.col("views")).alias("click_through_rate"),
+        ratio(F.col("purchases"), F.col("views")).alias("conversion_rate"),
+    )
+
+
+FUNNEL_DAILY_SQL = """
+SELECT CAST(ts AS DATE) AS event_date,
+  COUNT(*) AS total_events,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+  COUNT(DISTINCT user_id) AS unique_users,
+  CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_revenue,
+  CASE WHEN COUNT(CASE WHEN event_type = 'view' THEN 1 END) > 0 THEN
+    CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+      / COUNT(CASE WHEN event_type = 'view' THEN 1 END) ELSE 0.0 END
+    AS click_through_rate,
+  CASE WHEN COUNT(CASE WHEN event_type = 'view' THEN 1 END) > 0 THEN
+    CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+      / COUNT(CASE WHEN event_type = 'view' THEN 1 END) ELSE 0.0 END
+    AS conversion_rate
+FROM events
+GROUP BY 1
+"""
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/F5/F6: hourly activity rollup (date × hour grain — the
+    ClickHouse hourly MV shape, realtime design.md:259-262)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.to_date("ts").alias("event_date"),
+            F.hour("ts").alias("event_hour"),
+        )
+        .agg(
+            F.count("*").alias("total_events"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.sum(money("value")).alias("_val"),
+        )
+        .select(
+            "event_date",
+            "event_hour",
+            "total_events",
+            "unique_users",
+            F.col("_val").cast("double").alias("total_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT CAST(ts AS DATE) AS event_date,
+       EXTRACT(hour FROM ts) AS event_hour,
+       COUNT(*) AS total_events,
+       COUNT(DISTINCT user_id) AS unique_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: JSON property extraction (``JSONExtractFloat(properties,
+    'amount')`` realtime design.md:285) + A5 conditional aggregation
+    over the extracted field."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .withColumn("k_avg", F.col("k_sum").cast("double") / F.col("n"))
+    )
+
+
+EVENTS_JSON_STATS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n, SUM(k) AS k_sum,
+       MIN(k) AS k_min, MAX(k) AS k_max,
+       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS k_avg
+FROM e WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """T2 (event-time form): 30-minute-inactivity sessionization.
+
+    The reference's ``flatMapGroupsWithState`` session machine
+    (realtime design.md:311-383) computed per-session: event-type
+    counters, spend, duration, conversion flag (output schema
+    design.md:463-487). Batch equivalent: gap-and-island via lag +
+    running sum — one shuffle on user_id, windows run partition-local.
+    The streaming twin (``streaming.sessionize_stream``) asserts
+    equality with this in tests.
+    """
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type", "value")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    new_sess = (
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user)))
+            > gap_s * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_sess = e.withColumn("_new", new_sess).withColumn(
+        "session_seq",
+        F.sum("_new").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = with_sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "purchase", money("value"))).alias("_spent"),
+    )
+    return sess.select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        (
+            (F.unix_micros("session_end") - F.unix_micros("session_start")) / 60_000_000.0
+        ).alias("session_duration_minutes"),
+        "n_events",
+        "views",
+        "clicks",
+        "purchases",
+        F.coalesce(F.col("_spent").cast("double"), F.lit(0.0)).alias("total_spent"),
+        (F.col("purchases") > 0).alias("converted_to_purchase"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, value FROM events
+), flagged AS (
+  SELECT *, CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000.0 AS session_duration_minutes,
+  COUNT(*) AS n_events,
+  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+    AS total_spent,
+  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 AS converted_to_purchase
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """W7/W8 + W1: top-k rows per key (rank over value with
+    deterministic tie-break, then limit-per-group)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("value_rank", F.row_number().over(w))
+        .filter(F.col("value_rank") <= k)
+        .select("user_id", "event_id", "event_type", "value", "ts", "value_rank")
+    )
+
+
+TOP_EVENTS_PER_USER_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+           AS value_rank
+  FROM events
+)
+SELECT user_id, event_id, event_type, value, ts, value_rank
+FROM ranked WHERE value_rank <= 3
+"""
+
+
+def purchases_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P3/P5 + W6/W8: predicate + projection + ordered limit — the
+    ad-hoc query-tool surface (s3_parquet_query.py:136-156) on events."""
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(
+            (F.col("event_type").isin("purchase", "signup"))
+            & F.col("value").isNotNull()
+            & (F.col("value") > 100.0)
+        )
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(200)
+    )
+
+
+PURCHASES_FILTERED_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_type IN ('purchase', 'signup') AND value IS NOT NULL AND value > 100.0
+ORDER BY value DESC, event_id
+LIMIT 200
+"""

@@ -1,0 +1,63 @@
+"""Central query registry — the driver contract surface.
+
+Maps every implemented operator family (SURVEY §2) to a
+``(spark, sf_dir) -> DataFrame`` callable and, where
+SQL-expressible, its DuckDB oracle. ``__spark_entry__.py`` re-exports
+these.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipe_spark.plans import cdc_queries as cdcq
+from datapipe_spark.plans import events_queries as ev
+from datapipe_spark.plans import marts
+from datapipe_spark.plans import quality as q
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name → (query_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- batch marts (SURVEY §2.3-2.5, batch-analytics layer) ---
+    "daily_business_metrics": (marts.daily_business_metrics, marts.DAILY_BUSINESS_METRICS_SQL),
+    "customer_metrics": (marts.customer_metrics, marts.CUSTOMER_METRICS_SQL),
+    "product_performance": (marts.product_performance, marts.PRODUCT_PERFORMANCE_SQL),
+    "customer_analytics": (marts.customer_analytics, marts.CUSTOMER_ANALYTICS_SQL),
+    "market_segment_daily": (marts.market_segment_daily, marts.MARKET_SEGMENT_DAILY_SQL),
+    # --- CDC semantics (SURVEY §1.2, §2.1 S1, §2.5 W5) ---
+    "cdc_changelog": (cdcq.cdc_changelog, cdcq.CDC_CHANGELOG_SQL),
+    "cdc_latest_state": (cdcq.cdc_latest_state, cdcq.CDC_LATEST_STATE_SQL),
+    "cdc_op_summary": (cdcq.cdc_op_summary, cdcq.CDC_OP_SUMMARY_SQL),
+    "cdc_deleted_records": (cdcq.cdc_deleted_records, cdcq.CDC_DELETED_RECORDS_SQL),
+    "cdc_user_history": (cdcq.cdc_user_history, cdcq.CDC_USER_HISTORY_SQL),
+    # --- speed-layer analytics, batch form (SURVEY §2.4, §2.8) ---
+    "funnel_daily": (ev.funnel_daily, ev.FUNNEL_DAILY_SQL),
+    "events_hourly": (ev.events_hourly, ev.EVENTS_HOURLY_SQL),
+    "events_json_stats": (ev.events_json_stats, ev.EVENTS_JSON_STATS_SQL),
+    "sessionize": (ev.sessionize, ev.SESSIONIZE_SQL),
+    "top_events_per_user": (ev.top_events_per_user, ev.TOP_EVENTS_PER_USER_SQL),
+    "purchases_filtered": (ev.purchases_filtered, ev.PURCHASES_FILTERED_SQL),
+    # --- data quality / governance (SURVEY §2.9) ---
+    "rule_violations": (q.rule_violations, q.RULE_VIOLATIONS_SQL),
+    "daily_completeness_violations": (
+        q.daily_completeness_violations,
+        q.DAILY_COMPLETENESS_SQL_TEMPLATE.format(dbm_sql=marts.DAILY_BUSINESS_METRICS_SQL),
+    ),
+    "orphan_lineitems": (q.orphan_lineitems, q.ORPHAN_LINEITEMS_SQL),
+    "reconciliation": (q.reconciliation, q.RECONCILIATION_SQL),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}
+
+
+def register(name: str, fn: QueryFn, sql: str | None) -> None:
+    _REGISTRY[name] = (fn, sql)

@@ -1,0 +1,49 @@
+"""Testdata table loaders.
+
+The driver materializes a TPC-H-ish star schema plus ``events`` /
+``documents`` / ``embeddings`` at ``/root/testdata/sf*/``. Domain
+mapping to the reference's e-commerce model (see FIXTURES.md §6):
+customer≈users, part≈products, orders≈orders, lineitem≈order_items,
+events≈user_events.
+
+Schemas are *fixed and declared* in the reference (SQL DDL + Avro
+registry, reference ``.kiro/specs/data-ingestion-pipeline/design.md:345-360``);
+we mirror that: no ``inferSchema``, explicit post-read normalization.
+
+Scale note: each table is a plain parquet path — at 100 TB these become
+partitioned directories / Iceberg tables; everything downstream only
+sees a DataFrame, so the swap is contained here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# events.ts is parquet TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong it arrives as a long we convert
+# to a microsecond timestamp (values carry only µs precision).
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing timestamp columns."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integral division: ns epochs exceed 2^53, double math would
+            # round the low microseconds
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view (for spark.sql entry points)."""
+    from datapipe_spark import TABLES
+
+    for name in names or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

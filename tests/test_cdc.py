@@ -1,0 +1,74 @@
+"""CDC semantics tests: oracle parity + reference round-trip properties
+(task9-validate-cdc.sh round-trips; read_s3_parquet.py:51 invariant)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipe_spark.plans import cdc_queries as cq
+from datapipe_spark.sources import cdc
+from tests.oracle import compare_to_oracle
+
+CASES = [
+    (cq.cdc_changelog, cq.CDC_CHANGELOG_SQL),
+    (cq.cdc_latest_state, cq.CDC_LATEST_STATE_SQL),
+    (cq.cdc_op_summary, cq.CDC_OP_SUMMARY_SQL),
+    (cq.cdc_deleted_records, cq.CDC_DELETED_RECORDS_SQL),
+    (cq.cdc_user_history, cq.CDC_USER_HISTORY_SQL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", CASES, ids=[c[0].__name__ for c in CASES])
+def test_cdc_matches_oracle(spark, sf_dir, fn, sql):
+    compare_to_oracle(spark, fn, sql, sf_dir)
+
+
+def test_envelope_flatten_roundtrip(spark, sf_dir):
+    """flatten(nest(changelog)) == changelog (ExtractNewRecordState)."""
+    log = cdc.synth_changelog(spark, sf_dir)
+    roundtrip = cdc.flatten_envelope(cdc.nest_envelope(log))
+    assert roundtrip.columns == log.columns
+    assert roundtrip.exceptAll(log).count() == 0
+    assert log.exceptAll(roundtrip).count() == 0
+
+
+def test_compaction_equals_sequential_apply(spark, sf_dir):
+    """Property: compaction == applying c/u/d sequentially per key."""
+    log = cdc.synth_changelog(spark, sf_dir).collect()
+    state: dict = {}
+    for row in sorted(log, key=lambda r: r["__source_lsn"]):
+        if row["__op"] == "d":
+            state.pop(row["id"], None)
+        else:
+            state[row["id"]] = row
+    compacted = {r["id"]: r for r in cdc.compact_latest(cdc.synth_changelog(spark, sf_dir)).collect()}
+    assert set(compacted) == set(state)
+    for k in state:
+        assert compacted[k]["status"] == state[k]["status"]
+        assert compacted[k]["__source_lsn"] == state[k]["__source_lsn"]
+
+
+def test_newest_by_key_equals_newest_by_lsn(spark, sf_dir):
+    """read_s3_parquet.py:51: ordering by key agrees with ordering by
+    commit LSN for the newest record (LSN is monotone per key)."""
+    log = cdc.synth_changelog(spark, sf_dir)
+    by_lsn = log.orderBy(F.desc("__source_lsn")).limit(1).collect()[0]
+    max_id = log.agg(F.max("id")).collect()[0][0]
+    assert by_lsn["id"] == max_id
+
+
+def test_archive_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """S5/S6: time-partitioned archive write, partition-pruned read."""
+    log = cdc.synth_changelog(spark, sf_dir)
+    path = os.path.join(str(tmp_path), "archive")
+    cdc.write_archive(log, path)
+    back = cdc.read_archive(spark, path)
+    assert back.count() == log.count()
+    one_year = back.filter(F.col("year") == 1995)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan, not a post-filter
+    assert one_year.count() == log.filter(F.year("__source_ts_ms") == 1995).count()
+    assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan

@@ -1,0 +1,53 @@
+"""Oracle parity for speed-layer batch queries and quality operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapipe_spark.plans import events_queries as ev
+from datapipe_spark.plans import quality as q
+from datapipe_spark.plans.marts import DAILY_BUSINESS_METRICS_SQL
+from tests.oracle import compare_to_oracle
+
+CASES = [
+    (ev.funnel_daily, ev.FUNNEL_DAILY_SQL),
+    (ev.events_hourly, ev.EVENTS_HOURLY_SQL),
+    (ev.events_json_stats, ev.EVENTS_JSON_STATS_SQL),
+    (ev.sessionize, ev.SESSIONIZE_SQL),
+    (ev.top_events_per_user, ev.TOP_EVENTS_PER_USER_SQL),
+    (ev.purchases_filtered, ev.PURCHASES_FILTERED_SQL),
+    (q.rule_violations, q.RULE_VIOLATIONS_SQL),
+    (
+        q.daily_completeness_violations,
+        q.DAILY_COMPLETENESS_SQL_TEMPLATE.format(dbm_sql=DAILY_BUSINESS_METRICS_SQL),
+    ),
+    (q.orphan_lineitems, q.ORPHAN_LINEITEMS_SQL),
+    (q.reconciliation, q.RECONCILIATION_SQL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", CASES, ids=[c[0].__name__ for c in CASES])
+def test_matches_oracle(spark, sf_dir, fn, sql):
+    compare_to_oracle(spark, fn, sql, sf_dir)
+
+
+def test_violations_nonempty(spark, sf_dir):
+    # negative acctbals exist in TPC-H-ish data, so the scan must fire
+    assert q.rule_violations(spark, sf_dir).count() > 0
+
+
+def test_sessionize_gap_property(spark, sf_dir):
+    # no session may contain a gap > 30 min; consecutive sessions of a
+    # user must be separated by > 30 min
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    sess = ev.sessionize(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("session_seq")
+    gaps = sess.withColumn("prev_end", F.lag("session_end").over(w)).filter(
+        F.col("prev_end").isNotNull()
+    )
+    bad = gaps.filter(
+        (F.unix_micros("session_start") - F.unix_micros("prev_end")) <= 30 * 60 * 1_000_000
+    )
+    assert bad.count() == 0
