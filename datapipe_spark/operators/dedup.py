@@ -1,0 +1,310 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families over ``documents``: exact (hash-groupBy), n-gram Jaccard
+(blocked all-pairs, the exactness anchor), MinHash+LSH (the 100 TB
+scale path: shingle → minhash signature → banded bucket-join), and
+SimHash (bitwise near-dup with banded Hamming search).
+
+All of the shingle/signature/band computation is JVM-side array
+expressions (``transform``/``aggregate``/``xxhash64``) — no Python in
+the per-document path.
+
+Scale notes: exact + minhash + simhash are linear scans plus
+equi-joins on bucket keys (shuffle on band key, never all-pairs);
+the quadratic Jaccard verifier only ever runs on candidate pairs (or,
+in the standalone oracle-checked query, inside length/lang blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datapipe_spark.sources.tables import load_table
+
+# --- deterministic MinHash permutation family: h_i(x) = (a_i*x + b_i) mod P
+_P = 2_147_483_647  # 2^31 - 1 (prime); inputs reduced mod P so a*x fits int64
+_N_PERM = 32
+_BANDS = 8  # 8 bands × 4 rows
+_ROWS = _N_PERM // _BANDS
+_A = [((1103515245 * (i + 1) + 12345) % _P) | 1 for i in range(_N_PERM)]
+_B = [(69069 * (i + 7) + 1) % _P for i in range(_N_PERM)]
+
+JACCARD_THRESHOLD = 0.8
+
+
+def _shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles, JVM-side. Guards docs shorter
+    than n words (empty set)."""
+    return F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))) "
+        f"ELSE array() END"
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup decision per document: canonical = min doc_id within
+    identical-content group (hash-groupBy semantics via window)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_hash"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_duplicate,
+       COUNT(*) OVER (PARTITION BY text) AS group_size
+FROM documents
+"""
+
+
+_LEN_BAND = 16  # near-dups differ by a few tokens, not rewrites: tight band
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard within ±16-char length
+    blocks — the exactness anchor the probabilistic methods are tested
+    against.
+
+    Blocking is an *equi-join* on length buckets (each right-side doc
+    probes its own and both adjacent buckets), so at scale this is a
+    shuffle join on a dense int key — never an all-pairs nested loop.
+    Quadratic work only inside a block; the fully-unblocked scale path
+    is ``minhash_dedup``.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_sh_str", _shingles())
+        .select(
+            "doc_id",
+            "n_chars",
+            F.floor(F.col("n_chars") / _LEN_BAND).cast("int").alias("bucket"),
+            # shingles hashed to int64: set-intersection on longs is ~10×
+            # cheaper than on strings, and jaccard *counts* are unchanged
+            # (collision odds ~|corpus shingles|²/2⁶⁴ ≈ 0)
+            F.expr("transform(_sh_str, s -> xxhash64(s))").alias("sh"),
+        )
+    )
+    probes = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_chars").alias("n_chars_b"),
+        F.col("sh").alias("sh_b"),
+        F.explode(
+            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
+        ).alias("bucket"),
+    )
+    pairs = d.join(probes, "bucket").filter(
+        (F.col("doc_id") < F.col("doc_b"))
+        & (F.abs(F.col("n_chars") - F.col("n_chars_b")) <= _LEN_BAND)
+    )
+    # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are already distinct):
+    # one set operation per pair instead of two
+    inter = F.size(F.array_intersect("sh", "sh_b"))
+    union = F.size("sh") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_b").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, CAST(FLOOR(n_chars / {_LEN_BAND}.0) AS INT) AS bucket,
+    CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)])
+    ELSE [] END AS sh
+  FROM (SELECT doc_id, n_chars, text, string_split(text, ' ') AS w
+        FROM documents)
+), probes AS (
+  SELECT doc_id AS doc_b, n_chars AS n_chars_b, sh AS sh_b,
+         unnest([bucket - 1, bucket, bucket + 1]) AS bucket
+  FROM t
+), pairs AS (
+  SELECT a.doc_id AS doc_a, p.doc_b AS doc_b,
+    CASE WHEN len(a.sh) + len(p.sh_b) - len(list_intersect(a.sh, p.sh_b)) > 0 THEN
+      CAST(len(list_intersect(a.sh, p.sh_b)) AS DOUBLE)
+        / (len(a.sh) + len(p.sh_b) - len(list_intersect(a.sh, p.sh_b)))
+    ELSE 0.0 END AS jaccard
+  FROM t a JOIN probes p
+    ON a.bucket = p.bucket AND a.doc_id < p.doc_b
+   AND abs(a.n_chars - p.n_chars_b) <= {_LEN_BAND}
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """MinHash signatures (32 perms) from shingle xxhash64 values —
+    pure array expressions, linear scan."""
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(_h, h -> pmod({_A[i]}L * h + {_B[i]}L, {_P}L)))"
+            )
+            for i in range(_N_PERM)
+        ]
+    )
+    return (
+        docs.withColumn("_sh", _shingles())
+        .filter(F.size("_sh") > 0)
+        .withColumn("_h", F.expr(f"transform(_sh, s -> pmod(xxhash64(s), {_P}L))"))
+        .withColumn("signature", sig)
+        .drop("_h")
+    )
+
+
+def minhash_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """MinHash+LSH near-dup detection — the scale path.
+
+    shingle → 32-perm minhash → 8 bands × 4 rows → band-key bucket
+    join → candidate pairs → exact Jaccard verification on candidates
+    only. At 100 TB this is a linear scan plus an equi-join on band
+    keys (no all-pairs anywhere); banding parameters give ≈99 % recall
+    at Jaccard ≥ 0.8 (P(candidate) = 1-(1-s^4)^8).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs).persist()
+    # band rows carry ONLY (doc_id, band key): the 8× explode shuffles
+    # 16 bytes/row, not the shingle arrays
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        "xxhash64("
+                        + ", ".join([str(j)] + [f"signature[{j * _ROWS + r}]" for r in range(_ROWS)])
+                        + ")"
+                    )
+                    for j in range(_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact-jaccard verification only for surviving candidates, on the
+    # hashed (int64) shingle sets
+    sets = sigs.select("doc_id", F.expr("transform(_sh, s -> xxhash64(s))").alias("hs"))
+    verified = candidates.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")), "doc_a"
+    ).join(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")), "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_dedup(spark: SparkSession, sf_dir: str, max_hamming: int = 7) -> DataFrame:
+    """SimHash near-dup detection: 64-bit shingle-feature simhash,
+    banded Hamming search (8 bands × 8 bits — a pair within Hamming
+    ≤ 7 must agree exactly on ≥ 1 band, by pigeonhole).
+
+    Features are word 3-gram shingles (not unigrams): on vocabulary-
+    dense corpora unigram bags barely differ between unrelated
+    documents, which collapses Hamming separation and explodes band
+    collisions; shingles keep unrelated pairs near Hamming 32.
+
+    Linear scan → per-doc 64 conditional sums (codegen'd) → band
+    bucket join; no all-pairs. Known limitation (documented, tested):
+    very short documents flip proportionally more bits per edited
+    token, so recall degrades below ~15 tokens — minhash_dedup is the
+    recall anchor there.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # distinct-shingle bit votes in ONE shuffle: explode → hash →
+    # 64 conditional sums (map-side partial agg halves the shuffle)
+    toks = (
+        d.withColumn("_sh", _shingles())
+        .select("doc_id", F.explode("_sh").alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    half = lambda lo: sum(  # noqa: E731 — build 32-bit halves, then pack
+        (F.when(F.col(f"b{i}") > 0, F.lit(1 << (i - lo))).otherwise(F.lit(0)) for i in range(lo, lo + 32)),
+        start=F.lit(0),
+    )
+    sh = bit_sums.select(
+        "doc_id",
+        F.shiftleft(half(32).cast("long"), 32)
+        .bitwiseOR(half(0).cast("long"))
+        .alias("simhash"),
+    )
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255))
+                    for j in range(8)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,211 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond the reference's own surface (per the build brief): language-ID,
+quality scoring, token counting, document fingerprinting — all over the
+``documents`` table. Everything except the n-gram language-ID model is
+pure ``pyspark.sql.functions`` (JVM-side, codegen-friendly); the
+language-ID centroid scorer is an Arrow-batched Pandas UDF.
+
+Scale notes: all per-document ops are embarrassingly parallel map work
+(no shuffle); the language-ID "training" aggregation is one groupBy on
+a 5-value key, and its centroid table broadcasts to executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipe_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics + content fingerprint.
+
+    Whitespace token count, distinct-token ratio, average token length
+    (closed form — text is single-space separated), stopword ratio, and
+    a composite quality score; md5 content fingerprint for exact-dup
+    detection downstream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({_STOP_SQL}))"))
+    avg_token_len = (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    quality = (
+        distinct_ratio * 0.5
+        + (F.lit(1.0) - stop_ratio) * 0.3
+        + F.least(avg_token_len / 10.0, F.lit(1.0)) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_stop.alias("n_stopwords"),
+        avg_token_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        quality.alias("quality_score"),
+        F.md5("text").alias("fingerprint"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w FROM documents
+)
+SELECT doc_id, lang, n_chars,
+  len(w) AS n_tokens,
+  len(list_distinct(w)) AS n_distinct_tokens,
+  len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS n_stopwords,
+  CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w) AS avg_token_len,
+  CAST(len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(w)
+    AS stopword_ratio,
+  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 0.5
+    + (1.0 - CAST(len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(w)) * 0.3
+    + LEAST((CAST(n_chars - len(w) + 1 AS DOUBLE) / len(w)) / 10.0, 1.0) * 0.2
+    AS quality_score,
+  md5(text) AS fingerprint
+FROM t
+"""
+
+
+def token_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language using the regex
+    pre-tokenizer (BPE-style segmentation: letter runs / digit runs /
+    symbols) — the "how many tokens is this corpus" query every
+    training pipeline runs first."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+    per_doc = d.select("lang", "n_chars", toks.alias("n_regex_tokens"))
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_regex_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_regex_tokens").cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+        (F.sum("n_chars").cast("double") / F.sum("n_regex_tokens")).alias("chars_per_token"),
+    )
+
+
+TOKEN_PROFILE_BY_LANG_SQL = f"""
+WITH t AS (
+  SELECT lang, n_chars,
+         len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_regex_tokens
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(n_regex_tokens) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_regex_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_regex_tokens) AS chars_per_token
+FROM t GROUP BY lang
+"""
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram language ID (rows-only check — model weights
+    are data-derived, not SQL-expressible).
+
+    Trains per-language character-trigram centroid profiles from the
+    corpus itself (one 5-key groupBy), broadcasts them, and scores each
+    document by cosine overlap via an Arrow-batched Pandas UDF. Output:
+    per-doc predicted language + match flag against the labeled column.
+    On synthetic testdata (shared vocabulary across langs) accuracy is
+    near-chance; the operator plumbing — train/broadcast/score — is the
+    deliverable and is property-tested.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    # trigram explode (JVM-side): doc → char 3-grams
+    tri = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(text)-3), i -> substring(text, i+1, 3))"
+            )
+        ).alias("tri"),
+    )
+    profile = (
+        tri.groupBy("lang", "tri")
+        .count()
+        .groupBy("lang")
+        .agg(F.map_from_arrays(F.collect_list("tri"), F.collect_list("count")).alias("prof"))
+    )
+    centroids = {
+        r["lang"]: r["prof"] for r in profile.collect()
+    }  # ~5 langs × bounded trigram vocab: safe driver-side broadcast
+    bc = spark.sparkContext.broadcast(centroids)
+
+    # note: no type hints — `from __future__ import annotations` turns
+    # them into strings pyspark's hint parser rejects
+    def _predict(texts):
+        import collections
+        import math
+
+        profs = {
+            lang: (prof, math.sqrt(sum(v * v for v in prof.values())))
+            for lang, prof in bc.value.items()
+        }
+
+        def one(text: str) -> str:
+            grams = collections.Counter(
+                text[i : i + 3] for i in range(max(len(text) - 2, 1))
+            )
+            norm = math.sqrt(sum(v * v for v in grams.values())) or 1.0
+            best_lang, best = None, -1.0
+            for lang in sorted(profs):
+                prof, pnorm = profs[lang]
+                dot = sum(cnt * prof.get(g, 0) for g, cnt in grams.items())
+                score = dot / (norm * pnorm or 1.0)
+                if score > best:
+                    best_lang, best = lang, score
+            return best_lang
+
+        return texts.map(one)
+
+    predict = F.pandas_udf(_predict, "string")
+    return d.select(
+        "doc_id", "lang", predict(F.col("text")).alias("predicted_lang")
+    ).withColumn("lang_match", F.col("predicted_lang") == F.col("lang"))
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4) -> DataFrame:
+    """Document fingerprinting via winnowing (rolling-hash k-grams,
+    per-window minimum selection — the MOSS algorithm). Rows-only
+    check: the rolling hash is engine-specific by design.
+
+    JVM-side: token k-gram hashes via xxhash64; window-min selection is
+    a per-document array fold — no shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"transform(sequence(0, greatest(size(split(text,' '))-{k}, 0)), "
+        f"i -> xxhash64(concat_ws(' ', slice(split(text,' '), i+1, {k}))))"
+    )
+    wins = F.expr(
+        f"transform(sequence(0, greatest(size(_grams)-{window}, 0)), "
+        f"i -> array_min(slice(_grams, i+1, {window})))"
+    )
+    return (
+        d.withColumn("_grams", grams)
+        .withColumn("fingerprints", F.array_distinct(wins))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("fingerprints").alias("n_fingerprints"),
+            "fingerprints",
+        )
+    )

@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datapipe_spark.operators import dedup, multimodal, similarity, textstats
 from datapipe_spark.plans import cdc_queries as cdcq
 from datapipe_spark.plans import events_queries as ev
 from datapipe_spark.plans import marts
@@ -48,6 +49,22 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "orphan_lineitems": (q.orphan_lineitems, q.ORPHAN_LINEITEMS_SQL),
     "reconciliation": (q.reconciliation, q.RECONCILIATION_SQL),
+    # --- training-data ops: dedup (build-brief extension surface) ---
+    "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
+    "dedup_minhash_lsh": (dedup.minhash_dedup, None),  # engine-hash based: rows-only
+    "dedup_simhash": (dedup.simhash_dedup, None),  # engine-hash based: rows-only
+    # --- training-data ops: similarity search ---
+    "similarity_topk": (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
+    "embedding_near_dup": (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
+    "similarity_topk_ivf": (similarity.topk_ivf, None),  # ANN: rows-only (recall-tested)
+    # --- training-data ops: text analysis ---
+    "text_stats": (textstats.text_stats, textstats.TEXT_STATS_SQL),
+    "token_profile_by_lang": (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),
+    "lang_id_ngram": (textstats.lang_id_ngram, None),  # data-derived model: rows-only
+    "winnow_fingerprints": (textstats.winnow_fingerprints, None),  # engine-hash: rows-only
+    # --- training-data ops: multimodal columns ---
+    "multimodal_features": (multimodal.multimodal_features, None),  # binary plumbing: rows-only
 }
 
 

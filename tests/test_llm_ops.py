@@ -1,0 +1,147 @@
+"""Training-data operators: oracle parity where SQL-expressible,
+property tests for the probabilistic/engine-hash paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipe_spark.operators import dedup, multimodal, similarity, textstats
+from tests.oracle import compare_to_oracle
+
+ORACLE_CASES = [
+    (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
+    (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
+    (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
+    (textstats.text_stats, textstats.TEXT_STATS_SQL),
+    (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", ORACLE_CASES, ids=[c[0].__name__ for c in ORACLE_CASES])
+def test_matches_oracle(spark, sf_dir, fn, sql):
+    compare_to_oracle(spark, fn, sql, sf_dir)
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, sf_dir):
+    """Union the corpus with relabeled copies → every copy must point
+    at its original as canonical."""
+    from datapipe_spark.sources.tables import load_table
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") < 20).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = d.unionByName(dup)
+    w = Window.partitionBy("text")
+    decided = both.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+    dups = decided.filter("is_duplicate").collect()
+    assert len(dups) == 20
+    assert all(r["doc_id"] == r["canonical_id"] + 1_000_000 for r in dups)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """LSH candidates must recover every true near-dup pair (banding
+    gives ≈99% recall at j≥0.8; planted pairs are j≥0.95 → certain)."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert truth, "testdata should contain planted near-dup pairs"
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_dedup(spark, sf_dir).collect()
+    }
+    assert truth <= found  # jaccard-verified candidates ⊇ exact pairs
+    # and LSH must not hallucinate: every reported pair passed the
+    # exact-jaccard verifier, so found == truth when blocking is loose
+    assert found == truth
+
+
+def test_simhash_finds_planted_near_dups(spark, sf_dir):
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.simhash_dedup(spark, sf_dir).collect()
+    }
+    # simhash recall degrades on very short docs (documented); require
+    # >= 85% recall on the planted near-dup pairs (minhash is the
+    # recall anchor at 100%), and high precision: every reported pair
+    # must be a true near-dup under the exact-jaccard anchor or at
+    # least share most shingles
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.85, (recall, truth - found)
+    precision = len(truth & found) / max(len(found), 1)
+    assert precision >= 0.8, (precision, found - truth)
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe = nlist ⇒ IVF must equal brute force exactly."""
+    nlist = 10
+    bf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.topk_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.topk_ivf(spark, sf_dir, nprobe=nlist).collect()
+    }
+    assert bf == ivf
+
+
+def test_ivf_partial_probe_subset(spark, sf_dir):
+    """nprobe < nlist results are drawn from probed cells only and
+    ranked identically where they overlap brute force."""
+    bf = similarity.topk_bruteforce(spark, sf_dir).collect()
+    ivf = similarity.topk_ivf(spark, sf_dir, nprobe=3).collect()
+    assert len(ivf) > 0
+    bf_pairs = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_pairs:
+            assert abs(bf_pairs[key] - r["cosine"]) < 1e-9
+
+
+def test_lang_id_output_shape(spark, sf_dir):
+    out = textstats.lang_id_ngram(spark, sf_dir)
+    rows = out.collect()
+    langs = {"en", "de", "fr", "es", "zh"}
+    assert len(rows) == out.select("doc_id").distinct().count()
+    assert all(r["predicted_lang"] in langs for r in rows)
+
+
+def test_winnow_fingerprints_detect_near_dups(spark, sf_dir):
+    """Planted near-dup docs must share a large fraction of winnowing
+    fingerprints."""
+    truth = dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in textstats.winnow_fingerprints(spark, sf_dir).collect()
+    }
+    for pair in truth:
+        a, b = fps[pair["doc_a"]], fps[pair["doc_b"]]
+        overlap = len(a & b) / max(len(a | b), 1)
+        assert overlap > 0.5, (pair, overlap)
+
+
+def test_multimodal_pipeline(spark, sf_dir):
+    media = multimodal.with_binary_payload(spark, sf_dir)
+    feats = multimodal.extract_features(media).collect()
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
+    assert all(r["byte_len"] > 0 for r in feats)
+    chunks = multimodal.chunk_payloads(media, chunk_bytes=100)
+    joined = (
+        chunks.groupBy("doc_id").agg(F.sum("chunk_len").alias("total"))
+        .join(media.select("doc_id", F.length("content").alias("blen")), "doc_id")
+    )
+    assert joined.filter("total != blen").count() == 0
+
+
+def test_decode_media_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "image/png")
