@@ -17,6 +17,7 @@ from datapipe_spark.plans import cdc_queries as cdcq
 from datapipe_spark.plans import events_queries as ev
 from datapipe_spark.plans import marts
 from datapipe_spark.plans import quality as q
+from datapipe_spark.streaming import jobs as stream
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -41,6 +42,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize": (ev.sessionize, ev.SESSIONIZE_SQL),
     "top_events_per_user": (ev.top_events_per_user, ev.TOP_EVENTS_PER_USER_SQL),
     "purchases_filtered": (ev.purchases_filtered, ev.PURCHASES_FILTERED_SQL),
+    # --- streaming layer, bounded deterministic replay (SURVEY §2.8) ---
+    "streaming_funnel_daily": (stream.streaming_funnel_daily, ev.FUNNEL_DAILY_SQL),
+    "streaming_sessionize": (stream.streaming_sessionize, ev.SESSIONIZE_SQL),
+    "streaming_sessionize_stateful": (
+        stream.streaming_sessionize_stateful,
+        ev.SESSIONIZE_SQL,
+    ),
+    "streaming_dedup_events": (stream.streaming_dedup_events, stream.STREAMING_DEDUP_SQL),
+    "streaming_dlq_split": (stream.streaming_dlq_split, stream.STREAMING_DLQ_SQL),
     # --- data quality / governance (SURVEY §2.9) ---
     "rule_violations": (q.rule_violations, q.RULE_VIOLATIONS_SQL),
     "daily_completeness_violations": (

@@ -1,0 +1,258 @@
+"""Streaming jobs (SURVEY §2.8 T1–T10) with bounded deterministic replay.
+
+Each registry-facing function runs a real Structured Streaming query
+(file micro-batch source → stateful/windowed transform → parquet sink
+with checkpoint) to completion with ``trigger(availableNow=True)``,
+then returns the sink contents as a DataFrame. The semantics equal the
+batch forms in ``plans.events_queries``, so the same DuckDB oracles
+check them — the strongest streaming correctness gate available
+(SURVEY §5: batch-replay equivalence).
+
+The ClickHouse materialized views (realtime design.md:255-303) are
+re-expressed in their native Spark form:
+
+- ``SummingMergeTree`` MV ≡ per-micro-batch *partial aggregates*
+  appended to the sink (foreachBatch), re-summed at read. Constant
+  state, no unbounded stream agg, exactly the MV merge model.
+- exact ``COUNT(DISTINCT ...)`` across batches ≡ a streaming
+  ``dropDuplicates`` emitting first-seen keys, counted at read. (The
+  reference's ClickHouse ``uniq()`` is approximate; we keep the exact
+  form oracle-checkable — A6.)
+
+At 100 TB: the partial-agg sink grows by O(groups) per batch, not
+O(events) — reads stay cheap with date-partitioned sinks + periodic
+compaction; dedup state is bounded by ``dropDuplicatesWithinWatermark``.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipe_spark.functions import money, ratio
+from datapipe_spark.streaming import source as src
+from datapipe_spark.streaming.sessions import apply_session_state
+
+GAP_MINUTES = 30
+
+# Micro-batches are small by construction (one drop ≈ one Kafka poll),
+# so wide shuffles just add task overhead; the stateful operators also
+# allocate one state store per shuffle partition per batch. The
+# production cluster would size this to the state volume.
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _start(writer, checkpoint: str):
+    """T1/T7/T10: availableNow trigger + checkpointed, idempotent sink."""
+    return writer.option("checkpointLocation", checkpoint).trigger(availableNow=True).start()
+
+
+def _run(writer, checkpoint: str):
+    q = _start(writer, checkpoint)
+    q.awaitTermination()
+    return q
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, sentinel: bool, dup_every: int = 0) -> DataFrame:
+    # one shared drop-set (sentinel variant) serves every non-dup query;
+    # consumers that don't want flush rows filter on event_type
+    drops = src.prepare_event_drops(spark, sf_dir, sentinel=sentinel, dup_every=dup_every)
+    return src.read_event_stream(spark, drops, files_per_trigger=2)
+
+
+def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: the ``conversion_funnel_mv`` as a streaming MV — partial
+    count/sum rows per micro-batch (SummingMergeTree insert), exact
+    uniques via streaming first-seen dedup; merged at read."""
+    out = src.fresh_dir("funnel")
+    partials, uniq = os.path.join(out, "partials"), os.path.join(out, "uniq")
+
+    events = _events_stream(spark, sf_dir, sentinel=True).filter(
+        F.col("event_type") != src.SENTINEL_TYPE
+    )
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(f"{t}s")  # noqa: E731
+
+    def write_partials(batch: DataFrame, _bid: int) -> None:
+        (
+            batch.groupBy(F.to_date("ts").alias("event_date"))
+            .agg(
+                F.count("*").alias("total_events"),
+                cnt("view"), cnt("click"), cnt("purchase"), cnt("signup"), cnt("error"),
+                F.sum(F.when(F.col("event_type") == "purchase", money("value"))).alias("_rev"),
+            )
+            .write.mode("append").parquet(partials)
+        )
+
+    first_seen = (
+        _events_stream(spark, sf_dir, sentinel=True)
+        .filter(F.col("event_type") != src.SENTINEL_TYPE)
+        .select("user_id", F.to_date("ts").alias("event_date"))
+        .dropDuplicates(["user_id", "event_date"])
+    )
+    with _stream_shuffle(spark):
+        # the two MV maintenance queries are independent consumers of the
+        # same topic — run them concurrently, as the reference's sibling
+        # materialized views do
+        q1 = _start(events.writeStream.foreachBatch(write_partials), os.path.join(out, "cp_partials"))
+        q2 = _start(
+            first_seen.writeStream.format("parquet").option("path", uniq),
+            os.path.join(out, "cp_uniq"),
+        )
+        q1.awaitTermination()
+        q2.awaitTermination()
+
+    merged = (
+        spark.read.parquet(partials)
+        .groupBy("event_date")
+        .agg(
+            F.sum("total_events").alias("total_events"),
+            F.sum("views").alias("views"),
+            F.sum("clicks").alias("clicks"),
+            F.sum("purchases").alias("purchases"),
+            F.sum("signups").alias("signups"),
+            F.sum("errors").alias("errors"),
+            F.sum("_rev").alias("_rev"),
+        )
+    )
+    uniques = spark.read.parquet(uniq).groupBy("event_date").agg(
+        F.count("*").alias("unique_users")
+    )
+    return merged.join(uniques, "event_date").select(
+        "event_date", "total_events", "views", "clicks", "purchases", "signups", "errors",
+        "unique_users",
+        F.col("_rev").cast("double").alias("purchase_revenue"),
+        ratio(F.col("clicks"), F.col("views")).alias("click_through_rate"),
+        ratio(F.col("purchases"), F.col("views")).alias("conversion_rate"),
+    )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (event-time form) + T3: ``session_window`` with watermark —
+    sessions close and append once the watermark passes their gap
+    boundary; the flush sentinel closes the tail for bounded replay."""
+    out = src.fresh_dir("sessionize")
+    sink = os.path.join(out, "sink")
+
+    sessions = (
+        _events_stream(spark, sf_dir, sentinel=True)
+        .withWatermark("ts", "1 second")
+        .groupBy(F.session_window("ts", f"{GAP_MINUTES} minutes"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.sum(F.when(F.col("event_type") == "purchase", money("value"))).alias("_spent"),
+            F.count(F.when(F.col("event_type") == src.SENTINEL_TYPE, 1)).alias("_flush"),
+        )
+        .drop("session_window")
+    )
+    with _stream_shuffle(spark):
+        _run(
+            sessions.writeStream.format("parquet").option("path", sink),
+            os.path.join(out, "cp"),
+        )
+
+    from pyspark.sql.window import Window
+
+    emitted = spark.read.parquet(sink).filter(F.col("_flush") == 0)
+    seq = Window.partitionBy("user_id").orderBy("session_start")
+    return emitted.select(
+        "user_id",
+        (F.row_number().over(seq) - 1).cast("long").alias("session_seq"),
+        "session_start",
+        "session_end",
+        (
+            (F.unix_micros("session_end") - F.unix_micros("session_start")) / 60_000_000.0
+        ).alias("session_duration_minutes"),
+        "n_events", "views", "clicks", "purchases",
+        F.coalesce(F.col("_spent").cast("double"), F.lit(0.0)).alias("total_spent"),
+        (F.col("purchases") > 0).alias("converted_to_purchase"),
+    )
+
+
+def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (the reference's own form): per-user session state machine via
+    ``applyInPandasWithState`` (flatMapGroupsWithState, realtime
+    design.md:126-141,311-383). See ``streaming.sessions``."""
+    out = src.fresh_dir("sessionize_state")
+    sink = os.path.join(out, "sink")
+
+    events = _events_stream(spark, sf_dir, sentinel=True)
+    sessions = apply_session_state(events, gap_minutes=GAP_MINUTES)
+    with _stream_shuffle(spark):
+        _run(
+            sessions.writeStream.format("parquet").option("path", sink),
+            os.path.join(out, "cp"),
+        )
+    return spark.read.parquet(sink)
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: streaming dedup on ``event_id`` over an input where every
+    10th event is delivered twice (at-least-once upstream, S1/Kafka
+    redelivery). Unbounded-state form here; the 100 TB path bounds
+    state with ``dropDuplicatesWithinWatermark`` (same call shape)."""
+    out = src.fresh_dir("dedup")
+    sink = os.path.join(out, "sink")
+
+    deduped = (
+        _events_stream(spark, sf_dir, sentinel=False, dup_every=10)
+        .dropDuplicates(["event_id"])
+    )
+    with _stream_shuffle(spark):
+        _run(
+            deduped.writeStream.format("parquet").option("path", sink),
+            os.path.join(out, "cp"),
+        )
+    return spark.read.parquet(sink)
+
+
+def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/T9/S11/T6: raw JSON value stream → parse → validation split →
+    valid events sink + DLQ sink, both written from one foreachBatch
+    (the reference's error-rerouting batch writer, realtime
+    design.md:516-540). Returns the routing summary."""
+    out = src.fresh_dir("dlq")
+    valid_p, dlq_p = os.path.join(out, "valid"), os.path.join(out, "dlq")
+
+    drops = src.prepare_event_drops(spark, sf_dir, as_json=True, corrupt_every=97)
+    parsed = src.parse_events(src.read_raw_stream(spark, drops))
+
+    def route(batch: DataFrame, _bid: int) -> None:
+        valid, invalid = src.split_valid(batch)
+        valid.write.mode("append").parquet(valid_p)
+        invalid.write.mode("append").parquet(dlq_p)
+
+    with _stream_shuffle(spark):
+        _run(parsed.writeStream.foreachBatch(route), os.path.join(out, "cp"))
+
+    v = spark.read.parquet(valid_p).select(F.lit("valid").alias("route"))
+    d = spark.read.parquet(dlq_p).select(F.lit("dlq").alias("route"))
+    return v.unionByName(d).groupBy("route").agg(F.count("*").alias("n"))
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+STREAMING_DLQ_SQL = """
+SELECT 'valid' AS route, COUNT(*) AS n FROM events WHERE event_id % 97 != 0
+UNION ALL
+SELECT 'dlq' AS route, COUNT(*) AS n FROM events WHERE event_id % 97 = 0
+"""

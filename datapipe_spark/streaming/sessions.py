@@ -1,0 +1,144 @@
+"""Stateful sessionization — the reference's one bespoke operator.
+
+Re-expresses the ``flatMapGroupsWithState`` session machine of
+realtime design.md:126-141 (state class :311-326, update fn :328-383,
+output schema :463-487) as PySpark ``applyInPandasWithState``: per-user
+state carrying the open session's accumulators; a session closes when
+the event gap exceeds 30 minutes, emitting one session row (append
+mode).
+
+Determinism contract (what makes this oracle-checkable, unlike the
+reference's processing-time timeouts — SURVEY §7 risk 1): gaps are
+measured in *event time*; micro-batch drops are time-range-ordered so
+each user's events arrive in order across batches (Kafka gives the
+same per-key guarantee); the ``__flush__`` sentinel closes tail
+sessions at end-of-replay. Production swaps the sentinel for
+``GroupStateTimeout.ProcessingTimeTimeout`` — same state machine, the
+timeout path calls the same ``_close`` transition.
+
+Scale: state is one fixed-width tuple per active user (the reference
+budgets 100k sessions ≈ 50 MB, design.md:385-387); shuffle is on
+user_id only. Arrow batches both directions — no row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from datapipe_spark.streaming.source import SENTINEL_TYPE
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("session_duration_minutes", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("views", T.LongType()),
+        T.StructField("clicks", T.LongType()),
+        T.StructField("purchases", T.LongType()),
+        T.StructField("total_spent", T.DoubleType()),
+        T.StructField("converted_to_purchase", T.BooleanType()),
+    ]
+)
+
+# (next_seq, start_us, last_us, n, views, clicks, purchases, spent_cents)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("views", T.LongType()),
+        T.StructField("clicks", T.LongType()),
+        T.StructField("purchases", T.LongType()),
+        T.StructField("spent_cents", T.LongType()),
+    ]
+)
+
+_OUT_COLS = [f.name for f in SESSION_OUTPUT_SCHEMA.fields]
+
+
+def _close(user_id: int, st: tuple) -> dict[str, Any]:
+    seq, start_us, last_us, n, views, clicks, purchases, cents = st
+    return {
+        "user_id": user_id,
+        "session_seq": seq,
+        "session_start": pd.Timestamp(start_us, unit="us"),
+        "session_end": pd.Timestamp(last_us, unit="us"),
+        "session_duration_minutes": (last_us - start_us) / 60_000_000.0,
+        "n_events": n,
+        "views": views,
+        "clicks": clicks,
+        "purchases": purchases,
+        "total_spent": cents / 100.0,
+        "converted_to_purchase": purchases > 0,
+    }
+
+
+def make_session_fn(gap_minutes: int = 30):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows: list[dict[str, Any]] = []
+        st = state.get if state.exists else None
+
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        for t_us, etype, value in zip(ts_us, pdf["event_type"], pdf["value"]):
+            if etype == SENTINEL_TYPE:
+                if st is not None:
+                    rows.append(_close(user_id, st))
+                    st = None
+                continue
+            if st is not None and t_us - st[2] > gap_us:
+                rows.append(_close(user_id, st))
+                st = (st[0] + 1, t_us, t_us, 0, 0, 0, 0, 0)
+            elif st is None:
+                st = (0, t_us, t_us, 0, 0, 0, 0, 0)
+            seq, start_us, _, n, views, clicks, purchases, cents = st
+            is_purchase = etype == "purchase"
+            if is_purchase and value is not None and value == value:
+                cents += int(round(value * 100))
+            st = (
+                seq, start_us, t_us, n + 1,
+                views + (etype == "view"),
+                clicks + (etype == "click"),
+                purchases + is_purchase,
+                cents,
+            )
+
+        if st is None:
+            state.remove()
+        else:
+            state.update(st)
+        if rows:
+            yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+    return fn
+
+
+def apply_session_state(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """T2: streaming per-user session machine (append mode)."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_fn(gap_minutes),
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

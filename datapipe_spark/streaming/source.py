@@ -1,0 +1,201 @@
+"""Streaming source simulation (SURVEY §2.1 S2/S4, §2.8 T1/T8).
+
+No Kafka exists in this sandbox, so the event stream is simulated the
+idiomatic Spark way: the ``events`` table is split into N time-ordered
+micro-batch "drops" (parquet or raw-JSON text files) and consumed with
+``spark.readStream`` + ``maxFilesPerTrigger=1`` — one file per
+micro-batch, which is exactly the unit-of-progress role Kafka offsets
+play in the reference (realtime design.md:105-112; backpressure via
+``maxOffsetsPerTrigger`` design.md:88-89 maps to ``maxFilesPerTrigger``).
+
+Determinism: drop boundaries are fixed time ranges, drops are written
+sequentially (strictly increasing mtimes) so the file source replays
+them in order; every generator knob (duplicates, corruption, sentinel)
+is a pure function of ``event_id``. Downstream streaming results are
+therefore bit-reproducible and DuckDB-oracle-checkable.
+
+Flush sentinels: bounded replays of an unbounded stream need a way to
+close watermark/state at end-of-input. The final drop carries per-user
+``__flush__`` rows 30 days past max(ts); they advance the watermark
+(closing every real session/window) while their own groups never emit.
+The production path has no sentinels — state closes via watermark /
+GroupStateTimeout as events keep flowing.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapipe_spark.sources.tables import load_table
+
+SENTINEL_TYPE = "__flush__"
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_EVENT_COLS = [f.name for f in EVENT_SCHEMA.fields]
+
+
+def scratch_root() -> str:
+    root = os.environ.get(
+        "SPARK_GRAFT_STREAM_DIR",
+        os.path.join(tempfile.gettempdir(), "datapipe_spark_stream"),
+    )
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def fresh_dir(*parts: str) -> str:
+    """Deterministic scratch path, wiped on each call."""
+    path = os.path.join(scratch_root(), *parts)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
+def _drops_key(sf_dir: str, n_drops: int, dup_every: int, sentinel: bool, as_json: bool,
+               corrupt_every: int) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    mode = "json" if as_json else "parquet"
+    return f"drops-{sf}-n{n_drops}-d{dup_every}-s{int(sentinel)}-c{corrupt_every}-{mode}"
+
+
+def prepare_event_drops(
+    spark: SparkSession,
+    sf_dir: str,
+    n_drops: int = 4,
+    dup_every: int = 0,
+    sentinel: bool = False,
+    as_json: bool = False,
+    corrupt_every: int = 0,
+) -> str:
+    """Materialize the events table as N sequential micro-batch files.
+
+    - ``dup_every``: re-emit every k-th event (by id) a second time in
+      the same drop — exercises streaming dedup (T4).
+    - ``sentinel``: append per-user ``__flush__`` rows in a final drop
+      (state/watermark close for bounded replay).
+    - ``as_json``/``corrupt_every``: raw Kafka-value simulation — each
+      record is a JSON string; every k-th is truncated mid-string to
+      exercise the validation split + DLQ (S4/T9/S11).
+
+    Returns the drops directory; cached per parameter set (a ``_READY``
+    marker) so sibling streaming queries share one materialization.
+    """
+    key = _drops_key(sf_dir, n_drops, dup_every, sentinel, as_json, corrupt_every)
+    out = os.path.join(scratch_root(), key)
+    if os.path.exists(os.path.join(out, "_READY")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    e = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
+    span_us = max(int((hi - lo).total_seconds() * 1_000_000), 1)
+    # fixed time-range chunks: batch k covers [lo + k*span/n, ...) so
+    # per-user event order is preserved across drops (required by the
+    # stateful session operator; mirrors Kafka per-key ordering)
+    batch = F.least(
+        F.lit(n_drops - 1),
+        F.floor(
+            (F.unix_micros("ts") - F.lit(int(lo.timestamp() * 1_000_000)))
+            * F.lit(n_drops)
+            / F.lit(span_us + 1)
+        ),
+    ).cast("int")
+    e = e.withColumn("_batch", batch)
+    if dup_every:
+        dups = e.filter(F.col("event_id") % dup_every == 0)
+        e = e.unionByName(dups)
+    e = e.persist()
+    try:
+        for i in range(n_drops):
+            chunk = e.filter(F.col("_batch") == i).drop("_batch")
+            _write_drop(chunk, os.path.join(out, f"drop_{i:02d}"), as_json, corrupt_every)
+        if sentinel:
+            flush = (
+                e.select("user_id").distinct()
+                .select(
+                    (-F.col("user_id") - 1).alias("event_id"),
+                    (F.lit(hi) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+                    "user_id",
+                    F.lit(SENTINEL_TYPE).alias("event_type"),
+                    F.lit(None).cast("double").alias("value"),
+                    F.lit(None).cast("string").alias("props"),
+                )
+            )
+            _write_drop(flush, os.path.join(out, f"drop_{n_drops:02d}_flush"), as_json, 0)
+    finally:
+        e.unpersist()
+    open(os.path.join(out, "_READY"), "w").close()
+    return out
+
+
+def _write_drop(df: DataFrame, path: str, as_json: bool, corrupt_every: int) -> None:
+    if not as_json:
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+        return
+    raw = df.select(
+        F.col("event_id").alias("_id"), F.to_json(F.struct(*_EVENT_COLS)).alias("value")
+    )
+    if corrupt_every:
+        raw = raw.select(
+            F.when(
+                F.col("_id") % corrupt_every == 0,
+                F.expr("substring(value, 1, length(value) - 5)"),
+            )
+            .otherwise(F.col("value"))
+            .alias("value")
+        )
+    else:
+        raw = raw.select("value")
+    raw.coalesce(1).write.mode("overwrite").text(path)
+
+
+def read_event_stream(spark: SparkSession, drops_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """S2 stand-in: typed micro-batch stream, one drop per trigger."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(os.path.join(drops_dir, "drop_*"))
+    )
+
+
+def read_raw_stream(spark: SparkSession, drops_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """Raw Kafka-value simulation: one string column ``value``."""
+    return (
+        spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .text(os.path.join(drops_dir, "drop_*"))
+    )
+
+
+def parse_events(raw: DataFrame) -> DataFrame:
+    """S4: ``from_json(value, schema)`` parse; malformed rows keep the
+    raw string with null parse (realtime design.md:115-123)."""
+    return raw.select("value", F.from_json("value", EVENT_SCHEMA).alias("event"))
+
+
+def split_valid(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """T9: validation split — parse failures and key-less records go to
+    the DLQ side (realtime design.md:493-511)."""
+    ok = F.col("event.event_id").isNotNull() & F.col("event.ts").isNotNull()
+    valid = parsed.filter(ok).select("event.*")
+    invalid = parsed.filter(~ok).select(
+        "value", F.lit("parse_or_key_failure").alias("error_reason")
+    )
+    return valid, invalid
