@@ -35,14 +35,21 @@ JACCARD_THRESHOLD = 0.8
 
 
 def _shingles(text_col: str = "text", n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles, JVM-side. Guards docs shorter
-    than n words (empty set)."""
-    return F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))) "
-        f"ELSE array() END"
-    )
+    """Distinct word n-gram shingles, JVM-side.
+
+    Built from ``zip_with`` over the word array and its shifts — the
+    array operands are evaluated once per row, unlike a
+    ``transform(sequence(...), i -> slice(words, ...))`` formulation
+    whose lambda body would re-split the text per element (O(words²)
+    per doc). Short docs (< n words) yield the empty set via zip-null
+    padding + filter.
+    """
+    w = f"split({text_col}, ' ')"
+    expr = w
+    for k in range(1, n):
+        shifted = f"slice({w}, {k + 1}, greatest(size({w}) - {k}, 0))"
+        expr = f"zip_with({expr}, {shifted}, (x, y) -> concat(x, ' ', y))"
+    return F.expr(f"array_distinct(filter({expr}, x -> x IS NOT NULL))")
 
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,15 +82,16 @@ _LEN_BAND = 16  # near-dups differ by a few tokens, not rewrites: tight band
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard within ±16-char length
-    blocks — the exactness anchor the probabilistic methods are tested
+    """Near-dup pairs by exact 3-gram Jaccard within a ±16-char length
+    band — the exactness anchor the probabilistic methods are tested
     against.
 
-    Blocking is an *equi-join* on length buckets (each right-side doc
-    probes its own and both adjacent buckets), so at scale this is a
-    shuffle join on a dense int key — never an all-pairs nested loop.
-    Quadratic work only inside a block; the fully-unblocked scale path
-    is ``minhash_dedup``.
+    Candidates come from *prefix filtering* (the PPJoin family): an
+    equi-join on the first ``|A|-⌈θ|A|⌉+1`` sorted shingle hashes of
+    each doc, which is sound for J ≥ θ. At scale this is a shuffle
+    join on shingle hashes whose fan-out is proportional to the number
+    of *true* near-dup pairs, never an all-pairs nested loop; exact
+    Jaccard runs only on surviving candidates.
     """
     d = (
         load_table(spark, sf_dir, "documents")
@@ -91,36 +99,53 @@ def ngram_jaccard_pairs(
         .select(
             "doc_id",
             "n_chars",
-            F.floor(F.col("n_chars") / _LEN_BAND).cast("int").alias("bucket"),
-            # shingles hashed to int64: set-intersection on longs is ~10×
-            # cheaper than on strings, and jaccard *counts* are unchanged
-            # (collision odds ~|corpus shingles|²/2⁶⁴ ≈ 0)
-            F.expr("transform(_sh_str, s -> xxhash64(s))").alias("sh"),
+            # shingles hashed to int64 and sorted: set-intersection on
+            # longs is ~10× cheaper than on strings, jaccard *counts*
+            # are unchanged (collision odds ~|corpus shingles|²/2⁶⁴≈0),
+            # and the sort gives the canonical order prefix filtering
+            # needs
+            F.array_sort(F.expr("transform(_sh_str, s -> xxhash64(s))")).alias("sh"),
         )
+        .filter(F.size("sh") > 0)
+        # consumed by prefix-explode AND exact verification: cache the
+        # hashed shingle sets instead of re-shingling per subtree
+        .persist()
     )
-    probes = d.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n_chars").alias("n_chars_b"),
-        F.col("sh").alias("sh_b"),
-        F.explode(
-            F.array(F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1)
-        ).alias("bucket"),
+    # Prefix filtering (PPJoin): J(A,B) ≥ θ ⟹ |A∩B| ≥ θ·max(|A|,|B|)
+    # ⟹ the first |A|-⌈θ|A|⌉+1 elements of sorted A and the first
+    # |B|-⌈θ|B|⌉+1 of sorted B share ≥1 element. Candidate generation
+    # is an equi-join on those prefix tokens — output-identical to the
+    # all-pairs-in-block form but |candidates| ≈ |true near-dups|.
+    pfx_len = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")).cast("int") + 1
+    prefixes = d.select(
+        "doc_id", "n_chars", F.explode(F.slice("sh", F.lit(1), pfx_len)).alias("tok")
     )
-    pairs = d.join(probes, "bucket").filter(
-        (F.col("doc_id") < F.col("doc_b"))
-        & (F.abs(F.col("n_chars") - F.col("n_chars_b")) <= _LEN_BAND)
+    candidates = (
+        prefixes.alias("a")
+        .join(
+            prefixes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("n_chars_b"), "tok"
+            ),
+            "tok",
+        )
+        .filter(
+            (F.col("doc_id") < F.col("doc_b"))
+            & (F.abs(F.col("n_chars") - F.col("n_chars_b")) <= _LEN_BAND)
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+    sets = d.select("doc_id", "sh")
+    verified = candidates.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
+    ).join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     # |A∪B| = |A|+|B|-|A∩B| (shingle arrays are already distinct):
     # one set operation per pair instead of two
-    inter = F.size(F.array_intersect("sh", "sh_b"))
-    union = F.size("sh") + F.size("sh_b") - inter
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        pairs.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("doc_b").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
