@@ -114,3 +114,53 @@ SELECT id, user_id, status, __op, __ts_ms, __source_lsn
 FROM changelog WHERE user_id IN (1, 2, 3, 4, 5)
 ORDER BY __ts_ms, __source_lsn
 """
+
+
+def cdc_archive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 + S6 + F18 end-to-end: write the changelog as a
+    time-partitioned snappy-parquet archive (hive layout
+    ``year=/month=/day=/hour=`` keyed off ``__source_ts_ms``,
+    task10-s3-sink-connector-config.json:14-21), then scan it back with
+    a partition predicate — Spark's FileIndex prunes directories the
+    same way the pandas query tool hand-listed them
+    (s3_parquet_query.py:62-132; asserted in tests via the physical
+    plan). Returns per-partition record counts + LSN bounds for the
+    first calendar year of the stream.
+
+    Archived at *month* granularity: the synthetic changelog spans ~7
+    years at low density, where hourly dirs would be the small-file
+    pathology (see ``write_archive``); hour-level layout is exercised
+    by the unit tests on a bounded slice.
+    """
+    from datapipe_spark.sources.cdc import write_archive
+    from datapipe_spark.util import fresh_dir
+
+    path = fresh_dir("cdc_archive")
+    changelog = synth_changelog(spark, sf_dir)
+    write_archive(changelog, path, granularity="month")
+
+    first_year = changelog.select(F.min(F.year("__source_ts_ms"))).first()[0]
+    archived = spark.read.parquet(path)
+    return (
+        archived.filter(F.col("year") == first_year)
+        .groupBy("year", "month")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("__source_lsn").alias("min_lsn"),
+            F.max("__source_lsn").alias("max_lsn"),
+            F.count(F.when(F.col("__op") == "d", 1)).alias("n_deletes"),
+        )
+    )
+
+
+CDC_ARCHIVE_ROLLUP_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY})
+SELECT YEAR(__source_ts_ms) AS year, MONTH(__source_ts_ms) AS month,
+       COUNT(*) AS n_records,
+       MIN(__source_lsn) AS min_lsn,
+       MAX(__source_lsn) AS max_lsn,
+       COUNT(CASE WHEN __op = 'd' THEN 1 END) AS n_deletes
+FROM changelog
+WHERE YEAR(__source_ts_ms) = (SELECT MIN(YEAR(__source_ts_ms)) FROM changelog)
+GROUP BY 1, 2
+"""

@@ -280,3 +280,56 @@ WHERE event_type IN ('purchase', 'signup') AND value IS NOT NULL AND value > 100
 ORDER BY value DESC, event_id
 LIMIT 200
 """
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: p50/p95/p99 latency-style percentile stats per event type
+    (the benchmark harness's percentile reporting, reference
+    ``data-generator.py:184-199``, ``task8-phase5-performance.py:167-182``).
+
+    Exact ``percentile`` here for oracle parity; the 100 TB path is
+    ``percentile_approx`` (single-pass sketch, no global sort) —
+    provided by ``funnel_daily_approx``'s family of approx variants.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("v_min"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+            F.max("value").alias("v_max"),
+        )
+    )
+
+
+EVENT_VALUE_PERCENTILES_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(value) AS v_min,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
+       MAX(value) AS v_max
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def funnel_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the funnel rollup with ``approx_count_distinct`` — the
+    reference's ClickHouse ``uniq()`` (realtime design.md:269-270) and
+    the 100 TB scale path (HLL sketch: one pass, mergeable, no
+    distinct-shuffle). Rows-only check; the exact twin
+    ``funnel_daily`` is the oracled variant, and tests bound the
+    relative error between the two."""
+    e = _events(spark, sf_dir)
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(f"{t}s")  # noqa: E731
+    return e.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("total_events"),
+        cnt("view"),
+        cnt("purchase"),
+        F.approx_count_distinct("user_id").alias("approx_unique_users"),
+    )

@@ -15,8 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from datapipe_spark.operators import dedup, multimodal, similarity, textstats
 from datapipe_spark.plans import cdc_queries as cdcq
 from datapipe_spark.plans import events_queries as ev
+from datapipe_spark.plans import incremental as incr
 from datapipe_spark.plans import marts
 from datapipe_spark.plans import quality as q
+from datapipe_spark.sources import datagen
 from datapipe_spark.streaming import jobs as stream
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -29,12 +31,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "product_performance": (marts.product_performance, marts.PRODUCT_PERFORMANCE_SQL),
     "customer_analytics": (marts.customer_analytics, marts.CUSTOMER_ANALYTICS_SQL),
     "market_segment_daily": (marts.market_segment_daily, marts.MARKET_SEGMENT_DAILY_SQL),
+    "incremental_daily_metrics": (
+        incr.incremental_daily_metrics,
+        marts.DAILY_BUSINESS_METRICS_SQL,
+    ),
     # --- CDC semantics (SURVEY §1.2, §2.1 S1, §2.5 W5) ---
     "cdc_changelog": (cdcq.cdc_changelog, cdcq.CDC_CHANGELOG_SQL),
     "cdc_latest_state": (cdcq.cdc_latest_state, cdcq.CDC_LATEST_STATE_SQL),
     "cdc_op_summary": (cdcq.cdc_op_summary, cdcq.CDC_OP_SUMMARY_SQL),
     "cdc_deleted_records": (cdcq.cdc_deleted_records, cdcq.CDC_DELETED_RECORDS_SQL),
     "cdc_user_history": (cdcq.cdc_user_history, cdcq.CDC_USER_HISTORY_SQL),
+    "cdc_archive_rollup": (cdcq.cdc_archive_rollup, cdcq.CDC_ARCHIVE_ROLLUP_SQL),
+    "synthetic_orders": (datagen.synthetic_orders, datagen.SYNTHETIC_ORDERS_SQL),
     # --- speed-layer analytics, batch form (SURVEY §2.4, §2.8) ---
     "funnel_daily": (ev.funnel_daily, ev.FUNNEL_DAILY_SQL),
     "events_hourly": (ev.events_hourly, ev.EVENTS_HOURLY_SQL),
@@ -42,6 +50,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "sessionize": (ev.sessionize, ev.SESSIONIZE_SQL),
     "top_events_per_user": (ev.top_events_per_user, ev.TOP_EVENTS_PER_USER_SQL),
     "purchases_filtered": (ev.purchases_filtered, ev.PURCHASES_FILTERED_SQL),
+    "event_value_percentiles": (ev.event_value_percentiles, ev.EVENT_VALUE_PERCENTILES_SQL),
+    "funnel_daily_approx": (ev.funnel_daily_approx, None),  # A6 HLL scale path: rows-only
     # --- streaming layer, bounded deterministic replay (SURVEY §2.8) ---
     "streaming_funnel_daily": (stream.streaming_funnel_daily, ev.FUNNEL_DAILY_SQL),
     "streaming_sessionize": (stream.streaming_sessionize, ev.SESSIONIZE_SQL),
@@ -50,6 +60,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ev.SESSIONIZE_SQL,
     ),
     "streaming_dedup_events": (stream.streaming_dedup_events, stream.STREAMING_DEDUP_SQL),
+    "streaming_enriched_purchases": (
+        stream.streaming_enriched_purchases,
+        stream.STREAMING_ENRICHED_PURCHASES_SQL,
+    ),
     "streaming_dlq_split": (stream.streaming_dlq_split, stream.STREAMING_DLQ_SQL),
     # --- data quality / governance (SURVEY §2.9) ---
     "rule_violations": (q.rule_violations, q.RULE_VIOLATIONS_SQL),

@@ -172,15 +172,39 @@ def compact_latest(changelog: DataFrame, key: str = "id", lsn: str = "__source_l
     )
 
 
-def write_archive(df: DataFrame, path: str, ts_col: str = "__source_ts_ms") -> None:
+_GRANULARITY_COLS = ("year", "month", "day", "hour")
+
+
+def write_archive(
+    df: DataFrame, path: str, ts_col: str = "__source_ts_ms", granularity: str = "hour"
+) -> None:
     """S5: time-partitioned snappy-parquet archive sink
     (task10-s3-sink-connector-config.json:10-21): hive layout
     ``year=/month=/day=/hour=`` keyed off the record's source commit
-    timestamp. 128 MB target files come from upstream partition sizing;
-    at 100 TB add a compaction pass (operators.maintenance)."""
-    df.select("*", *time_partition_cols(ts_col)).write.mode("overwrite").partitionBy(
-        "year", "month", "day", "hour"
-    ).parquet(path)
+    timestamp.
+
+    ``granularity`` picks the deepest partition level — the reference
+    itself varies this per table (second-level for orders,
+    connectors/orders-s3-sink-connector.json:14-21; hourly for the
+    bulk sink). Partition depth must track event density: hourly dirs
+    over a multi-year low-rate stream produce the small-file
+    pathology that ``operators.maintenance.compact_parquet`` exists
+    to fix — pick the coarsest granularity whose partitions stay
+    under ~1 GB. 128 MB target files come from upstream partition
+    sizing; at 100 TB add the compaction pass."""
+    cols = _GRANULARITY_COLS[: _GRANULARITY_COLS.index(granularity) + 1]
+    parts = time_partition_cols(ts_col)[: len(cols)]
+    # cluster rows by partition key before the write: without this,
+    # every task holds rows of every time bucket and emits
+    # tasks × partitions files (the small-file explosion + committer
+    # rename storm); with it, each partition's data lands in O(1) files
+    (
+        df.select("*", *parts)
+        .repartition(*cols)
+        .write.mode("overwrite")
+        .partitionBy(*cols)
+        .parquet(path)
+    )
 
 
 def read_archive(spark: SparkSession, path: str) -> DataFrame:

@@ -26,13 +26,13 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datapipe_spark.sources.tables import load_table
+from datapipe_spark.util import fresh_dir, scratch_root  # noqa: F401 (re-export)
 
 SENTINEL_TYPE = "__flush__"
 
@@ -48,23 +48,6 @@ EVENT_SCHEMA = T.StructType(
 )
 
 _EVENT_COLS = [f.name for f in EVENT_SCHEMA.fields]
-
-
-def scratch_root() -> str:
-    root = os.environ.get(
-        "SPARK_GRAFT_STREAM_DIR",
-        os.path.join(tempfile.gettempdir(), "datapipe_spark_stream"),
-    )
-    os.makedirs(root, exist_ok=True)
-    return root
-
-
-def fresh_dir(*parts: str) -> str:
-    """Deterministic scratch path, wiped on each call."""
-    path = os.path.join(scratch_root(), *parts)
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
-    return path
 
 
 def _drops_key(sf_dir: str, n_drops: int, dup_every: int, sentinel: bool, as_json: bool,

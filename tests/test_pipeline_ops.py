@@ -1,0 +1,149 @@
+"""Tests for pipeline operators: incremental maintenance (A14/P8),
+archive write/scan with pruning (S5/S6), compaction (§4), synthetic
+generation (S12), percentiles (A12), and the optional Avro gate (S3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipe_spark.operators import maintenance
+from datapipe_spark.plans import events_queries as ev
+from datapipe_spark.plans import incremental as inc
+from datapipe_spark.plans import marts
+from datapipe_spark.sources import avro_codec, datagen
+from datapipe_spark.sources.cdc import synth_changelog, write_archive
+from datapipe_spark.util import fresh_dir
+
+
+def _rows(df):
+    return sorted(map(repr, df.collect()))
+
+
+def test_incremental_equals_full_recompute(spark, sf_dir):
+    got = inc.incremental_daily_metrics(spark, sf_dir)
+    full = marts.daily_business_metrics(spark, sf_dir)
+    assert _rows(got) == _rows(full)
+
+
+def test_incremental_is_idempotent_per_chunk(spark, sf_dir):
+    """Re-applying the same increment must not change the table
+    (dynamic partition overwrite replaces, never appends)."""
+    base = fresh_dir("test_incr_idem")
+    o = marts._orders_base(spark, sf_dir)
+    inc.apply_increment(spark, o, base)
+    first = _rows(spark.read.parquet(inc._table_path(base)))
+    inc.apply_increment(spark, o, base)
+    assert _rows(spark.read.parquet(inc._table_path(base))) == first
+
+
+def test_archive_hour_granularity_layout_and_pruning(spark, sf_dir):
+    """S5 hour-level hive layout on a bounded slice + S6: partition
+    predicates must prune at plan level, not post-scan."""
+    cl = synth_changelog(spark, sf_dir)
+    first_month = cl.select(
+        F.min(F.date_trunc("month", "__source_ts_ms"))
+    ).first()[0]
+    bounded = cl.filter(F.date_trunc("month", "__source_ts_ms") == F.lit(first_month))
+    path = fresh_dir("test_archive_hourly")
+    write_archive(bounded, path, granularity="hour")
+    # hive layout present
+    years = [d for d in os.listdir(path) if d.startswith("year=")]
+    assert years
+    some_year = os.path.join(path, years[0])
+    months = [d for d in os.listdir(some_year) if d.startswith("month=")]
+    assert months
+    assert any(
+        d.startswith("hour=")
+        for d in os.listdir(
+            os.path.join(
+                some_year, months[0],
+                os.listdir(os.path.join(some_year, months[0]))[0],
+            )
+        )
+    )
+    archived = spark.read.parquet(path)
+    pruned = archived.filter(
+        (F.col("day") == bounded.select(F.min(F.dayofmonth("__source_ts_ms"))).first()[0])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+    # round-trip count parity
+    assert archived.count() == bounded.count()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
+    path = fresh_dir("test_compact")
+    df = spark.range(10_000).withColumn("k", F.col("id") % 7)
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    before_files = maintenance.parquet_file_count(path)
+    before_rows = _rows(spark.read.parquet(path))
+    after_files = maintenance.compact_parquet(spark, path)
+    assert after_files < before_files
+    assert after_files == 1  # tiny table → single target file
+    assert _rows(spark.read.parquet(path)) == before_rows
+
+
+def test_compact_partitioned_table_keeps_layout(spark, sf_dir):
+    path = fresh_dir("test_compact_part")
+    df = spark.range(5_000).withColumn("part", (F.col("id") % 3).cast("int"))
+    df.repartition(16).write.mode("overwrite").partitionBy("part").parquet(path)
+    before_rows = _rows(spark.read.parquet(path))
+    maintenance.compact_parquet(spark, path, partition_cols=["part"])
+    assert sorted(d for d in os.listdir(path) if d.startswith("part=")) == [
+        "part=0", "part=1", "part=2",
+    ]
+    assert _rows(spark.read.parquet(path)) == before_rows
+
+
+def test_synthetic_orders_deterministic_and_valid(spark, sf_dir):
+    a = datagen.synthetic_orders(spark, sf_dir)
+    b = datagen.synthetic_orders(spark, sf_dir)
+    assert _rows(a) == _rows(b)
+    assert a.count() == datagen.N_ROWS
+    bad = a.filter(
+        ~F.col("status").isin(*datagen._STATUSES)
+        | (F.col("total_amount") < 10.0)
+        | (F.col("total_amount") > 1000.0)
+        | ~F.col("email").rlike(r"^user_\d+@example\.com$")
+    )
+    assert bad.count() == 0
+
+
+def test_approx_funnel_tracks_exact(spark, sf_dir):
+    """A6: HLL estimate within documented rel. error of the exact twin."""
+    exact = {r["event_date"]: r["unique_users"] for r in ev.funnel_daily(spark, sf_dir).collect()}
+    approx = {
+        r["event_date"]: r["approx_unique_users"]
+        for r in ev.funnel_daily_approx(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) / max(n, 1) < 0.1
+
+
+def test_avro_gate(spark):
+    """S3 is feature-gated: absent jar → clean probe, no crash."""
+    ok = avro_codec.avro_available(spark)
+    if not ok:
+        pytest.skip("spark-avro jar not bundled in this environment")
+    import pyspark.sql.functions as SF
+
+    df = spark.range(5).select(SF.struct("id").alias("s"))
+    assert df.select(avro_codec.encode(F.col("s"))).count() == 5
+
+
+def test_schema_evolution_merge(spark):
+    """BACKWARD-compat evolution: later generation adds a nullable
+    column; merged read exposes union schema with nulls for old rows
+    (reference task9-validate-cdc.sh:296-320 semantics)."""
+    p1, p2 = fresh_dir("test_evo_a"), fresh_dir("test_evo_b")
+    spark.range(3).select("id").write.mode("overwrite").parquet(p1)
+    spark.range(3).select(
+        "id", F.lit("x").alias("new_col")
+    ).write.mode("overwrite").parquet(p2)
+    merged = avro_codec.schema_evolution_merge(spark, p1, p2)
+    assert set(merged.columns) == {"id", "new_col"}
+    assert merged.filter(F.col("new_col").isNull()).count() == 3
