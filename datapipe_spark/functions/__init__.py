@@ -91,3 +91,26 @@ def time_partition_cols(ts: str | Column) -> list[Column]:
         F.dayofmonth(ts).alias("day"),
         F.hour(ts).alias("hour"),
     ]
+
+
+def with_lineage(df, batch_id: str | None = None):
+    """Q4/F13/F14: lineage metadata injection — ``loaded_at`` processing
+    timestamp, per-batch ``batch_id`` UUID, source ``file_name``
+    (batch design.md:322-325: every raw-layer mirror carries these).
+    ``batch_id`` is one UUID per ingest batch (driver-side, matching
+    the reference's batch-scoped id), not per-row."""
+    import uuid as _uuid
+
+    return (
+        df.withColumn("loaded_at", F.current_timestamp())
+        .withColumn("batch_id", F.lit(batch_id or str(_uuid.uuid4())))
+        .withColumn("file_name", F.input_file_name())
+    )
+
+
+def project_tolerant(df, cols: list[str]):
+    """P1: user-supplied column list tolerant of missing names — the
+    ad-hoc query tool keeps whatever subset exists
+    (s3_parquet_query.py:146-151)."""
+    present = [c for c in cols if c in df.columns]
+    return df.select(*present) if present else df

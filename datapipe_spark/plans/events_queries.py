@@ -154,17 +154,24 @@ GROUP BY event_type
 
 
 def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
-    """T2 (event-time form): 30-minute-inactivity sessionization.
+    """T2 (event-time form): 30-minute-inactivity sessionization over
+    the events table. See ``sessionize_frame`` for the semantics."""
+    return sessionize_frame(_events(spark, sf_dir), gap_minutes)
+
+
+def sessionize_frame(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-and-island sessionization of any (user_id, ts, event_id,
+    event_type, value) frame.
 
     The reference's ``flatMapGroupsWithState`` session machine
     (realtime design.md:311-383) computed per-session: event-type
     counters, spend, duration, conversion flag (output schema
     design.md:463-487). Batch equivalent: gap-and-island via lag +
     running sum — one shuffle on user_id, windows run partition-local.
-    The streaming twin (``streaming.sessionize_stream``) asserts
-    equality with this in tests.
+    The streaming twins (``streaming.jobs``) assert equality with this
+    in tests; property tests check it against a brute-force model.
     """
-    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type", "value")
+    e = events.select("user_id", "ts", "event_id", "event_type", "value")
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = gap_minutes * 60
     new_sess = (

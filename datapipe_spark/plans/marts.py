@@ -410,3 +410,47 @@ SELECT CAST(o.o_orderdate AS DATE) AS order_date,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2
 """
+
+
+def product_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: per-product repeat-buyer analytics — "customer bought this
+    product on an earlier date before" (batch design.md:566-567),
+    expressed as a two-level aggregation instead of the reference's
+    self-join: (customer, product) purchase-date spans first, then a
+    product rollup. Same semantics, no row-multiplying self-join —
+    at 100 TB the (custkey, partkey) pre-aggregation is one shuffle
+    and the second rollup is map-side-combinable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _orders_base(spark, sf_dir).select("o_orderkey", "o_custkey", "order_date")
+    per_cust_prod = (
+        li.join(o, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_partkey", "o_custkey")
+        .agg(F.countDistinct("order_date").alias("n_dates"))
+    )
+    return per_cust_prod.groupBy(F.col("l_partkey").alias("product_id")).agg(
+        F.count("*").alias("n_buyers"),
+        F.count(F.when(F.col("n_dates") >= 2, 1)).alias("repeat_buyers"),
+        F.when(
+            F.count("*") > 0,
+            F.count(F.when(F.col("n_dates") >= 2, 1)).cast("double") / F.count("*"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repeat_rate"),
+    )
+
+
+PRODUCT_REPEAT_CUSTOMERS_SQL = """
+WITH per_cp AS (
+  SELECT l_partkey, o_custkey, COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS n_dates
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_partkey, o_custkey
+)
+SELECT l_partkey AS product_id,
+       COUNT(*) AS n_buyers,
+       COUNT(CASE WHEN n_dates >= 2 THEN 1 END) AS repeat_buyers,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST(COUNT(CASE WHEN n_dates >= 2 THEN 1 END) AS DOUBLE) / COUNT(*)
+       ELSE 0.0 END AS repeat_rate
+FROM per_cp GROUP BY l_partkey
+"""

@@ -23,6 +23,16 @@ from datapipe_spark.streaming import jobs as stream
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def _lineage_orders_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4/F13/F14: the raw-layer mirror pattern — source rows + lineage
+    metadata (loaded_at, batch_id, file_name; batch design.md:322-325).
+    Rows-only: the metadata is intentionally nondeterministic."""
+    from datapipe_spark.functions import with_lineage
+    from datapipe_spark.sources.tables import load_table
+
+    return with_lineage(load_table(spark, sf_dir, "orders"))
+
 # name → (query_fn, oracle_sql | None)
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- batch marts (SURVEY §2.3-2.5, batch-analytics layer) ---
@@ -31,6 +41,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "product_performance": (marts.product_performance, marts.PRODUCT_PERFORMANCE_SQL),
     "customer_analytics": (marts.customer_analytics, marts.CUSTOMER_ANALYTICS_SQL),
     "market_segment_daily": (marts.market_segment_daily, marts.MARKET_SEGMENT_DAILY_SQL),
+    "product_repeat_customers": (
+        marts.product_repeat_customers,
+        marts.PRODUCT_REPEAT_CUSTOMERS_SQL,
+    ),
+    "lineage_orders_raw": (_lineage_orders_raw, None),  # Q4: nondeterministic metadata
     "incremental_daily_metrics": (
         incr.incremental_daily_metrics,
         marts.DAILY_BUSINESS_METRICS_SQL,

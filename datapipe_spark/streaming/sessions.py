@@ -83,7 +83,7 @@ def _close(user_id: int, st: tuple) -> dict[str, Any]:
     }
 
 
-def make_session_fn(gap_minutes: int = 30):
+def make_session_fn(gap_minutes: int = 30, use_timeout: bool = False):
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(
@@ -92,6 +92,18 @@ def make_session_fn(gap_minutes: int = 30):
         (user_id,) = key
         rows: list[dict[str, Any]] = []
         st = state.get if state.exists else None
+
+        # ProcessingTimeTimeout path (the reference's 30-min wall-clock
+        # expiry, realtime design.md:378-379): the group is invoked with
+        # no data after its timeout fires — close and emit the open
+        # session. Same _close transition as the event-time gap.
+        if getattr(state, "hasTimedOut", False):
+            if st is not None:
+                rows.append(_close(user_id, st))
+            state.remove()
+            if rows:
+                yield pd.DataFrame(rows, columns=_OUT_COLS)
+            return
 
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
@@ -123,22 +135,35 @@ def make_session_fn(gap_minutes: int = 30):
             state.remove()
         else:
             state.update(st)
+            if use_timeout:
+                state.setTimeoutDuration(gap_minutes * 60 * 1000)
         if rows:
             yield pd.DataFrame(rows, columns=_OUT_COLS)
 
     return fn
 
 
-def apply_session_state(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """T2: streaming per-user session machine (append mode)."""
+def apply_session_state(
+    events: DataFrame, gap_minutes: int = 30, use_timeout: bool = False
+) -> DataFrame:
+    """T2: streaming per-user session machine (append mode).
+
+    ``use_timeout=True`` arms ``GroupStateTimeout.ProcessingTimeTimeout``
+    — the reference's wall-clock session expiry. The bounded replays
+    used for oracle checks keep it off (wall-clock firing is
+    nondeterministic; the ``__flush__`` sentinel closes tails instead);
+    the timeout transition itself is unit-tested with a fake state.
+    """
     return (
         events.select("user_id", "ts", "event_id", "event_type", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_session_fn(gap_minutes),
+            make_session_fn(gap_minutes, use_timeout=use_timeout),
             SESSION_OUTPUT_SCHEMA,
             SESSION_STATE_SCHEMA,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout,
         )
     )

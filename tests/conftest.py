@@ -22,3 +22,9 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for property tests (hypothesis passes it through)."""
+    return spark

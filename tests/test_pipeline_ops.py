@@ -147,3 +147,46 @@ def test_schema_evolution_merge(spark):
     merged = avro_codec.schema_evolution_merge(spark, p1, p2)
     assert set(merged.columns) == {"id", "new_col"}
     assert merged.filter(F.col("new_col").isNull()).count() == 3
+
+
+def test_salted_join_equals_plain_join(spark):
+    from datapipe_spark.operators.skew import salted_join
+
+    # hot key 1 owns 80% of the large side
+    large = spark.range(5_000).select(
+        F.when(F.col("id") % 5 != 0, 1).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    got = salted_join(large, small, "k")
+    plain = large.join(small, "k")
+    assert sorted(map(repr, got.collect())) == sorted(map(repr, plain.collect()))
+    # left rows with unmatched keys under "left" semantics too
+    got_l = salted_join(large, small.filter(F.col("k") < 50), "k", how="left")
+    plain_l = large.join(small.filter(F.col("k") < 50), "k", "left")
+    assert sorted(map(repr, got_l.collect())) == sorted(map(repr, plain_l.collect()))
+
+
+def test_lineage_injection(spark, sf_dir):
+    from datapipe_spark.functions import with_lineage
+    from datapipe_spark.sources.tables import load_table
+
+    df = with_lineage(load_table(spark, sf_dir, "orders"))
+    assert {"loaded_at", "batch_id", "file_name"} <= set(df.columns)
+    stats = df.agg(
+        F.countDistinct("batch_id").alias("b"),
+        F.count(F.when(F.col("loaded_at").isNull(), 1)).alias("null_loaded"),
+        F.count(F.when(F.col("file_name") == "", 1)).alias("empty_files"),
+    ).first()
+    assert stats["b"] == 1  # one batch id per ingest batch, not per row
+    assert stats["null_loaded"] == 0 and stats["empty_files"] == 0
+
+
+def test_project_tolerant(spark, sf_dir):
+    from datapipe_spark.functions import project_tolerant
+    from datapipe_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    out = project_tolerant(df, ["o_orderkey", "no_such_col", "o_orderstatus"])
+    assert out.columns == ["o_orderkey", "o_orderstatus"]
+    assert project_tolerant(df, ["nope"]).columns == df.columns

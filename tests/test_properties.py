@@ -1,0 +1,210 @@
+"""Property-based tests (hypothesis) for the two stateful cores.
+
+SURVEY §5: the reference's strongest correctness ideas are the CDC
+round-trip (#2) and cross-representation consistency (#4). Here they
+become properties over arbitrary inputs: snapshot compaction must equal
+sequentially applying the ops, and gap-and-island sessionization must
+match a brute-force model.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from datapipe_spark.plans.events_queries import sessionize_frame
+from datapipe_spark.sources.cdc import compact_latest
+from datapipe_spark.streaming.sessions import make_session_fn
+
+BASE_TS = datetime.datetime(2024, 1, 1)
+
+# --- CDC compaction property -------------------------------------------------
+
+ops = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),  # key
+        st.sampled_from(["c", "u", "d"]),  # op
+        st.integers(min_value=0, max_value=999),  # payload
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(op_seq=ops)
+def test_compaction_equals_sequential_apply(spark_prop, op_seq):
+    rows = [
+        (key, op, payload, lsn) for lsn, (key, op, payload) in enumerate(op_seq, start=1)
+    ]
+    # model: apply ops in LSN order; delete removes the key
+    model: dict[int, tuple] = {}
+    for key, op, payload, lsn in rows:
+        if op == "d":
+            model.pop(key, None)
+        else:
+            model[key] = (key, op, payload, lsn)
+    if rows:
+        df = spark_prop.createDataFrame(
+            rows, "id long, __op string, payload long, __source_lsn long"
+        )
+        got = {
+            r["id"]: (r["id"], r["__op"], r["payload"], r["__source_lsn"])
+            for r in compact_latest(df).collect()
+        }
+    else:
+        got = {}
+    # compaction keeps the newest non-delete version per key... but a
+    # key whose newest op is 'd' must be gone entirely
+    expect = {
+        k: v
+        for k, v in (
+            (k, max((r for r in rows if r[0] == k), key=lambda r: r[3]))
+            for k in {r[0] for r in rows}
+        )
+        if v[1] != "d"
+    }
+    assert got == expect
+    # and the kept versions are exactly the model's live rows for keys
+    # whose final op isn't a delete-then-reinsert edge case
+    for k, v in got.items():
+        assert model.get(k) == v or model.get(k) is None
+
+
+# --- sessionization property -------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user
+        st.integers(min_value=0, max_value=400),  # minutes offset
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _brute_sessions(evs, gap_min=30):
+    """Brute-force model: per user, sort by ts, split on gap > 30 min."""
+    out = []
+    by_user: dict[int, list] = {}
+    for i, (u, m, t) in enumerate(evs):
+        by_user.setdefault(u, []).append((m, i, t))
+    for u, items in by_user.items():
+        items.sort()
+        sessions, cur = [], [items[0]]
+        for prev, nxt in zip(items, items[1:]):
+            if (nxt[0] - prev[0]) > gap_min:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+        for seq, s in enumerate(sessions):
+            out.append(
+                (u, seq, s[0][0], s[-1][0], len(s), sum(1 for e in s if e[2] == "purchase"))
+            )
+    return sorted(out)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=events_strategy)
+def test_sessionize_matches_brute_force(spark_prop, evs):
+    rows = [
+        (u, BASE_TS + datetime.timedelta(minutes=m), i, t, 10.0)
+        for i, (u, m, t) in enumerate(evs)
+    ]
+    df = spark_prop.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r["session_seq"],
+            int((r["session_start"] - BASE_TS).total_seconds() // 60),
+            int((r["session_end"] - BASE_TS).total_seconds() // 60),
+            r["n_events"],
+            r["purchases"],
+        )
+        for r in sessionize_frame(df).collect()
+    )
+    assert got == _brute_sessions(evs)
+
+
+# --- session state machine unit coverage ------------------------------------
+
+
+class FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("no state")
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "event_type", "value"]
+    ).astype({"ts": "datetime64[ns]"})
+
+
+def test_state_fn_splits_on_gap_and_carries_seq():
+    fn = make_session_fn(30)
+    state = FakeState()
+    t0 = BASE_TS
+    batch1 = _pdf(
+        [
+            (1, t0, 0, "view", None),
+            (1, t0 + datetime.timedelta(minutes=5), 1, "purchase", 12.31),
+        ]
+    )
+    assert list(fn((1,), [batch1], state)) == []  # session still open
+    assert state.exists and state.get[0] == 0  # seq 0 open
+    batch2 = _pdf([(1, t0 + datetime.timedelta(minutes=90), 2, "click", None)])
+    out = list(fn((1,), [batch2], state))  # gap 85 min → close seq 0
+    assert len(out) == 1 and out[0].iloc[0]["session_seq"] == 0
+    assert out[0].iloc[0]["n_events"] == 2
+    assert abs(out[0].iloc[0]["total_spent"] - 12.31) < 1e-9
+    assert state.get[0] == 1  # seq 1 now open
+
+
+def test_state_fn_timeout_closes_open_session():
+    """T2 ProcessingTimeTimeout transition (realtime design.md:378-379)."""
+    fn = make_session_fn(30, use_timeout=True)
+    open_state = (0, 0, 5 * 60_000_000, 3, 1, 1, 1, 999)
+    state = FakeState(value=open_state, timed_out=True)
+    out = list(fn((7,), [], state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert row["session_seq"] == 0 and row["n_events"] == 3
+    assert abs(row["total_spent"] - 9.99) < 1e-9
+    assert state.removed
+
+
+def test_state_fn_arms_timeout_when_enabled():
+    fn = make_session_fn(30, use_timeout=True)
+    state = FakeState()
+    list(fn((1,), [_pdf([(1, BASE_TS, 0, "view", None)])], state))
+    assert state.timeout_set == 30 * 60 * 1000

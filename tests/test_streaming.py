@@ -65,3 +65,47 @@ def test_validation_split_batch_semantics(spark):
     assert valid.first().event_id == 1
     assert invalid.count() == 3
     assert set(r.error_reason for r in invalid.collect()) == {"parse_or_key_failure"}
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir):
+    """T7/T10: a restart from checkpoint must process only unseen drops
+    and the sink must end exactly-once-complete (reference
+    requirements: at-least-once archival + idempotent batching,
+    data-ingestion design.md:54)."""
+    import os
+    import shutil
+
+    from datapipe_spark.sources.tables import load_table
+    from datapipe_spark.util import fresh_dir, scratch_root
+
+    all_drops = src.prepare_event_drops(spark, sf_dir)
+    staged = fresh_dir("recovery_staged")
+    out = fresh_dir("recovery_out")
+    sink, cp = os.path.join(out, "sink"), os.path.join(out, "cp")
+    names = sorted(d for d in os.listdir(all_drops) if d.startswith("drop_"))
+
+    def run():
+        q = (
+            src.read_event_stream(spark, staged)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: only half the drops exist
+    for d in names[:2]:
+        shutil.copytree(os.path.join(all_drops, d), os.path.join(staged, d))
+    run()
+    n_phase1 = spark.read.parquet(sink).count()
+    # phase 2: remaining drops arrive; SAME checkpoint resumes
+    for d in names[2:]:
+        shutil.copytree(os.path.join(all_drops, d), os.path.join(staged, d))
+    run()
+    final = spark.read.parquet(sink)
+    expected = load_table(spark, sf_dir, "events").count()
+    assert n_phase1 < expected
+    assert final.count() == expected
+    assert final.select(F.countDistinct("event_id")).first()[0] == expected
