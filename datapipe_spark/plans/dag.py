@@ -1,0 +1,79 @@
+"""The daily batch DAG as function composition (SURVEY §3.3).
+
+The reference orchestrates ``data_quality_check → spark_batch_job →
+dbt_run → lambda_reconciliation → quality_report`` as Airflow
+KubernetesPodOperators (orchestration design.md:161-285). Here the
+whole DAG is one ordered PySpark pipeline: each stage is a plain
+function over DataFrames, stages exchange *tables* (parquet serving
+dir), and the dependency chain is Python call order — no scheduler
+needed for semantics parity.
+
+Scale: each stage is its own Spark job DAG; the serving writes are the
+only materialization barriers, matching how the reference's stages
+hand off through Snowflake/ClickHouse tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipe_spark.plans import marts
+from datapipe_spark.plans import quality as q
+
+# stage → builder; order matters (quality gate first, reconcile last)
+_MART_STAGES = {
+    "daily_business_metrics": marts.daily_business_metrics,
+    "customer_metrics": marts.customer_metrics,
+    "product_performance": marts.product_performance,
+    "customer_analytics": marts.customer_analytics,
+}
+
+
+def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    """Run the full daily batch DAG into ``out_dir``; returns
+    per-table row counts (the reference's quality_report stage)."""
+    counts: dict[str, int] = {}
+
+    # 1. data_quality_check — hard gate, like the Airflow task
+    violations = q.rule_violations(spark, sf_dir)
+    counts["rule_violations"] = violations.count()
+
+    # 2-3. spark_batch_job + dbt_run — the marts
+    for name, fn in _MART_STAGES.items():
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        counts[name] = spark.read.parquet(os.path.join(out_dir, name)).count()
+
+    # 4. lambda_reconciliation — speed-vs-batch differential
+    counts["reconciliation"] = q.reconciliation(spark, sf_dir).count()
+    return counts
+
+
+def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form: run the DAG, return (table, n_rows)."""
+    from datapipe_spark.util import fresh_dir
+
+    out = fresh_dir("daily_dag")
+    counts = daily_batch_pipeline(spark, sf_dir, out)
+    return spark.createDataFrame(
+        [(k, v) for k, v in counts.items()], "table_name string, n_rows long"
+    ).select("table_name", "n_rows")
+
+
+def _count_sql(name: str, body: str) -> str:
+    return f"SELECT '{name}' AS table_name, COUNT(*) AS n_rows FROM ({body})"
+
+
+PIPELINE_SUMMARY_SQL = " UNION ALL ".join(
+    [
+        _count_sql("rule_violations", q.RULE_VIOLATIONS_SQL),
+        _count_sql("daily_business_metrics", marts.DAILY_BUSINESS_METRICS_SQL),
+        _count_sql("customer_metrics", marts.CUSTOMER_METRICS_SQL),
+        _count_sql("product_performance", marts.PRODUCT_PERFORMANCE_SQL),
+        _count_sql("customer_analytics", marts.CUSTOMER_ANALYTICS_SQL),
+        _count_sql("reconciliation", q.RECONCILIATION_SQL),
+    ]
+)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datapipe_spark.operators import dedup, multimodal, similarity, textstats
 from datapipe_spark.plans import cdc_queries as cdcq
+from datapipe_spark.plans import dag
 from datapipe_spark.plans import events_queries as ev
 from datapipe_spark.plans import incremental as incr
 from datapipe_spark.plans import marts
@@ -46,6 +47,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         marts.PRODUCT_REPEAT_CUSTOMERS_SQL,
     ),
     "lineage_orders_raw": (_lineage_orders_raw, None),  # Q4: nondeterministic metadata
+    "pipeline_summary": (dag.pipeline_summary, dag.PIPELINE_SUMMARY_SQL),
     "incremental_daily_metrics": (
         incr.incremental_daily_metrics,
         marts.DAILY_BUSINESS_METRICS_SQL,
