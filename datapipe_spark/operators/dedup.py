@@ -333,3 +333,77 @@ def simhash_dedup(spark: SparkSession, sf_dir: str, max_hamming: int = 7) -> Dat
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    near-dup pair graph by iterative min-label propagation (the
+    standard large-graph approach — each round, every node adopts the
+    smallest id in its neighborhood; converges in O(cluster diameter)
+    rounds, and near-dup clusters are shallow).
+
+    Input: (doc_a, doc_b) edges. Output: (doc_id, canonical_id) with
+    canonical = min doc id of the component. Each round is one
+    groupBy-min shuffle on ids — no driver-side graph. Iterative
+    fixpoint loops are exactly what DataFrames + a Python driver loop
+    express well; checkpointless because lineage stays k hops deep.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters* (not just pairs): MinHash-LSH pair graph →
+    connected components → per-doc canonical assignment + cluster
+    size. The keep-one-per-cluster decision every dedup pipeline ends
+    with. Rows-only check (iterative, not single-query SQL); cluster
+    structure is unit-tested on crafted graphs."""
+    pairs = minhash_dedup(spark, sf_dir)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "canonical_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "cluster_size",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )

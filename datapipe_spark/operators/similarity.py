@@ -213,3 +213,54 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+KNN_JOIN_K = 5
+
+
+def knn_join_ivf(spark: SparkSession, sf_dir: str, k: int = KNN_JOIN_K) -> DataFrame:
+    """All-pairs kNN *join*: every vector gets its top-k neighbors —
+    the similarity-search workload at corpus scale (vs. the
+    few-queries ``topk_*`` form).
+
+    IVF strategy: vectors are bucketed by cell (coarse quantizer =
+    the corpus ``label`` cells, as in ``topk_ivf``); each cell's kNN
+    is computed locally with one Arrow batch per cell (numpy matmul),
+    so the cross-product never leaves a partition and total work is
+    Σ|cell|² instead of N². Rows-only check; recall vs. brute force is
+    property-tested on sampled queries.
+
+    At 100 TB: repartition by cell, `applyInPandas` per cell —
+    embarrassingly parallel across cells; refine with multi-probe
+    (neighboring cells) when recall demands it.
+    """
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+
+    out_schema = "vec_id long, neighbor_id long, cosine double, rank int"
+
+    def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = np.round(m @ m.T, 6)
+        np.fill_diagonal(cos, -np.inf)
+        kk = min(k, len(ids) - 1)
+        if kk <= 0:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cosine", "rank"])
+        # top-k per row with deterministic (cosine desc, id asc) order
+        order = np.lexsort((ids[None, :].repeat(len(ids), 0), -cos), axis=1)[:, :kk]
+        rows = np.repeat(ids, kk)
+        cols = ids[order.ravel()]
+        vals = np.take_along_axis(cos, order, axis=1).ravel()
+        ranks = np.tile(np.arange(1, kk + 1), len(ids))
+        return pd.DataFrame(
+            {"vec_id": rows, "neighbor_id": cols, "cosine": vals, "rank": ranks}
+        )
+
+    return e.groupBy("label").applyInPandas(lambda _k, pdf: cell_knn(pdf), out_schema)

@@ -209,3 +209,65 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str, k: int = 5, window: in
             "fingerprints",
         )
     )
+
+
+# Quality-filter thresholds (documented constants so the oracle SQL and
+# the Spark plan stay in lockstep).
+QF_MIN_TOKENS = 10
+QF_MAX_TOKENS = 5000
+QF_MAX_STOP_RATIO = 0.5
+QF_MIN_DISTINCT_RATIO = 0.3
+
+
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus quality gate: the standard pre-training filter
+    chain (length window, stopword saturation, repetitiveness) with a
+    per-document keep/drop decision and the *first* failing reason —
+    the shape every data pipeline wants for filter-rate dashboards.
+
+    Pure column algebra over the text_stats features: one scan, no
+    shuffle; at 100 TB this is a map-only job that parquet-prunes to
+    (doc_id, lang, text) columns.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({_STOP_SQL}))"))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    reason = (
+        F.when(n_tokens < QF_MIN_TOKENS, "too_short")
+        .when(n_tokens > QF_MAX_TOKENS, "too_long")
+        .when(stop_ratio > QF_MAX_STOP_RATIO, "stopword_saturated")
+        .when(distinct_ratio < QF_MIN_DISTINCT_RATIO, "repetitive")
+        .otherwise("kept")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        reason.alias("filter_reason"),
+        (reason == "kept").alias("keep"),
+    )
+
+
+CORPUS_QUALITY_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w, text FROM documents
+), f AS (
+  SELECT doc_id, lang, len(w) AS n_tokens,
+    CASE
+      WHEN len(w) < {QF_MIN_TOKENS} THEN 'too_short'
+      WHEN len(w) > {QF_MAX_TOKENS} THEN 'too_long'
+      WHEN CAST(len(list_filter(w, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(w)
+           > {QF_MAX_STOP_RATIO} THEN 'stopword_saturated'
+      WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+           < {QF_MIN_DISTINCT_RATIO} THEN 'repetitive'
+      ELSE 'kept'
+    END AS filter_reason
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, filter_reason, filter_reason = 'kept' AS keep
+FROM f
+"""

@@ -95,13 +95,19 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     "dedup_minhash_lsh": (dedup.minhash_dedup, None),  # engine-hash based: rows-only
     "dedup_simhash": (dedup.simhash_dedup, None),  # engine-hash based: rows-only
+    "dedup_clusters": (dedup.dedup_clusters, None),  # iterative components: rows-only
     # --- training-data ops: similarity search ---
     "similarity_topk": (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     "embedding_near_dup": (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     "similarity_topk_ivf": (similarity.topk_ivf, None),  # ANN: rows-only (recall-tested)
+    "knn_join_ivf": (similarity.knn_join_ivf, None),  # all-pairs kNN: rows-only
     # --- training-data ops: text analysis ---
     "text_stats": (textstats.text_stats, textstats.TEXT_STATS_SQL),
     "token_profile_by_lang": (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),
+    "corpus_quality_filter": (
+        textstats.corpus_quality_filter,
+        textstats.CORPUS_QUALITY_FILTER_SQL,
+    ),
     "lang_id_ngram": (textstats.lang_id_ngram, None),  # data-derived model: rows-only
     "winnow_fingerprints": (textstats.winnow_fingerprints, None),  # engine-hash: rows-only
     # --- training-data ops: multimodal columns ---

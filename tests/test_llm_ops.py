@@ -145,3 +145,69 @@ def test_multimodal_pipeline(spark, sf_dir):
 def test_decode_media_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"xx", "image/png")
+
+
+def test_connected_components_on_crafted_graph(spark):
+    from datapipe_spark.operators.dedup import connected_components
+
+    # two chains and one isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    from datapipe_spark.operators.dedup import dedup_clusters, minhash_dedup
+
+    clusters = dedup_clusters(spark, sf_dir)
+    rows = clusters.collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # every paired doc appears; canonical is the min id of its cluster
+    for p in minhash_dedup(spark, sf_dir).collect():
+        assert p["doc_a"] in by_id and p["doc_b"] in by_id
+        assert by_id[p["doc_a"]]["canonical_id"] == by_id[p["doc_b"]]["canonical_id"]
+    for r in rows:
+        assert r["canonical_id"] <= r["doc_id"]
+        assert r["is_duplicate"] == (r["doc_id"] != r["canonical_id"])
+
+
+def test_knn_join_shape_and_ordering(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from datapipe_spark.operators.similarity import KNN_JOIN_K, knn_join_ivf
+    from datapipe_spark.sources.tables import load_table
+
+    knn = knn_join_ivf(spark, sf_dir)
+    per_q = knn.groupBy("vec_id").agg(
+        F.count("*").alias("n"),
+        F.max("rank").alias("max_rank"),
+        F.count(F.when(F.col("neighbor_id") == F.col("vec_id"), 1)).alias("self_hits"),
+    )
+    bad = per_q.filter(
+        (F.col("n") > KNN_JOIN_K) | (F.col("n") != F.col("max_rank")) | (F.col("self_hits") > 0)
+    )
+    assert bad.count() == 0
+    # every vector with a non-singleton cell gets neighbors
+    cells = load_table(spark, sf_dir, "embeddings").groupBy("label").count()
+    expected_q = cells.filter(F.col("count") > 1).agg(F.sum("count")).first()[0]
+    assert knn.select("vec_id").distinct().count() == expected_q
+    # rank 1 has the max cosine per query
+    r1 = knn.filter(F.col("rank") == 1).select("vec_id", F.col("cosine").alias("c1"))
+    mx = knn.groupBy("vec_id").agg(F.max("cosine").alias("cm"))
+    assert r1.join(mx, "vec_id").filter(F.col("c1") != F.col("cm")).count() == 0
+
+
+def test_corpus_quality_filter_reasons(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from datapipe_spark.operators.textstats import corpus_quality_filter
+
+    qf = corpus_quality_filter(spark, sf_dir)
+    reasons = {r["filter_reason"] for r in qf.select("filter_reason").distinct().collect()}
+    assert "kept" in reasons
+    assert qf.filter(F.col("keep") & (F.col("filter_reason") != "kept")).count() == 0
