@@ -81,6 +81,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream.streaming_enriched_purchases,
         stream.STREAMING_ENRICHED_PURCHASES_SQL,
     ),
+    "streaming_segment_daily": (
+        stream.streaming_segment_daily,
+        stream.STREAMING_SEGMENT_DAILY_SQL,
+    ),
     "streaming_dlq_split": (stream.streaming_dlq_split, stream.STREAMING_DLQ_SQL),
     # --- data quality / governance (SURVEY §2.9) ---
     "rule_violations": (q.rule_violations, q.RULE_VIOLATIONS_SQL),

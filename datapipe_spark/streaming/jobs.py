@@ -247,6 +247,75 @@ def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.unionByName(d).groupBy("route").agg(F.count("*").alias("n"))
 
 
+def streaming_segment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 + J5 combined: the daily customer-tier MV
+    (``user_tier_daily_mv``, realtime design.md:273-289) — stream-side
+    tier enrichment (per-batch broadcast dim), then SummingMergeTree-
+    style partial aggregates by (date, tier), merged at read."""
+    from datapipe_spark.sources.tables import load_table
+
+    out = src.fresh_dir("segment_mv")
+    partials = os.path.join(out, "partials")
+
+    events = _events_stream(spark, sf_dir, sentinel=True).filter(
+        F.col("event_type") != src.SENTINEL_TYPE
+    )
+
+    def write_partials(batch: DataFrame, _bid: int) -> None:
+        dim = load_table(batch.sparkSession, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("_tier")
+        )
+        (
+            batch.join(F.broadcast(dim), "user_id", "left")
+            .select(
+                F.to_date("ts").alias("event_date"),
+                F.coalesce(F.col("_tier"), F.lit("unknown")).alias("user_tier"),
+                "event_type",
+                "value",
+            )
+            .groupBy("event_date", "user_tier")
+            .agg(
+                F.count("*").alias("total_events"),
+                F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+                F.sum(F.when(F.col("event_type") == "purchase", money("value"))).alias("_rev"),
+            )
+            .write.mode("append").parquet(partials)
+        )
+
+    with _stream_shuffle(spark):
+        _run(events.writeStream.foreachBatch(write_partials), os.path.join(out, "cp"))
+
+    return (
+        spark.read.parquet(partials)
+        .groupBy("event_date", "user_tier")
+        .agg(
+            F.sum("total_events").alias("total_events"),
+            F.sum("purchases").alias("purchases"),
+            F.sum("_rev").alias("_rev"),
+        )
+        .select(
+            "event_date",
+            "user_tier",
+            "total_events",
+            "purchases",
+            F.col("_rev").cast("double").alias("purchase_revenue"),
+        )
+    )
+
+
+STREAMING_SEGMENT_DAILY_SQL = """
+SELECT CAST(e.ts AS DATE) AS event_date,
+       COALESCE(c.c_mktsegment, 'unknown') AS user_tier,
+       COUNT(*) AS total_events,
+       COUNT(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS purchases,
+       CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                     THEN CAST(e.value AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS purchase_revenue
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: stream-side dimension enrichment — purchase events joined to
     the customer dimension per micro-batch with ``broadcast()``,

@@ -109,3 +109,55 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir):
     assert n_phase1 < expected
     assert final.count() == expected
     assert final.select(F.countDistinct("event_id")).first()[0] == expected
+
+
+def test_streaming_segment_daily_oracle(spark, sf_dir):
+    compare_to_oracle(
+        spark, jobs.streaming_segment_daily, jobs.STREAMING_SEGMENT_DAILY_SQL, sf_dir
+    )
+
+
+def test_resilient_sink_diverts_failed_batches(spark, sf_dir):
+    """S9: a failing primary sink must divert the batch to the retry
+    queue (with error metadata) without failing the stream, and the
+    re-driven rows must parse back whole."""
+    import os
+
+    from datapipe_spark.streaming.sinks import redrive, resilient_writer
+    from datapipe_spark.util import fresh_dir
+
+    out = fresh_dir("resilient")
+    primary, retry = os.path.join(out, "primary"), os.path.join(out, "retry")
+
+    calls = {"n": 0}
+
+    def flaky_write(df, path):
+        calls["n"] += 1
+        if calls["n"] % 2 == 0:  # every second batch fails
+            raise IOError("sink unavailable")
+        df.write.mode("append").parquet(path)
+
+    writer = resilient_writer(primary, retry, write_fn=flaky_write)
+    drops = src.prepare_event_drops(spark, sf_dir, sentinel=False)
+    q = (
+        src.read_event_stream(spark, drops, files_per_trigger=1)
+        .writeStream.foreachBatch(writer)
+        .option("checkpointLocation", os.path.join(out, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from datapipe_spark.sources.tables import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    n_primary = spark.read.parquet(primary).count()
+    diverted = redrive(
+        spark, retry,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    n_retry = diverted.count()
+    assert n_retry > 0 and n_primary > 0
+    assert n_primary + n_retry == total
+    assert diverted.filter(F.col("event_id").isNull()).count() == 0
