@@ -348,10 +348,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     fixpoint loops are exactly what DataFrames + a Python driver loop
     express well; checkpointless because lineage stays k hops deep.
     """
+    # near-dup pair graphs are far smaller than the corpus (edges ≈
+    # true duplicates); narrow the per-iteration shuffles accordingly —
+    # at real graph scale, size this to |edges| instead
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        .repartition(8)
         .persist()
     )
     labels = (

@@ -1,0 +1,116 @@
+"""Snapshot versioning + time travel on plain parquet (SURVEY §1.4, §2.1 S8).
+
+The reference requires Iceberg's ACID writes, snapshot history, and
+time travel (batch requirements.md:36-41; exercised in
+.devcontainer/test_spark.py:75-143 via ``.snapshots``/``.history``
+metadata tables). Without the Iceberg runtime jar, the same contract
+is a thin layout convention over parquet:
+
+    table_dir/
+      v00001/ v00002/ ...   immutable snapshot data dirs
+      _meta/v00001.json ...  commit metadata (ts, row_count, parent)
+      _LATEST                atomic pointer file → committed version
+
+Writers stage a full new snapshot dir, then atomically swap the
+``_LATEST`` pointer (os.replace) — readers resolve the pointer first,
+so they always see a complete snapshot (the copy-on-write model the
+reference configures, task6-ecommerce-tables-config.yaml:58-60).
+Time travel = read an older version; history = the metadata list;
+retention = drop old dirs.
+
+At 100 TB you'd use Iceberg itself; this module keeps the *semantics*
+available and the API surface identical in spirit (write/append,
+read @version, history, expire).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _meta_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_meta")
+
+
+def _pointer(table_dir: str) -> str:
+    return os.path.join(table_dir, "_LATEST")
+
+
+def current_version(table_dir: str) -> int | None:
+    try:
+        with open(_pointer(table_dir)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _version_dir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v{version:05d}")
+
+
+def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "overwrite") -> int:
+    """Commit a new snapshot; ``mode='append'`` unions the previous
+    snapshot's rows (copy-on-write append). Returns the new version."""
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    prev = current_version(table_dir)
+    version = (prev or 0) + 1
+    data = df
+    if mode == "append" and prev is not None:
+        prev_df = df.sparkSession.read.parquet(_version_dir(table_dir, prev))
+        data = prev_df.unionByName(df)
+    staged = _version_dir(table_dir, version)
+    data.write.mode("overwrite").parquet(staged)
+    n = df.sparkSession.read.parquet(staged).count()
+    with open(os.path.join(_meta_dir(table_dir), f"v{version:05d}.json"), "w") as f:
+        json.dump(
+            {"version": version, "parent": prev, "committed_at": time.time(),
+             "row_count": n, "mode": mode},
+            f,
+        )
+    tmp = _pointer(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, _pointer(table_dir))  # atomic pointer swap
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the latest snapshot, or time-travel to ``version``."""
+    v = version if version is not None else current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    return spark.read.parquet(_version_dir(table_dir, v))
+
+
+def history(table_dir: str) -> list[dict]:
+    """Snapshot history, oldest first (the ``.history`` metadata table)."""
+    meta = _meta_dir(table_dir)
+    out = []
+    if os.path.isdir(meta):
+        for name in sorted(os.listdir(meta)):
+            with open(os.path.join(meta, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def expire_snapshots(table_dir: str, keep: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep`` snapshots
+    (snapshot expiry, task6-ecommerce-tables-config.yaml:51-61).
+    Never drops the current pointer target. Returns expired versions."""
+    cur = current_version(table_dir)
+    versions = sorted(h["version"] for h in history(table_dir))
+    to_drop = [v for v in versions[:-keep] if v != cur]
+    for v in to_drop:
+        shutil.rmtree(_version_dir(table_dir, v), ignore_errors=True)
+        try:
+            os.remove(os.path.join(_meta_dir(table_dir), f"v{v:05d}.json"))
+        except FileNotFoundError:
+            pass
+    return to_drop

@@ -164,3 +164,42 @@ FROM changelog
 WHERE YEAR(__source_ts_ms) = (SELECT MIN(YEAR(__source_ts_ms)) FROM changelog)
 GROUP BY 1, 2
 """
+
+
+def cdc_multi_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 breadth: per-(table, op) stream accounting across all
+    captured tables — record counts, distinct keys, high-watermark LSN
+    (the shape of the reference's per-topic monitoring,
+    task8-phase3 CDC checks)."""
+    from datapipe_spark.sources.cdc import synth_changelog_multi
+
+    return (
+        synth_changelog_multi(spark, sf_dir)
+        .groupBy("table_name", "__op")
+        .agg(
+            F.count("*").alias("record_count"),
+            F.countDistinct("id").alias("unique_keys"),
+            F.max("__source_lsn").alias("max_lsn"),
+        )
+    )
+
+
+def _multi_summary_sql() -> str:
+    from datapipe_spark.sources.cdc import CDC_TABLES
+
+    parts = []
+    for topic, (tbl, key) in CDC_TABLES.items():
+        for op, v, pred in (
+            ("c", 1, "TRUE"),
+            ("u", 2, f"{key} % 3 = 0"),
+            ("d", 3, f"{key} % 7 = 0"),
+        ):
+            parts.append(
+                f"SELECT '{topic}' AS table_name, '{op}' AS __op, "
+                f"COUNT(*) AS record_count, COUNT(DISTINCT {key}) AS unique_keys, "
+                f"MAX({key} * 10 + {v}) AS max_lsn FROM {tbl} WHERE {pred}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+CDC_MULTI_TABLE_SUMMARY_SQL = _multi_summary_sql()

@@ -59,6 +59,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cdc_deleted_records": (cdcq.cdc_deleted_records, cdcq.CDC_DELETED_RECORDS_SQL),
     "cdc_user_history": (cdcq.cdc_user_history, cdcq.CDC_USER_HISTORY_SQL),
     "cdc_archive_rollup": (cdcq.cdc_archive_rollup, cdcq.CDC_ARCHIVE_ROLLUP_SQL),
+    "cdc_multi_table_summary": (
+        cdcq.cdc_multi_table_summary,
+        cdcq.CDC_MULTI_TABLE_SUMMARY_SQL,
+    ),
     "synthetic_orders": (datagen.synthetic_orders, datagen.SYNTHETIC_ORDERS_SQL),
     # --- speed-layer analytics, batch form (SURVEY §2.4, §2.8) ---
     "funnel_daily": (ev.funnel_daily, ev.FUNNEL_DAILY_SQL),

@@ -213,3 +213,40 @@ def read_archive(spark: SparkSession, path: str) -> DataFrame:
     Partition pruning on year/month/day/hour predicates is automatic
     (Spark FileIndex does what the pandas tool hand-rolled)."""
     return spark.read.parquet(path).withColumn("_source_file", F.input_file_name())
+
+
+# Per-table CDC topology (SURVEY §1.1): the reference captures four
+# tables through per-table publications/topics
+# (task4-postgresql-statefulset.yaml:122-125). Domain mapping per
+# FIXTURES.md: users≈customer, products≈part, orders≈orders.
+CDC_TABLES = {
+    "users": ("customer", "c_custkey"),
+    "products": ("part", "p_partkey"),
+    "orders": ("orders", "o_orderkey"),
+}
+
+
+def synth_changelog_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level changelog across all captured tables — one stream per
+    table, tagged with its topic name (``postgres.public.<table>``
+    keyed by PK, users-debezium-connector.json:12,57). Same
+    deterministic op assignment as ``synth_changelog``."""
+    frames = []
+    for topic, (tbl, key) in CDC_TABLES.items():
+        base = load_table(spark, sf_dir, tbl).select(F.col(key).alias("id"))
+
+        def version(df: DataFrame, op: str, v: int) -> DataFrame:
+            return df.select(
+                F.lit(topic).alias("table_name"),
+                "id",
+                F.lit(op).alias("__op"),
+                (F.col("id") * 10 + v).alias("__source_lsn"),
+            )
+
+        frames.append(version(base, "c", 1))
+        frames.append(version(base.filter(F.col("id") % 3 == 0), "u", 2))
+        frames.append(version(base.filter(F.col("id") % 7 == 0), "d", 3))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -190,3 +190,40 @@ def test_project_tolerant(spark, sf_dir):
     out = project_tolerant(df, ["o_orderkey", "no_such_col", "o_orderstatus"])
     assert out.columns == ["o_orderkey", "o_orderstatus"]
     assert project_tolerant(df, ["nope"]).columns == df.columns
+
+
+def test_snapshot_commit_time_travel_history_expire(spark):
+    """S8 semantics on plain parquet: atomic commits, time travel,
+    history, retention (reference .devcontainer/test_spark.py:75-143)."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots")
+    v1 = snap.commit_snapshot(spark.range(5).selectExpr("id", "id * 2 AS x"), table)
+    v2 = snap.commit_snapshot(
+        spark.range(5, 8).selectExpr("id", "id * 2 AS x"), table, mode="append"
+    )
+    v3 = snap.commit_snapshot(spark.range(2).selectExpr("id", "id * 3 AS x"), table)
+    assert (v1, v2, v3) == (1, 2, 3)
+    # latest = full overwrite of v3
+    assert snap.read_snapshot(spark, table).count() == 2
+    # time travel: v2 = v1 rows + appended rows
+    assert snap.read_snapshot(spark, table, version=2).count() == 8
+    assert snap.read_snapshot(spark, table, version=1).count() == 5
+    hist = snap.history(table)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[1]["parent"] == 1 and hist[1]["mode"] == "append"
+    # retention keeps newest 2 and the pointer target
+    dropped = snap.expire_snapshots(table, keep=2)
+    assert dropped == [1]
+    assert snap.read_snapshot(spark, table).count() == 2  # pointer intact
+    assert [h["version"] for h in snap.history(table)] == [2, 3]
+
+
+def test_multi_table_changelog_topology(spark, sf_dir):
+    from datapipe_spark.sources.cdc import CDC_TABLES, synth_changelog_multi
+
+    cl = synth_changelog_multi(spark, sf_dir)
+    tables = {r["table_name"] for r in cl.select("table_name").distinct().collect()}
+    assert tables == set(CDC_TABLES)
+    ops = {r["__op"] for r in cl.select("__op").distinct().collect()}
+    assert ops == {"c", "u", "d"}
