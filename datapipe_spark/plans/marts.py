@@ -58,15 +58,32 @@ def daily_business_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join back on the grouping key: co-partitioned with the agg above
     enriched = o.join(first, "o_custkey")
     is_new = F.col("first_order_date") == F.col("order_date")
-    daily = enriched.groupBy("order_date").agg(
-        F.count("*").alias("total_orders"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("completed_orders"),
-        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
-        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("partial_orders"),
-        F.countDistinct("o_custkey").alias("unique_customers"),
-        F.countDistinct(F.when(is_new, F.col("o_custkey"))).alias("new_customers"),
-        F.sum("amount").alias("_rev"),
-        F.sum(F.when(is_new, F.col("amount")).otherwise(_zero_money())).alias("_new_rev"),
+    # Two-level aggregation instead of groupBy(date) with two
+    # countDistincts: multiple distinct aggregates plan as an Expand
+    # that triples the shuffled rows. Level 1 groups by (date,
+    # customer) — after it, customers are unique per date, so the
+    # distincts become plain counts. Same result, 1/3 the shuffle
+    # volume at any scale.
+    per_dc = enriched.groupBy("order_date", "o_custkey").agg(
+        F.count("*").alias("_n"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("_nf"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("_no"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("_np"),
+        # is_new is constant within the (date, customer) group
+        F.max(is_new.cast("int")).alias("_is_new"),
+        F.sum("amount").alias("_amt"),
+    )
+    daily = per_dc.groupBy("order_date").agg(
+        F.sum("_n").alias("total_orders"),
+        F.sum("_nf").alias("completed_orders"),
+        F.sum("_no").alias("open_orders"),
+        F.sum("_np").alias("partial_orders"),
+        F.count("*").alias("unique_customers"),
+        F.sum("_is_new").alias("new_customers"),
+        F.sum("_amt").alias("_rev"),
+        F.sum(F.when(F.col("_is_new") == 1, F.col("_amt")).otherwise(_zero_money())).alias(
+            "_new_rev"
+        ),
     )
     return daily.select(
         "order_date",

@@ -51,3 +51,37 @@ def test_sessionize_gap_property(spark, sf_dir):
         (F.unix_micros("session_start") - F.unix_micros("prev_end")) <= 30 * 60 * 1_000_000
     )
     assert bad.count() == 0
+
+
+def test_sessionize_frame_empty_input(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from datapipe_spark.plans.events_queries import sessionize_frame
+
+    empty = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    assert sessionize_frame(empty).count() == 0
+
+
+def test_compact_latest_empty_changelog(spark):
+    from datapipe_spark.sources.cdc import compact_latest
+
+    empty = spark.createDataFrame([], "id long, __op string, __source_lsn long")
+    assert compact_latest(empty).count() == 0
+
+
+def test_single_event_session(spark):
+    import datetime
+
+    from datapipe_spark.plans.events_queries import sessionize_frame
+
+    one = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 0, "purchase", 5.0)],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    r = sessionize_frame(one).collect()
+    assert len(r) == 1
+    assert r[0]["session_duration_minutes"] == 0.0
+    assert r[0]["converted_to_purchase"] is True
+    assert abs(r[0]["total_spent"] - 5.0) < 1e-9
