@@ -83,8 +83,8 @@ def _close(user_id: int, st: tuple) -> dict[str, Any]:
     }
 
 
-def make_session_fn(gap_minutes: int = 30, use_timeout: bool = False):
-    gap_us = gap_minutes * 60 * 1_000_000
+def make_session_fn(gap_minutes: float = 30, use_timeout: bool = False):
+    gap_us = int(gap_minutes * 60 * 1_000_000)
 
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -136,7 +136,7 @@ def make_session_fn(gap_minutes: int = 30, use_timeout: bool = False):
         else:
             state.update(st)
             if use_timeout:
-                state.setTimeoutDuration(gap_minutes * 60 * 1000)
+                state.setTimeoutDuration(int(gap_minutes * 60 * 1000))
         if rows:
             yield pd.DataFrame(rows, columns=_OUT_COLS)
 
@@ -144,7 +144,7 @@ def make_session_fn(gap_minutes: int = 30, use_timeout: bool = False):
 
 
 def apply_session_state(
-    events: DataFrame, gap_minutes: int = 30, use_timeout: bool = False
+    events: DataFrame, gap_minutes: float = 30, use_timeout: bool = False
 ) -> DataFrame:
     """T2: streaming per-user session machine (append mode).
 

@@ -161,3 +161,61 @@ def test_resilient_sink_diverts_failed_batches(spark, sf_dir):
     assert n_retry > 0 and n_primary > 0
     assert n_primary + n_retry == total
     assert diverted.filter(F.col("event_id").isNull()).count() == 0
+
+
+def test_live_processing_time_trigger_fires_session_timeout(spark):
+    """T1 (processingTime trigger) + T2 (ProcessingTimeTimeout) live:
+    a running micro-batch stream with no further input must close the
+    open session via wall-clock timeout (empty no-data batches carry
+    the timeout processing — the reference's 30-min expiry at 1/600
+    scale)."""
+    import datetime
+    import os
+    import time
+
+    from datapipe_spark.streaming.sessions import apply_session_state
+    from datapipe_spark.util import fresh_dir
+
+    out = fresh_dir("live_timeout")
+    src_dir, sink, cp = (
+        os.path.join(out, "src"), os.path.join(out, "sink"), os.path.join(out, "cp"),
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, t0, 0, "view", None),
+            (1, t0 + datetime.timedelta(seconds=1), 1, "purchase", 9.99),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long, event_type string, value double"
+    ).parquet(src_dir)
+    # 3-second timeout (gap_minutes=0.05): both events land in one
+    # session; silence afterwards must close it via the timeout path
+    sessions = apply_session_state(stream, gap_minutes=0.05, use_timeout=True)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            time.sleep(1)
+            try:
+                rows = spark.read.parquet(sink).collect()
+            except Exception:
+                rows = []
+            if rows:
+                break
+    finally:
+        q.stop()
+    assert len(rows) == 1, f"expected 1 timed-out session, got {rows}"
+    r = rows[0]
+    assert r["n_events"] == 2 and r["purchases"] == 1
+    assert abs(r["total_spent"] - 9.99) < 1e-9
