@@ -44,7 +44,9 @@ def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     # 2-3. spark_batch_job + dbt_run — the marts
     for name, fn in _MART_STAGES.items():
         df = fn(spark, sf_dir)
-        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        # marts are O(dimension) rows: a handful of serving files beats
+        # one per shuffle partition
+        df.coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, name))
         counts[name] = spark.read.parquet(os.path.join(out_dir, name)).count()
 
     # 4. lambda_reconciliation — speed-vs-batch differential

@@ -89,6 +89,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream.streaming_segment_daily,
         stream.STREAMING_SEGMENT_DAILY_SQL,
     ),
+    "streaming_events_hourly": (
+        stream.streaming_events_hourly,
+        stream.STREAMING_EVENTS_HOURLY_SQL,
+    ),
     "streaming_dlq_split": (stream.streaming_dlq_split, stream.STREAMING_DLQ_SQL),
     # --- data quality / governance (SURVEY §2.9) ---
     "rule_violations": (q.rule_violations, q.RULE_VIOLATIONS_SQL),

@@ -206,15 +206,24 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: streaming dedup on ``event_id`` over an input where every
     10th event is delivered twice (at-least-once upstream, S1/Kafka
-    redelivery). Unbounded-state form here; the 100 TB path bounds
-    state with ``dropDuplicatesWithinWatermark`` (same call shape)."""
+    redelivery — simulated by a deterministic in-stream re-emit, so
+    the dedup consumes the same shared drop-set as every other
+    streaming query). Unbounded-state form here; the 100 TB path
+    bounds state with ``dropDuplicatesWithinWatermark`` (same call
+    shape)."""
     out = src.fresh_dir("dedup")
     sink = os.path.join(out, "sink")
 
-    deduped = (
-        _events_stream(spark, sf_dir, sentinel=False, dup_every=10)
-        .dropDuplicates(["event_id"])
+    redelivered = (
+        _events_stream(spark, sf_dir, sentinel=True)
+        .filter(F.col("event_type") != src.SENTINEL_TYPE)
+        .withColumn(
+            "_n", F.when(F.col("event_id") % 10 == 0, F.array(F.lit(1), F.lit(2))).otherwise(F.array(F.lit(1)))
+        )
+        .select("*", F.explode("_n").alias("_copy"))
+        .drop("_n", "_copy")
     )
+    deduped = redelivered.dropDuplicates(["event_id"])
     with _stream_shuffle(spark):
         _run(
             deduped.writeStream.format("parquet").option("path", sink),
@@ -231,8 +240,25 @@ def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = src.fresh_dir("dlq")
     valid_p, dlq_p = os.path.join(out, "valid"), os.path.join(out, "dlq")
 
-    drops = src.prepare_event_drops(spark, sf_dir, as_json=True, corrupt_every=97)
-    parsed = src.parse_events(src.read_raw_stream(spark, drops))
+    # Kafka-value simulation derived from the shared typed drops: each
+    # record re-serialized to its raw JSON wire form, every 97th
+    # truncated mid-string (same corruption rule as the text-file
+    # variant, which `read_raw_stream` unit tests keep covered)
+    raw = (
+        _events_stream(spark, sf_dir, sentinel=True)
+        .filter(F.col("event_type") != src.SENTINEL_TYPE)
+        .select(
+            F.col("event_id").alias("_id"),
+            F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value", "props")).alias("value"),
+        )
+        .select(
+            F.when(
+                F.col("_id") % 97 == 0,
+                F.expr("substring(value, 1, length(value) - 5)"),
+            ).otherwise(F.col("value")).alias("value")
+        )
+    )
+    parsed = src.parse_events(raw)
 
     def route(batch: DataFrame, _bid: int) -> None:
         valid, invalid = src.split_valid(batch)
@@ -245,6 +271,64 @@ def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spark.read.parquet(valid_p).select(F.lit("valid").alias("route"))
     d = spark.read.parquet(dlq_p).select(F.lit("dlq").alias("route"))
     return v.unionByName(d).groupBy("route").agg(F.count("*").alias("n"))
+
+
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 + T5 in the literal tumbling-window form: watermarked
+    ``window(ts, '1 hour')`` aggregation in append mode — each hour
+    window emits exactly once when the watermark passes its end
+    (realtime design.md:259-262's hourly grain as a native streaming
+    aggregate rather than the foreachBatch MV). The flush sentinel
+    advances the watermark past the final hour for bounded replay.
+
+    Exact distinct users can't live in a streaming agg (distinct over
+    state); the MV pattern in ``streaming_funnel_daily`` covers that —
+    here the window carries counts and exact money sums only.
+    """
+    out = src.fresh_dir("hourly_window")
+    sink = os.path.join(out, "sink")
+
+    windows = (
+        _events_stream(spark, sf_dir, sentinel=True)
+        .withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.when(F.col("event_type") != src.SENTINEL_TYPE, 1)).alias(
+                "total_events"
+            ),
+            F.sum(
+                F.when(F.col("event_type") != src.SENTINEL_TYPE, money("value"))
+            ).alias("_val"),
+            F.count(F.when(F.col("event_type") == src.SENTINEL_TYPE, 1)).alias("_flush"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "total_events",
+            "_val",
+            "_flush",
+        )
+    )
+    with _stream_shuffle(spark):
+        _run(
+            windows.writeStream.format("parquet").option("path", sink),
+            os.path.join(out, "cp"),
+        )
+    emitted = spark.read.parquet(sink).filter(F.col("_flush") == 0)
+    return emitted.select(
+        F.to_date("window_start").alias("event_date"),
+        F.hour("window_start").alias("event_hour"),
+        "total_events",
+        F.col("_val").cast("double").alias("total_value"),
+    )
+
+
+STREAMING_EVENTS_HOURLY_SQL = """
+SELECT CAST(ts AS DATE) AS event_date,
+       EXTRACT(hour FROM ts) AS event_hour,
+       COUNT(*) AS total_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
 
 
 def streaming_segment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

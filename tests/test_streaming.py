@@ -219,3 +219,27 @@ def test_live_processing_time_trigger_fires_session_timeout(spark):
     r = rows[0]
     assert r["n_events"] == 2 and r["purchases"] == 1
     assert abs(r["total_spent"] - 9.99) < 1e-9
+
+
+def test_streaming_events_hourly_tumbling_window(spark, sf_dir):
+    compare_to_oracle(
+        spark, jobs.streaming_events_hourly, jobs.STREAMING_EVENTS_HOURLY_SQL, sf_dir
+    )
+
+
+def test_raw_json_text_drops(spark, sf_dir):
+    """S4 file form: the text-file Kafka-value drops parse back with
+    exactly the every-97th corruption rule."""
+    from datapipe_spark.sources.tables import load_table
+
+    drops = src.prepare_event_drops(spark, sf_dir, as_json=True, corrupt_every=97)
+    raw = spark.read.text(drops + "/drop_*")
+    total = load_table(spark, sf_dir, "events").count()
+    assert raw.count() == total
+    parsed = src.parse_events(raw)
+    valid, invalid = src.split_valid(parsed)
+    expected_bad = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 97 == 0
+    ).count()
+    assert invalid.count() == expected_bad
+    assert valid.count() == total - expected_bad
