@@ -364,29 +364,28 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .select("id", F.col("id").alias("label"))
         .persist()
     )
+    cached = labels  # the handle actually persisted (labels may be a projection of it)
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the did-anything-change flag in the same pass — the
+        # convergence probe costs an aggregate, not an extra join
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("_chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.agg(F.count(F.when(F.col("_chg"), 1))).first()[0]
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.drop("_chg")
         if changed == 0:
             break
     edges.unpersist()

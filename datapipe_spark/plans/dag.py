@@ -10,12 +10,16 @@ needed for semantics parity.
 
 Scale: each stage is its own Spark job DAG; the serving writes are the
 only materialization barriers, matching how the reference's stages
-hand off through Snowflake/ClickHouse tables.
+hand off through Snowflake/ClickHouse tables. Stages with no edge
+between them (the four marts) are submitted from separate threads so
+the scheduler interleaves their jobs — the same parallelism the
+reference gets from Airflow running independent tasks concurrently.
 """
 
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,13 +45,18 @@ def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     violations = q.rule_violations(spark, sf_dir)
     counts["rule_violations"] = violations.count()
 
-    # 2-3. spark_batch_job + dbt_run — the marts
-    for name, fn in _MART_STAGES.items():
+    # 2-3. spark_batch_job + dbt_run — the marts, no edges between
+    # them: submit concurrently and let the scheduler interleave
+    def _run_mart(item: tuple) -> tuple:
+        name, fn = item
         df = fn(spark, sf_dir)
         # marts are O(dimension) rows: a handful of serving files beats
         # one per shuffle partition
         df.coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, name))
-        counts[name] = spark.read.parquet(os.path.join(out_dir, name)).count()
+        return name, spark.read.parquet(os.path.join(out_dir, name)).count()
+
+    with ThreadPoolExecutor(max_workers=len(_MART_STAGES)) as pool:
+        counts.update(dict(pool.map(_run_mart, _MART_STAGES.items())))
 
     # 4. lambda_reconciliation — speed-vs-batch differential
     counts["reconciliation"] = q.reconciliation(spark, sf_dir).count()
