@@ -89,15 +89,26 @@ def apply_increment(spark: SparkSession, orders_chunk: DataFrame, base: str) -> 
 
     enriched = orders_chunk.join(new_state, "o_custkey")
     is_new = F.col("first_order_date") == F.col("order_date")
-    daily = enriched.groupBy("order_date").agg(
-        F.count("*").alias("total_orders"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("completed_orders"),
-        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
-        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("partial_orders"),
-        F.countDistinct("o_custkey").alias("unique_customers"),
-        F.countDistinct(F.when(is_new, F.col("o_custkey"))).alias("new_customers"),
-        F.sum("amount").alias("_rev"),
-        F.sum(F.when(is_new, F.col("amount")).otherwise(_zero_money())).alias("_new_rev"),
+    # two-level aggregation (same shape as the full-recompute mart):
+    # pre-aggregate per (date, customer) so the distinct customer
+    # counts become plain counts — no Expand fan-out over the chunk
+    per_cust = enriched.groupBy("order_date", "o_custkey").agg(
+        F.count("*").alias("_n"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("_p"),
+        F.sum("amount").alias("_amt"),
+        F.first(is_new).alias("_is_new"),
+    )
+    daily = per_cust.groupBy("order_date").agg(
+        F.sum("_n").alias("total_orders"),
+        F.sum("_f").alias("completed_orders"),
+        F.sum("_o").alias("open_orders"),
+        F.sum("_p").alias("partial_orders"),
+        F.count("*").alias("unique_customers"),
+        F.count(F.when(F.col("_is_new"), 1)).alias("new_customers"),
+        F.sum("_amt").alias("_rev"),
+        F.sum(F.when(F.col("_is_new"), F.col("_amt")).otherwise(_zero_money())).alias("_new_rev"),
     )
     result = daily.select(
         F.date_format("order_date", "yyyy-MM").alias("order_month"),

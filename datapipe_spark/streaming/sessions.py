@@ -105,7 +105,8 @@ def make_session_fn(gap_minutes: float = 30, use_timeout: bool = False):
                 yield pd.DataFrame(rows, columns=_OUT_COLS)
             return
 
-        pdf = pd.concat(list(pdfs), ignore_index=True)
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
         for t_us, etype, value in zip(ts_us, pdf["event_type"], pdf["value"]):
