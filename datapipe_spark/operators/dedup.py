@@ -54,12 +54,19 @@ def _shingles(text_col: str = "text", n: int = 3) -> F.Column:
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup decision per document: canonical = min doc_id within
-    identical-content group (hash-groupBy semantics via window)."""
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text")
+    identical-content group (hash-groupBy semantics via window).
+
+    The window partitions on the 128-bit md5 content hash, not the raw
+    text: the shuffle key is 32 bytes instead of the whole document
+    (at 100 TB the difference is shuffling hashes vs. shuffling the
+    corpus). Group membership is identical — md5 collisions are
+    negligible at any corpus size that fits a cluster.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
+    w = Window.partitionBy("content_hash")
     return d.select(
         "doc_id",
-        F.md5("text").alias("content_hash"),
+        "content_hash",
         F.min("doc_id").over(w).alias("canonical_id"),
         (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
         F.count("*").over(w).alias("group_size"),
@@ -116,7 +123,13 @@ def ngram_jaccard_pairs(
     # |B|-⌈θ|B|⌉+1 of sorted B share ≥1 element. Candidate generation
     # is an equi-join on those prefix tokens — output-identical to the
     # all-pairs-in-block form but |candidates| ≈ |true near-dups|.
-    pfx_len = F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")).cast("int") + 1
+    # ceil(θ·|A|) with an epsilon guard: when θ·|A| is integral in exact
+    # arithmetic (e.g. 0.8×5), float error can push the product just
+    # above the integer and make ceil overshoot, shortening the prefix
+    # below the sound |A|-⌈θ|A|⌉+1 bound (missed true pairs)
+    pfx_len = (
+        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh") - F.lit(1e-9)).cast("int") + 1
+    )
     prefixes = d.select(
         "doc_id", "n_chars", F.explode(F.slice("sh", F.lit(1), pfx_len)).alias("tok")
     )
@@ -349,15 +362,22 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     express well; checkpointless because lineage stays k hops deep.
     """
     # near-dup pair graphs are far smaller than the corpus (edges ≈
-    # true duplicates); narrow the per-iteration shuffles accordingly —
-    # at real graph scale, size this to |edges| instead
-    edges = (
+    # true duplicates); size the per-iteration shuffles to the actual
+    # edge count — the count doubles as cache materialization, so it
+    # costs no extra job
+    undirected = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
-        .repartition(8)
-        .persist()
+        .persist()  # count + repartition below both read this once-built cache
     )
+    n_edges = undirected.count()
+    # ~1M edges per partition keeps loop tasks meaty without starving
+    # parallelism on big graphs; floor of 4 avoids single-task loops.
+    # Partitioning by dst pre-aligns the cached edges with the loop's
+    # join key, so only the (smaller) labels side shuffles per round.
+    n_parts = max(4, min(-(-n_edges // 1_000_000), 2048))
+    edges = undirected.repartition(n_parts, "dst").persist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -389,6 +409,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    undirected.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 

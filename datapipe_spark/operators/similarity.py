@@ -91,47 +91,101 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {DEFAULT_K}
 """
 
 
+_NEAR_DUP_BLOCK_ROWS = 2048  # ~2k×dim float64 per side fits any executor
+
+
 def embedding_near_dup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold.
+    """Embedding-cosine near-duplicate pairs above a threshold — exact
+    all-pairs, fully distributed.
 
-    Executed as a broadcast matrix product: the (normalized) corpus
-    matrix broadcasts to every executor and each Arrow batch of rows
-    multiplies against it with BLAS — ~50× faster than a pairwise
-    fold join, with the left side fully distributed. At 100 TB the
-    broadcast side becomes IVF/LSH buckets (topk_ivf pattern); the
-    per-bucket math is identical.
+    Block-matrix execution: vectors are assigned to ~2k-row blocks, the
+    (upper-triangular) block-pair grid becomes the join key, and each
+    block pair is one cogrouped Arrow batch multiplied with BLAS. No
+    corpus collect, no broadcast of the matrix: shuffle volume is
+    N·(B+1) vector rows for B blocks, and every N²-scale flop happens
+    inside a bounded numpy matmul on an executor. Exact thresholded
+    all-pairs is inherently quadratic in flops — when that stops being
+    affordable, the approximate scale path is ``topk_ivf``/LSH
+    bucketing, with per-bucket math identical to a block here.
     """
+    import math
+
     import numpy as np
+    import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
+    ).persist()
+    n = e.count()  # sizes the block grid; also materializes the cache
+    n_blocks = max(1, math.ceil(n / _NEAR_DUP_BLOCK_ROWS))
+    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    eb = e.withColumn("blk", blk)
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
     )
-    # corpus matrix: the broadcast "dimension table" of this join
-    rows = e.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    # each side re-aliases every column: fresh expression ids keep the
+    # self-cogroup unambiguous (both sides derive from the same frames)
+    a_side = (
+        eb.alias("ea")
+        .join(F.broadcast(grid.alias("ga")), F.col("ea.blk") == F.col("ga.bi"))
+        .select(
+            F.col("ga.bi").alias("bi"),
+            F.col("ga.bj").alias("bj"),
+            F.col("ea.vec_id").alias("vec_id"),
+            F.col("ea.v").alias("v"),
+        )
+    )
+    b_side = (
+        eb.alias("eb")
+        .join(F.broadcast(grid.alias("gb")), F.col("eb.blk") == F.col("gb.bj"))
+        .select(
+            F.col("gb.bi").alias("bi"),
+            F.col("gb.bj").alias("bj"),
+            F.col("eb.vec_id").alias("vec_id"),
+            F.col("eb.v").alias("v"),
+        )
+    )
 
     out_schema = "vec_a long, vec_b long, cosine double"
 
-    def block(batches):
-        import pandas as pd
-
-        ids_all, m_all = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            a = a / np.linalg.norm(a, axis=1, keepdims=True)
-            cos = np.round(a @ m_all.T, 6)
-            li, ri = np.nonzero((cos >= threshold) & (a_ids[:, None] < ids_all[None, :]))
-            yield pd.DataFrame(
-                {"vec_a": a_ids[li], "vec_b": ids_all[ri], "cosine": cos[li, ri]}
+    def block_pair(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
+        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = right["vec_id"].to_numpy(dtype=np.int64)
+        a = np.stack(left["v"].to_numpy()).astype(np.float64)
+        b = np.stack(right["v"].to_numpy()).astype(np.float64)
+        a = a / np.linalg.norm(a, axis=1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        cos = np.round(a @ b.T, 6)
+        # each unordered vector pair appears in exactly one block pair;
+        # the id inequality both dedupes the diagonal block (bi == bj)
+        # and orients output as vec_a < vec_b
+        li, ri = np.nonzero((cos >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+        out = pd.DataFrame({"vec_a": a_ids[li], "vec_b": b_ids[ri], "cosine": cos[li, ri]})
+        if bi != bj:
+            # off-diagonal blocks also carry the pairs oriented the
+            # other way (a-side id > b-side id): emit them normalized
+            li2, ri2 = np.nonzero((cos >= threshold) & (a_ids[:, None] > b_ids[None, :]))
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {"vec_a": b_ids[ri2], "vec_b": a_ids[li2], "cosine": cos[li2, ri2]}
+                    ),
+                ],
+                ignore_index=True,
             )
+        return out
 
-    return e.mapInPandas(block, out_schema)
+    return (
+        a_side.groupBy("bi", "bj")
+        .cogroup(b_side.groupBy("bi", "bj"))
+        .applyInPandas(block_pair, out_schema)
+    )
 
 
 EMBEDDING_NEAR_DUP_SQL = """

@@ -106,8 +106,8 @@ WITH t AS (
   FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(n_regex_tokens) AS total_tokens,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_regex_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_regex_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
        CAST(SUM(n_chars) AS DOUBLE) / SUM(n_regex_tokens) AS chars_per_token
 FROM t GROUP BY lang

@@ -42,7 +42,13 @@ def synthetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "email"
         ),
         status.alias("status"),
-        ((r % 99000 + 1000) / F.lit(100.0)).cast("decimal(10,2)").alias("total_amount"),
+        # decimal(10,2) pins the cent grid; the final DOUBLE cast follows
+        # the engine-wide money→double output convention (raw decimals
+        # hash differently across engines in the driver's comparator)
+        ((r % 99000 + 1000) / F.lit(100.0))
+        .cast("decimal(10,2)")
+        .cast("double")
+        .alias("total_amount"),
         (
             F.to_timestamp(F.lit("2024-01-01 00:00:00"))
             + F.make_interval(secs=(r % 86400).cast("double"))
@@ -59,7 +65,7 @@ SELECT id,
   r % 1500 + 1 AS user_id,
   'user_' || CAST(r % 1500 + 1 AS VARCHAR) || '@example.com' AS email,
   (ARRAY[{", ".join(f"'{s}'" for s in _STATUSES)}])[CAST(r % 5 + 1 AS INT)] AS status,
-  CAST((r % 99000 + 1000) / 100.0 AS DECIMAL(10,2)) AS total_amount,
+  CAST(CAST((r % 99000 + 1000) / 100.0 AS DECIMAL(10,2)) AS DOUBLE) AS total_amount,
   TIMESTAMP '2024-01-01 00:00:00' + to_seconds(r % 86400) AS created_at
 FROM g
 """

@@ -30,8 +30,34 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
+def _ensure_session_confs(spark: SparkSession, name: str) -> None:
+    """Make table reads work on ANY SparkSession, not just the engine's
+    own factory (``session.py``). The external driver builds a *vanilla*
+    session, so every conf the read depends on must be (re)applied here
+    at runtime — both are runtime-settable SQL confs:
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which the
+      parquet reader rejects outright (PARQUET_TYPE_ILLEGAL) unless it
+      is read as a plain int64.
+    - UTC session timezone: date/hour derivations and collected
+      datetimes must agree with the DuckDB oracle regardless of the
+      host's system timezone.
+    """
+    if name in _NANOS_TS_COLS and (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:  # unset and defaultless — definitely not pinned to UTC
+        tz = None
+    if tz != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing timestamp columns."""
+    _ensure_session_confs(spark, name)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":

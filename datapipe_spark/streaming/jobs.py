@@ -149,7 +149,14 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = (
         _events_stream(spark, sf_dir, sentinel=True)
         .withWatermark("ts", "1 second")
-        .groupBy(F.session_window("ts", f"{GAP_MINUTES} minutes"), "user_id")
+        # gap + 1µs: session_window splits when the gap is *reached*
+        # (next event at exactly last_ts + gap starts a new session),
+        # while the batch oracle and the stateful form split only when
+        # it is *exceeded* (strict >). One microsecond — the data's
+        # timestamp granularity — aligns the boundary semantics.
+        .groupBy(
+            F.session_window("ts", f"{GAP_MINUTES * 60_000_000 + 1} microseconds"), "user_id"
+        )
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
