@@ -20,6 +20,8 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
 
+    from pyspark.sql import functions as F
+
     from datapipe_spark import get_spark
     from datapipe_spark.plans import registry
 
@@ -28,6 +30,12 @@ def main() -> None:
 
     # Warm the JVM + file listing once (not timed): tiny scan
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm the Arrow/pandas Python-worker pool (not timed): the first
+    # pandas-exchange op in a session pays worker spawn + import cost
+    # that has nothing to do with any particular query
+    spark.range(8).groupBy((F.col("id") % 2).alias("g")).applyInPandas(
+        lambda pdf: pdf[["id"]], "id long"
+    ).count()
     # Materialize the Kafka-topic stand-in (shared micro-batch drop-set)
     # untimed — the topic exists before any consumer starts; cached
     # across queries, so only a cold scratch dir pays this

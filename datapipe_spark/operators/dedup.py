@@ -288,7 +288,12 @@ def simhash_dedup(spark: SparkSession, sf_dir: str, max_hamming: int = 7) -> Dat
     """
     d = load_table(spark, sf_dir, "documents")
     # distinct-shingle bit votes in ONE shuffle: explode → hash →
-    # 64 conditional sums (map-side partial agg halves the shuffle)
+    # 64 conditional sums (map-side partial agg halves the shuffle).
+    # NOTE a per-document array-fold ("zero shuffle") formulation was
+    # tried and rejected: Spark's higher-order array functions execute
+    # interpreted (no whole-stage codegen), making the 64-counter fold
+    # ~30× slower than these codegen'd conditional aggregates — the
+    # shuffle here carries only 64 longs per doc per map partition.
     toks = (
         d.withColumn("_sh", _shingles())
         .select("doc_id", F.explode("_sh").alias("tok"))
@@ -418,7 +423,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → per-doc canonical assignment + cluster
     size. The keep-one-per-cluster decision every dedup pipeline ends
     with. Rows-only check (iterative, not single-query SQL); cluster
-    structure is unit-tested on crafted graphs."""
+    structure is unit-tested on crafted graphs.
+
+    NOTE: sharing the pair graph with dedup_minhash_lsh via a persisted
+    session cache was tried and benched at a net LOSS (-1.5s here,
+    -0.4s there at sf0.1): .persist() forces full-column
+    materialization and blocks column pruning, costing more than the
+    recompute saves. Rebuilding the lazy plan is the faster path."""
     pairs = minhash_dedup(spark, sf_dir)
     comp = connected_components(pairs)
     sizes = comp.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
