@@ -272,49 +272,135 @@ def topk_ivf(
 KNN_JOIN_K = 5
 
 
-def knn_join_ivf(spark: SparkSession, sf_dir: str, k: int = KNN_JOIN_K) -> DataFrame:
+def knn_join_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_JOIN_K,
+    block_rows: int = _NEAR_DUP_BLOCK_ROWS,
+) -> DataFrame:
     """All-pairs kNN *join*: every vector gets its top-k neighbors —
     the similarity-search workload at corpus scale (vs. the
     few-queries ``topk_*`` form).
 
     IVF strategy: vectors are bucketed by cell (coarse quantizer =
-    the corpus ``label`` cells, as in ``topk_ivf``); each cell's kNN
-    is computed locally with one Arrow batch per cell (numpy matmul),
-    so the cross-product never leaves a partition and total work is
-    Σ|cell|² instead of N². Rows-only check; recall vs. brute force is
-    property-tested on sampled queries.
+    the corpus ``label`` cells, as in ``topk_ivf``) so total flops are
+    Σ|cell|² instead of N². Within a cell the work is block-matrix:
+    vectors are assigned to ≤``_NEAR_DUP_BLOCK_ROWS``-row sub-blocks,
+    each (bi ≤ bj) block pair is one cogrouped Arrow batch multiplied
+    with BLAS emitting per-row block-local top-k *candidates*, and a
+    final per-vector window keeps the true top-k (each neighbor occurs
+    in exactly one block pair, so the union of block-local top-k
+    contains the global top-k). Executor memory per task is therefore
+    bounded by two blocks regardless of cell size — the skewed-cell
+    hazard of one-batch-per-cell is gone. Rows-only check; recall vs.
+    brute force is property-tested on sampled queries; block-split
+    equivalence is unit-tested against the one-batch form.
 
-    At 100 TB: repartition by cell, `applyInPandas` per cell —
-    embarrassingly parallel across cells; refine with multi-probe
-    (neighboring cells) when recall demands it.
+    At 100 TB: embarrassingly parallel across cells × block pairs;
+    refine with multi-probe (neighboring cells) when recall demands it.
     """
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double("embedding").alias("v")
     )
+    # per-cell block counts: O(nlist) rows — same bounded driver
+    # footprint as the IVF centroid table itself (and a column-pruned
+    # scan: only `label` is read for the sizing pass)
+    sizes = {
+        r["label"]: max(1, -(-r["n"] // block_rows))
+        for r in e.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    grid = spark.createDataFrame(
+        [
+            (lbl, bi, bj)
+            for lbl, nb in sizes.items()
+            for bi in range(nb)
+            for bj in range(bi, nb)
+        ],
+        "label int, bi int, bj int",
+    )
+    # block id must be computable JVM-side: pmod(vec_id, blocks(label))
+    nb_map = F.create_map(
+        *[F.lit(x) for kv in sizes.items() for x in kv]
+    )
+    eb = e.withColumn("blk", F.pmod(F.col("vec_id"), nb_map[F.col("label")]).cast("int"))
+    a_side = (
+        eb.alias("ea")
+        .join(
+            F.broadcast(grid.alias("ga")),
+            (F.col("ea.label") == F.col("ga.label")) & (F.col("ea.blk") == F.col("ga.bi")),
+        )
+        .select(
+            F.col("ga.label").alias("label"),
+            F.col("ga.bi").alias("bi"),
+            F.col("ga.bj").alias("bj"),
+            F.col("ea.vec_id").alias("vec_id"),
+            F.col("ea.v").alias("v"),
+        )
+    )
+    b_side = (
+        eb.alias("ebb")
+        .join(
+            F.broadcast(grid.alias("gb")),
+            (F.col("ebb.label") == F.col("gb.label")) & (F.col("ebb.blk") == F.col("gb.bj")),
+        )
+        .select(
+            F.col("gb.label").alias("label"),
+            F.col("gb.bi").alias("bi"),
+            F.col("gb.bj").alias("bj"),
+            F.col("ebb.vec_id").alias("vec_id"),
+            F.col("ebb.v").alias("v"),
+        )
+    )
 
-    out_schema = "vec_id long, neighbor_id long, cosine double, rank int"
+    cand_schema = "vec_id long, neighbor_id long, cosine double"
 
-    def cell_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def block_candidates(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        cos = np.round(m @ m.T, 6)
-        np.fill_diagonal(cos, -np.inf)
-        kk = min(k, len(ids) - 1)
-        if kk <= 0:
-            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cosine", "rank"])
-        # top-k per row with deterministic (cosine desc, id asc) order
-        order = np.lexsort((ids[None, :].repeat(len(ids), 0), -cos), axis=1)[:, :kk]
-        rows = np.repeat(ids, kk)
-        cols = ids[order.ravel()]
-        vals = np.take_along_axis(cos, order, axis=1).ravel()
-        ranks = np.tile(np.arange(1, kk + 1), len(ids))
-        return pd.DataFrame(
-            {"vec_id": rows, "neighbor_id": cols, "cosine": vals, "rank": ranks}
-        )
+        _lbl, bi, bj = key
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "cosine"])
+        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = right["vec_id"].to_numpy(dtype=np.int64)
+        a = np.stack(left["v"].to_numpy()).astype(np.float64)
+        b = np.stack(right["v"].to_numpy()).astype(np.float64)
+        a = a / np.linalg.norm(a, axis=1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        cos = np.round(a @ b.T, 6)
+        if bi == bj:
+            cos[a_ids[:, None] == b_ids[None, :]] = -np.inf
 
-    return e.groupBy("label").applyInPandas(lambda _k, pdf: cell_knn(pdf), out_schema)
+        def row_topk(ids_side, other_ids, mat):
+            kk = min(k, mat.shape[1])
+            # deterministic (cosine desc, id asc) partial order
+            order = np.lexsort((other_ids[None, :].repeat(len(ids_side), 0), -mat), axis=1)[
+                :, :kk
+            ]
+            vals = np.take_along_axis(mat, order, axis=1)
+            keep = np.isfinite(vals)
+            return pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids_side, kk)[keep.ravel()],
+                    "neighbor_id": other_ids[order.ravel()][keep.ravel()],
+                    "cosine": vals.ravel()[keep.ravel()],
+                }
+            )
+
+        out = row_topk(a_ids, b_ids, cos)
+        if bi != bj:
+            out = pd.concat([out, row_topk(b_ids, a_ids, cos.T)], ignore_index=True)
+        return out
+
+    cands = (
+        a_side.groupBy("label", "bi", "bj")
+        .cogroup(b_side.groupBy("label", "bi", "bj"))
+        .applyInPandas(block_candidates, cand_schema)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

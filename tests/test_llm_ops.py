@@ -202,6 +202,17 @@ def test_knn_join_shape_and_ordering(spark, sf_dir):
     assert r1.join(mx, "vec_id").filter(F.col("c1") != F.col("cm")).count() == 0
 
 
+def test_knn_join_block_split_equivalence(spark, sf_dir):
+    """Forcing multi-block cells (tiny block cap) must reproduce the
+    single-batch result exactly — the block-local top-k union provably
+    contains the global top-k, and the final window re-ranks it."""
+    from datapipe_spark.operators.similarity import knn_join_ivf
+
+    whole = {tuple(r) for r in knn_join_ivf(spark, sf_dir).collect()}
+    split = {tuple(r) for r in knn_join_ivf(spark, sf_dir, block_rows=37).collect()}
+    assert split == whole
+
+
 def test_corpus_quality_filter_reasons(spark, sf_dir):
     import pyspark.sql.functions as F
 
