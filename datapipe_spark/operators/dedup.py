@@ -369,7 +369,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # near-dup pair graphs are far smaller than the corpus (edges ≈
     # true duplicates); size the per-iteration shuffles to the actual
     # edge count — the count doubles as cache materialization, so it
-    # costs no extra job
+    # costs no extra job.
+    # NOTE: the direction-flip union reads the `pairs` plan twice, but
+    # pre-persisting it was benched as a net LOSS at sf0.1 (+2-3s):
+    # both branches share the pair pipeline's shuffle exchanges
+    # (ReusedExchange), so the cache adds a materialization pass
+    # without removing real work.
     undirected = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -413,9 +418,19 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = stepped.drop("_chg")
         if changed == 0:
             break
+    # sever the result from every loop cache before releasing them:
+    # localCheckpoint materializes the (small — one row per node in the
+    # pair graph) label table and truncates lineage, so the last
+    # `stepped` cache doesn't have to outlive the function. Without
+    # this the final iteration's cache leaked for the rest of the
+    # session — measurably degrading later queries.
+    out = labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
+    ).localCheckpoint(eager=True)
+    cached.unpersist()
     edges.unpersist()
     undirected.unpersist()
-    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+    return out
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

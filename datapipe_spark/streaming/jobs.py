@@ -68,9 +68,15 @@ def _run(writer, checkpoint: str):
 
 def _events_stream(spark: SparkSession, sf_dir: str, sentinel: bool, dup_every: int = 0) -> DataFrame:
     # one shared drop-set (sentinel variant) serves every non-dup query;
-    # consumers that don't want flush rows filter on event_type
+    # consumers that don't want flush rows filter on event_type.
+    # files_per_trigger=3 → two micro-batches over the 4+flush drops
+    # (real events on both sides of the boundary, so cross-batch state
+    # is still exercised); per-batch cost here is flat framework
+    # overhead (state-store commit + per-group python exchange), so
+    # fewer, larger polls is the same throughput knob as a bigger
+    # Kafka maxOffsetsPerTrigger
     drops = src.prepare_event_drops(spark, sf_dir, sentinel=sentinel, dup_every=dup_every)
-    return src.read_event_stream(spark, drops, files_per_trigger=2)
+    return src.read_event_stream(spark, drops, files_per_trigger=3)
 
 
 def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
