@@ -157,9 +157,12 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(
         verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        d,
     )
 
 
@@ -264,9 +267,12 @@ def minhash_dedup(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    return (
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(
         verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        sigs,
     )
 
 
@@ -418,19 +424,18 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = stepped.drop("_chg")
         if changed == 0:
             break
-    # sever the result from every loop cache before releasing them:
-    # localCheckpoint materializes the (small — one row per node in the
-    # pair graph) label table and truncates lineage, so the last
-    # `stepped` cache doesn't have to outlive the function. Without
-    # this the final iteration's cache leaked for the rest of the
-    # session — measurably degrading later queries.
-    out = labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")
-    ).localCheckpoint(eager=True)
-    cached.unpersist()
-    edges.unpersist()
-    undirected.unpersist()
-    return out
+    # sever the result (small — one row per node in the pair graph)
+    # from every loop cache before releasing them; without this the
+    # final iteration's cache leaked for the rest of the session,
+    # measurably degrading later queries
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(
+        labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")),
+        cached,
+        edges,
+        undirected,
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -181,10 +181,13 @@ def embedding_near_dup(
             )
         return out
 
-    return (
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(
         a_side.groupBy("bi", "bj")
         .cogroup(b_side.groupBy("bi", "bj"))
-        .applyInPandas(block_pair, out_schema)
+        .applyInPandas(block_pair, out_schema),
+        e,
     )
 
 

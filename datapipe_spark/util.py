@@ -27,3 +27,24 @@ def fresh_dir(*parts: str) -> str:
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     return path
+
+
+def materialize_and_release(df, *caches):
+    """Materialize ``df`` via ``localCheckpoint`` and unpersist the
+    mid-query ``caches`` it was built from.
+
+    For operators whose returned plan depends on internally persisted
+    intermediates: a plain ``persist`` can never be released (the
+    caller consumes the plan later), so it leaks into the session's
+    cache for good — measurably slowing every subsequent query.
+    ``localCheckpoint`` pins only the (small) result as block-manager
+    RDD blocks, which the ContextCleaner frees automatically once the
+    DataFrame is unreferenced — unlike plan caches, which live until
+    an explicit unpersist. Use when |result| ≪ |inputs| (pair lists,
+    labels); the checkpoint write is one extra pass over the result
+    rows only.
+    """
+    out = df.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
