@@ -53,6 +53,14 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- python interchange: Arrow batches, never row-at-a-time ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- memory: local-mode default is a 1g driver heap, which
+        # GC-throttles a 32-thread suite (measured ~20% suite wall);
+        # moderate heap is the plateau — much larger heaps regressed.
+        # Only effective when this session launches the JVM; a
+        # pre-existing JVM (e.g. the external driver's) is untouched
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+        )
         # --- I/O ---
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.files.maxPartitionBytes", "128m")
