@@ -112,3 +112,25 @@ def test_partition_pruning_on_time_partitioned_archive(spark, sf_dir):
     plan = _plan(spark, pruned)
     seg = plan.split("PartitionFilters: [", 1)[1].splitlines()[0]
     assert "year" in seg and "month" in seg
+
+
+def test_no_plan_cache_leaks_after_pair_operators(spark, sf_dir):
+    """Operators that persist mid-query intermediates must release
+    them once their (checkpointed) result is materialized — a leaked
+    plan cache lives until explicit unpersist and degrades every
+    later query in a long session (observed: +2-3s per query by the
+    40th query of a 52-query sweep before the fix)."""
+    from datapipe_spark.operators import dedup, similarity
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cache_mgr.isEmpty()
+
+    for fn in (
+        dedup.ngram_jaccard_pairs,
+        dedup.minhash_dedup,
+        dedup.dedup_clusters,
+        similarity.embedding_near_dup,
+    ):
+        fn(spark, sf_dir).count()
+        assert cache_mgr.isEmpty(), f"{fn.__name__} leaked a plan cache"
