@@ -1,0 +1,133 @@
+"""Training-corpus curation: benchmark decontamination + stratified
+sampling (build-brief extension surface — the operations a large-scale
+training-data pipeline runs between dedup and tokenization).
+
+Decontamination is the standard eval-overlap scrub: any training
+document sharing a word n-gram with a held-out benchmark/eval set is
+flagged and dropped, so the model can't be graded on text it trained
+on. Stratified sampling is corpus mixing: per-language (or per-source)
+quota rates applied deterministically, so a re-run reproduces the same
+corpus byte-for-byte.
+
+Scale design:
+- the benchmark n-gram set is *small by construction* (eval suites are
+  a few thousand documents even when the training corpus is 100 TB),
+  so the contamination join is a broadcast semi-join against the
+  training corpus's exploded n-grams — a map-side filter, no shuffle
+  of the corpus. If the benchmark set ever outgrew broadcast range,
+  the same plan works as a shuffle join on the gram key.
+- sampling uses a deterministic id-mod systematic rule rather than
+  ``rand()`` — reproducible across runs/engines and SQL-oracle-able.
+  At 100 TB the mod would be taken over ``xxhash64(content)`` instead
+  of the raw id (sequential ids can correlate with crawl order); the
+  id form keeps the DuckDB oracle exact here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapipe_spark.operators.dedup import _shingles
+from datapipe_spark.sources.tables import load_table
+
+# every 50th doc plays the held-out benchmark/eval set; the rest are
+# the training corpus
+_BENCH_MOD = 50
+_NGRAM = 5  # contamination gram width: 5-word spans (docs here ~50 words)
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training documents that share any word 5-gram with the
+    benchmark slice (``doc_id % 50 == 0``).
+
+    Output: one row per *training* document — shared-gram count and
+    the contamination flag (``n_shared_grams >= 1``).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang"), _shingles("text", _NGRAM).alias("grams")
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+
+    bench_grams = (
+        d.filter(is_bench)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train = d.filter(~is_bench)
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared_grams"))
+    )
+    return (
+        train.select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) >= 1).alias("is_contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH g AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(w) >= {_NGRAM} THEN
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                     for i in range(1, len(w) - {_NGRAM - 2})])
+    ELSE [] END AS grams
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {_BENCH_MOD} = 0
+), train AS (
+  SELECT * FROM g WHERE doc_id % {_BENCH_MOD} <> 0
+), hits AS (
+  SELECT doc_id, COUNT(DISTINCT tg.gram) AS n
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) tg
+  JOIN bench USING (gram)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.lang,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_grams,
+  COALESCE(h.n, 0) >= 1 AS is_contaminated
+FROM train t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# per-language inclusion rates out of 100 (corpus-mixing quotas)
+_STRATA_RATES = {"en": 80, "zh": 60, "de": 40, "fr": 40, "es": 20}
+_DEFAULT_RATE = 10  # unknown languages: keep a trickle
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample of the document corpus.
+
+    A document is kept iff ``doc_id % 100 < rate(lang)`` — systematic
+    sampling, so the selected set is stable across runs and engines
+    (no RNG), and per-stratum proportions converge to the quota.
+    Output: the sampled docs with their stratum rate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in sorted(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", rate.cast("int").alias("stratum_rate"))
+        .filter(F.col("doc_id") % 100 < F.col("stratum_rate"))
+    )
+
+
+_RATE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(_STRATA_RATES.items())
+)
+
+CORPUS_SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source, n_chars,
+  CAST(CASE {_RATE_CASE} ELSE {_DEFAULT_RATE} END AS INT) AS stratum_rate
+FROM documents
+WHERE doc_id % 100 < (CASE {_RATE_CASE} ELSE {_DEFAULT_RATE} END)
+"""

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from datapipe_spark.operators import dedup, multimodal, similarity, textstats
+from datapipe_spark.operators import decontam, dedup, multimodal, similarity, textstats
 from tests.oracle import compare_to_oracle
 
 ORACLE_CASES = [
@@ -16,6 +16,8 @@ ORACLE_CASES = [
     (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     (textstats.text_stats, textstats.TEXT_STATS_SQL),
     (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),
+    (decontam.decontaminate, decontam.DECONTAMINATE_SQL),
+    (decontam.corpus_sample_stratified, decontam.CORPUS_SAMPLE_STRATIFIED_SQL),
 ]
 
 
@@ -222,3 +224,36 @@ def test_corpus_quality_filter_reasons(spark, sf_dir):
     reasons = {r["filter_reason"] for r in qf.select("filter_reason").distinct().collect()}
     assert "kept" in reasons
     assert qf.filter(F.col("keep") & (F.col("filter_reason") != "kept")).count() == 0
+
+
+def test_decontaminate_flags_planted_overlap(spark, sf_dir):
+    """A training doc whose text IS a benchmark doc's text must be
+    flagged; a doc with a private vocabulary must not be."""
+    out = decontam.decontaminate(spark, sf_dir)
+    from datapipe_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    bench_texts = {
+        r["text"] for r in d.filter(F.col("doc_id") % 50 == 0).select("text").collect()
+    }
+    verbatim = {
+        r["doc_id"]
+        for r in d.filter((F.col("doc_id") % 50 != 0)).select("doc_id", "text").collect()
+        if r["text"] in bench_texts
+    }
+    flagged = {r["doc_id"] for r in out.filter("is_contaminated").collect()}
+    assert verbatim <= flagged  # every verbatim copy of a benchmark doc is caught
+    # benchmark docs themselves are excluded from the training output
+    assert out.filter(F.col("doc_id") % 50 == 0).count() == 0
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """Per-stratum inclusion must track the quota: kept docs are
+    exactly those with doc_id % 100 below their language's rate."""
+    out = decontam.corpus_sample_stratified(spark, sf_dir)
+    bad = out.filter(~(F.col("doc_id") % 100 < F.col("stratum_rate"))).count()
+    assert bad == 0
+    # deterministic: two runs produce identical id sets
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in decontam.corpus_sample_stratified(spark, sf_dir).select("doc_id").collect()}
+    assert a == b
