@@ -134,3 +134,28 @@ def test_no_plan_cache_leaks_after_pair_operators(spark, sf_dir):
     ):
         fn(spark, sf_dir).count()
         assert cache_mgr.isEmpty(), f"{fn.__name__} leaked a plan cache"
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set is small by construction — the
+    contamination join must be a broadcast join (map-side against the
+    corpus's exploded grams), never a corpus shuffle."""
+    from datapipe_spark.operators import decontam
+
+    plan = _plan(spark, decontam.decontaminate(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_stratified_sample_prunes_text_column(spark, sf_dir):
+    """Sampling reads metadata only — the (wide) text column must be
+    pruned from the parquet scan."""
+    from datapipe_spark.operators import decontam
+
+    plan = _plan(spark, decontam.corpus_sample_stratified(spark, sf_dir))
+    read_schemas = [
+        line.split("ReadSchema:", 1)[1]
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert read_schemas and all("text" not in rs for rs in read_schemas)
