@@ -131,3 +131,64 @@ SELECT doc_id, lang, source, n_chars,
 FROM documents
 WHERE doc_id % 100 < (CASE {_RATE_CASE} ELSE {_DEFAULT_RATE} END)
 """
+
+
+# training-batch assembly: packs are filled to a fixed token budget
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget packs
+    (the "concatenate docs up to N tokens" step that turns a curated
+    corpus into training batches).
+
+    Contiguous-fill rule, per shard: docs are taken in doc_id order and
+    a doc starts a new pack when the shard's running token count would
+    cross the budget boundary (pack = floor(preceding-cumsum/budget)).
+    Deterministic — no RNG, no data-dependent tie-breaks — so re-runs
+    and engines agree byte-for-byte.
+
+    Scale: one window cumsum per shard (``partitionBy(shard)``), never
+    a global sort; shards are the unit a 1000-executor run would write
+    training files by. ``is_oversize`` flags docs that alone exceed the
+    budget (the caller chunks those downstream).
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    shard = (F.col("doc_id") % _PACK_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    toks = d.select("doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"))
+    cum = toks.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+    )
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("pack_id"),
+        (F.col("n_tokens") > _PACK_BUDGET).alias("is_oversize"),
+    )
+
+
+PACK_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+  CAST(FLOOR(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+  n_tokens > {_PACK_BUDGET} AS is_oversize
+FROM c
+"""

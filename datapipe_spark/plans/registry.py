@@ -136,6 +136,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         decontam.corpus_sample_stratified,
         decontam.CORPUS_SAMPLE_STRATIFIED_SQL,
     ),
+    "pack_token_budget": (decontam.pack_token_budget, decontam.PACK_TOKEN_BUDGET_SQL),
     "funnel_daily_approx": (ev.funnel_daily_approx, None),  # A6 HLL scale path: rows-only
     "knn_join_ivf": (similarity.knn_join_ivf, None),  # all-pairs kNN: rows-only
 }

@@ -18,6 +18,7 @@ ORACLE_CASES = [
     (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),
     (decontam.decontaminate, decontam.DECONTAMINATE_SQL),
     (decontam.corpus_sample_stratified, decontam.CORPUS_SAMPLE_STRATIFIED_SQL),
+    (decontam.pack_token_budget, decontam.PACK_TOKEN_BUDGET_SQL),
 ]
 
 
@@ -257,3 +258,19 @@ def test_stratified_sample_rates(spark, sf_dir):
     a = {r["doc_id"] for r in out.select("doc_id").collect()}
     b = {r["doc_id"] for r in decontam.corpus_sample_stratified(spark, sf_dir).select("doc_id").collect()}
     assert a == b
+
+
+def test_pack_token_budget_invariants(spark, sf_dir):
+    """Packs fill contiguously: within a shard, pack ids are
+    non-decreasing in doc_id order and every pack's preceding-cumsum
+    span is under one budget width."""
+    out = decontam.pack_token_budget(spark, sf_dir).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 512, (shard, r)
+            cum += r["n_tokens"]
+        assert [r["pack_id"] for r in rows] == sorted(r["pack_id"] for r in rows)
