@@ -138,7 +138,9 @@ _PACK_BUDGET = 512
 _PACK_SHARDS = 8
 
 
-def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_token_budget(
+    spark: SparkSession, sf_dir: str, shards: int = _PACK_SHARDS
+) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget packs
     (the "concatenate docs up to N tokens" step that turns a curated
     corpus into training batches).
@@ -150,15 +152,18 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engines agree byte-for-byte.
 
     Scale: one window cumsum per shard (``partitionBy(shard)``), never
-    a global sort; shards are the unit a 1000-executor run would write
-    training files by. ``is_oversize`` flags docs that alone exceed the
-    budget (the caller chunks those downstream).
+    a global sort. ``shards`` is *semantic*, not a perf knob — pack
+    ids depend on it, so a deployment fixes it once, sized to the
+    corpus (shards ≈ corpus_tokens / tokens-per-training-file keeps
+    every window partition executor-sized at any corpus scale); the
+    default matches the testdata + oracle. ``is_oversize`` flags docs
+    that alone exceed the budget (the caller chunks those downstream).
     """
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " "))
-    shard = (F.col("doc_id") % _PACK_SHARDS).cast("int")
+    shard = (F.col("doc_id") % shards).cast("int")
     w = Window.partitionBy("shard").orderBy("doc_id")
     toks = d.select("doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"))
     cum = toks.withColumn(
