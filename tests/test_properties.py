@@ -208,3 +208,62 @@ def test_state_fn_arms_timeout_when_enabled():
     state = FakeState()
     list(fn((1,), [_pdf([(1, BASE_TS, 0, "view", None)])], state))
     assert state.timeout_set == 30 * 60 * 1000
+
+
+# --- sequence-packing property ----------------------------------------------
+
+pack_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id
+        st.integers(min_value=1, max_value=700),  # n_tokens (oversize possible)
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=pack_docs)
+def test_pack_token_budget_matches_sequential_fill(spark_prop, docs):
+    """The window formulation must equal the obvious sequential
+    reference: walk each shard in doc_id order accumulating tokens;
+    pack_id = completed-budget count before the doc."""
+    from datapipe_spark.operators import decontam
+
+    budget, shards = decontam._PACK_BUDGET, decontam._PACK_SHARDS
+    df = spark_prop.createDataFrame(
+        [(i, "x " * (n - 1) + "x") for i, n in docs] or [(0, "x")],
+        "doc_id long, text string",
+    ).limit(0 if not docs else len(docs))
+    # run the same plan the operator builds, on an in-memory frame
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split("text", " "))
+    shard = (F.col("doc_id") % shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    out = (
+        df.select("doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "doc_id", "shard",
+            F.floor(F.col("cum_before") / budget).cast("long").alias("pack_id"),
+        )
+    )
+    got = {r["doc_id"]: (r["shard"], r["pack_id"]) for r in out.collect()}
+
+    expect = {}
+    per_shard = {}
+    for doc_id, n in sorted(docs):
+        s = doc_id % shards
+        cum = per_shard.get(s, 0)
+        expect[doc_id] = (s, cum // budget)
+        per_shard[s] = cum + n
+    assert got == expect
