@@ -36,6 +36,11 @@ def main() -> None:
     spark.range(8).groupBy((F.col("id") % 2).alias("g")).applyInPandas(
         lambda pdf: pdf[["id"]], "id long"
     ).count()
+    # ... and the cogroup exchange path (separate codegen + worker
+    # protocol from plain applyInPandas)
+    _gl = spark.range(8).groupBy((F.col("id") % 2).alias("g"))
+    _gr = spark.range(4).groupBy((F.col("id") % 2).alias("g"))
+    _gl.cogroup(_gr).applyInPandas(lambda lf, rf: lf[["id"]], "id long").count()
     # Materialize the Kafka-topic stand-in (shared micro-batch drop-set)
     # untimed — the topic exists before any consumer starts; cached
     # across queries, so only a cold scratch dir pays this
