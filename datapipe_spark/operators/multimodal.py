@@ -126,6 +126,45 @@ def chunk_payloads(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_len int, frame_crc long"
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every: int = 4
+) -> DataFrame:
+    """Frame sampling over binary payloads: treat each payload as a
+    sequence of fixed-size frames (the deterministic stand-in for
+    video frame extraction — real codecs slot into the same signature)
+    and keep every ``every``-th frame.
+
+    Arrow-batched ``mapInPandas``: per-payload frame slicing happens
+    in one Python call per Arrow batch, input partitioning preserved
+    (map-only — at 100 TB this scales with payload bytes, no shuffle).
+    Emits a checksum per sampled frame so downstream equality checks
+    don't ship frame bytes.
+    """
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, crcs = [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(buf)
+                for fi in range(0, -(-len(b) // frame_bytes), every):
+                    frame = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    lens.append(len(frame))
+                    crcs.append(zlib.crc32(frame))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens, "frame_crc": crcs}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline query (rows-only check):
     documents → binary payload table → Arrow-batched feature

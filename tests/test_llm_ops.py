@@ -274,3 +274,31 @@ def test_pack_token_budget_invariants(spark, sf_dir):
             assert r["pack_id"] == cum // 512, (shard, r)
             cum += r["n_tokens"]
         assert [r["pack_id"] for r in rows] == sorted(r["pack_id"] for r in rows)
+
+
+def test_sample_frames_deterministic_and_complete(spark, sf_dir):
+    """Every 4th frame of each payload is emitted, frame indices are
+    the sampled arithmetic sequence, and checksums are stable across
+    runs (no RNG, no partitioning dependence)."""
+    import zlib
+
+    media = multimodal.with_binary_payload(spark, sf_dir)
+    out = multimodal.sample_frames(media, frame_bytes=64, every=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    payloads = {r["doc_id"]: bytes(r["content"]) for r in media.collect()}
+    assert set(by_doc) == set(payloads)
+    for doc_id, frames in by_doc.items():
+        b = payloads[doc_id]
+        n_frames = -(-len(b) // 64)
+        want_idx = list(range(0, n_frames, 4))
+        got = sorted(frames, key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == want_idx
+        for r in got:
+            frame = b[r["frame_idx"] * 64 : (r["frame_idx"] + 1) * 64]
+            assert r["frame_len"] == len(frame)
+            assert r["frame_crc"] == zlib.crc32(frame)
+    rerun = {tuple(r) for r in multimodal.sample_frames(media, 64, 4).collect()}
+    assert rerun == {tuple(r) for r in rows}
