@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datapipe_spark.operators import decontam, dedup, multimodal, similarity, textstats
+from datapipe_spark.operators import decontam, dedup, multimodal, scrub, similarity, textstats
 from datapipe_spark.plans import cdc_queries as cdcq
 from datapipe_spark.plans import dag
 from datapipe_spark.plans import events_queries as ev
@@ -139,6 +139,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pack_token_budget": (decontam.pack_token_budget, decontam.PACK_TOKEN_BUDGET_SQL),
     "funnel_daily_approx": (ev.funnel_daily_approx, None),  # A6 HLL scale path: rows-only
     "knn_join_ivf": (similarity.knn_join_ivf, None),  # all-pairs kNN: rows-only
+    "pii_scrub": (scrub.pii_scrub, scrub.PII_SCRUB_SQL),
+    "repetition_stats": (scrub.repetition_stats, scrub.REPETITION_STATS_SQL),
 }
 
 

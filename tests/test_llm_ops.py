@@ -6,10 +6,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from datapipe_spark.operators import decontam, dedup, multimodal, similarity, textstats
+from datapipe_spark.operators import decontam, dedup, multimodal, scrub, similarity, textstats
 from tests.oracle import compare_to_oracle
 
 ORACLE_CASES = [
+    (scrub.pii_scrub, scrub.PII_SCRUB_SQL),
+    (scrub.repetition_stats, scrub.REPETITION_STATS_SQL),
     (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
@@ -302,3 +304,42 @@ def test_sample_frames_deterministic_and_complete(spark, sf_dir):
             assert r["frame_crc"] == zlib.crc32(frame)
     rerun = {tuple(r) for r in multimodal.sample_frames(media, 64, 4).collect()}
     assert rerun == {tuple(r) for r in rows}
+
+
+def test_pii_scrub_redacts_planted_pii(spark, sf_dir):
+    """The planted slice (doc_id % 7 == 0) must have exactly one of
+    each PII type counted and none surviving in the redacted text;
+    the clean slice must pass through byte-identical."""
+    from datapipe_spark.sources.tables import load_table
+
+    out = scrub.pii_scrub(spark, sf_dir)
+    planted = out.filter(F.col("doc_id") % 7 == 0)
+    clean = out.filter(F.col("doc_id") % 7 != 0)
+    assert planted.count() > 0
+    bad = planted.filter(
+        (F.col("n_emails") != 1) | (F.col("n_phones") != 1) | (F.col("n_ips") != 1)
+        | F.col("is_clean")
+        | ~F.col("text_redacted").contains("<EMAIL>")
+        | ~F.col("text_redacted").contains("<PHONE>")
+        | ~F.col("text_redacted").contains("<IP>")
+        | F.col("text_redacted").rlike(r"@|\d{3}-\d{3}-\d{4}|\d+\.\d+\.\d+\.\d+")
+    )
+    assert bad.count() == 0
+    orig = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    changed = (
+        clean.join(orig, "doc_id")
+        .filter((F.col("text_redacted") != F.col("text")) | ~F.col("is_clean"))
+    )
+    assert changed.count() == 0
+
+
+def test_repetition_stats_flags_repetitive_docs(spark, sf_dir):
+    """Word-soup docs repeat heavily: dup_word_ratio must be high and
+    internally consistent with the count columns."""
+    rows = scrub.repetition_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct_words"] <= r["n_words"]
+        assert 1 <= r["top_word_count"] <= r["n_words"]
+        assert abs(r["dup_word_ratio"] - (1 - r["n_distinct_words"] / r["n_words"])) < 1e-12
+        assert abs(r["top_word_frac"] - r["top_word_count"] / r["n_words"]) < 1e-12
