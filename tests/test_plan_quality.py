@@ -68,7 +68,7 @@ def test_aggregations_stay_in_codegen(spark, sf_dir):
 def test_no_rowwise_python_in_any_batch_query(spark, sf_dir):
     """UDF discipline: Arrow-batched Python (ArrowEvalPython) is allowed
     where declared; row-at-a-time BatchEvalPython is never acceptable."""
-    from datapipe_spark.operators import dedup, multimodal, similarity, textstats
+    from datapipe_spark.operators import dedup, multimodal, scrub, similarity, textstats
     from datapipe_spark.plans import cdc_queries as cdcq
     from datapipe_spark.plans import quality as q
 
@@ -90,6 +90,7 @@ def test_no_rowwise_python_in_any_batch_query(spark, sf_dir):
         textstats.text_stats, textstats.token_profile_by_lang,
         textstats.lang_id_ngram, textstats.winnow_fingerprints,
         multimodal.multimodal_features,
+        scrub.pii_scrub, scrub.repetition_stats,
     ]
     offenders = []
     for fn in batch_queries:
@@ -159,3 +160,18 @@ def test_stratified_sample_prunes_text_column(spark, sf_dir):
         if "ReadSchema:" in line
     ]
     assert read_schemas and all("text" not in rs for rs in read_schemas)
+
+
+def test_scrub_ops_prune_unused_columns(spark, sf_dir):
+    """The scrub operators are corpus-wide map stages — at 100 TB the
+    scan must not read columns the output never touches."""
+    from datapipe_spark.operators import scrub
+
+    plan = _plan(spark, scrub.pii_scrub(spark, sf_dir))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+    plan = _plan(spark, scrub.repetition_stats(spark, sf_dir))
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+    assert "doc_id" in read_schema and "text" in read_schema
