@@ -57,6 +57,20 @@ def order_size_category(amount: Column) -> Column:
     )
 
 
+def epoch_us(c: str | Column) -> Column:
+    """Microseconds since epoch, for TIMESTAMP *or* TIMESTAMP_NTZ input.
+
+    The driver's testdata stores ``events.ts`` as parquet
+    TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+    TIMESTAMP_NTZ — a type ``unix_micros`` rejects. Casting through
+    ``timestamp_ltz`` first is a no-op for LTZ input and interprets NTZ
+    wall time in the session timezone, which ``sources.tables`` pins to
+    UTC, so the result equals DuckDB's ``epoch_us`` on the same data.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
 def epoch_ms_to_ts(c: str | Column) -> Column:
     """F8: epoch-millis → timestamp (TimestampConverter SMT,
     orders-s3-sink-connector.json:31-47)."""

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datapipe_spark.functions import json_amount, money, ratio
+from datapipe_spark.functions import epoch_us, json_amount, money, ratio
 from datapipe_spark.sources.tables import load_table
 
 
@@ -145,7 +145,7 @@ WITH e AS (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
   FROM events
 )
-SELECT event_type, COUNT(*) AS n, SUM(k) AS k_sum,
+SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum,
        MIN(k) AS k_min, MAX(k) AS k_max,
        CAST(SUM(k) AS DOUBLE) / COUNT(*) AS k_avg
 FROM e WHERE k IS NOT NULL
@@ -176,7 +176,7 @@ def sessionize_frame(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap_s = gap_minutes * 60
     new_sess = (
         F.when(
-            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user)))
+            (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w_user)))
             > gap_s * 1_000_000,
             1,
         )
@@ -201,7 +201,7 @@ def sessionize_frame(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "session_start",
         "session_end",
         (
-            (F.unix_micros("session_end") - F.unix_micros("session_start")) / 60_000_000.0
+            (epoch_us("session_end") - epoch_us("session_start")) / 60_000_000.0
         ).alias("session_duration_minutes"),
         "n_events",
         "views",
@@ -224,7 +224,9 @@ WITH e AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq,
+-- CAST: DuckDB's windowed SUM(int) yields HUGEINT (float64 via pandas),
+-- Spark yields BIGINT — same canonicalization trap as token_profile.
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
   MIN(ts) AS session_start, MAX(ts) AS session_end,
   (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 60000000.0 AS session_duration_minutes,
   COUNT(*) AS n_events,

@@ -24,9 +24,12 @@ from pyspark.sql import functions as F
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# events.ts is parquet TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong it arrives as a long we convert
-# to a microsecond timestamp (values carry only µs precision).
+# events.ts has shipped as two parquet types across driver testdata
+# generations: TIMESTAMP(NANOS) (round 1 — readable only with
+# nanosAsLong, converted back to a µs timestamp below) and
+# TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 3 — arrives as
+# TIMESTAMP_NTZ and is kept as-is; arithmetic goes through
+# ``functions.epoch_us`` which accepts both LTZ and NTZ).
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 

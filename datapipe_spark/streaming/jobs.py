@@ -32,7 +32,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipe_spark.functions import money, ratio
+from datapipe_spark.functions import epoch_us, money, ratio
 from datapipe_spark.streaming import source as src
 from datapipe_spark.streaming.sessions import apply_session_state
 
@@ -58,6 +58,19 @@ def _stream_shuffle(spark: SparkSession):
 def _start(writer, checkpoint: str):
     """T1/T7/T10: availableNow trigger + checkpointed, idempotent sink."""
     return writer.option("checkpointLocation", checkpoint).trigger(availableNow=True).start()
+
+
+def _ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP columns back to TIMESTAMP_NTZ (exact under the
+    UTC session timezone). The stream runs on LTZ event time because
+    watermarks reject NTZ, but the driver testdata and the DuckDB
+    oracle are NTZ — results must round-trip to the batch type."""
+    from pyspark.sql import types as T
+
+    ts_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)]
+    for c in ts_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
 
 
 def _run(writer, checkpoint: str):
@@ -185,18 +198,18 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emitted = spark.read.parquet(sink).filter(F.col("_flush") == 0)
     seq = Window.partitionBy("user_id").orderBy("session_start")
-    return emitted.select(
+    return _ntz(emitted.select(
         "user_id",
         (F.row_number().over(seq) - 1).cast("long").alias("session_seq"),
         "session_start",
         "session_end",
         (
-            (F.unix_micros("session_end") - F.unix_micros("session_start")) / 60_000_000.0
+            (epoch_us("session_end") - epoch_us("session_start")) / 60_000_000.0
         ).alias("session_duration_minutes"),
         "n_events", "views", "clicks", "purchases",
         F.coalesce(F.col("_spent").cast("double"), F.lit(0.0)).alias("total_spent"),
         (F.col("purchases") > 0).alias("converted_to_purchase"),
-    )
+    ))
 
 
 def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +226,7 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
             sessions.writeStream.format("parquet").option("path", sink),
             os.path.join(out, "cp"),
         )
-    return spark.read.parquet(sink)
+    return _ntz(spark.read.parquet(sink))
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,7 +255,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             deduped.writeStream.format("parquet").option("path", sink),
             os.path.join(out, "cp"),
         )
-    return spark.read.parquet(sink)
+    return _ntz(spark.read.parquet(sink))
 
 
 def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,7 +465,7 @@ def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _stream_shuffle(spark):
         _run(purchases.writeStream.foreachBatch(enrich), os.path.join(out, "cp"))
-    return spark.read.parquet(sink)
+    return _ntz(spark.read.parquet(sink))
 
 
 STREAMING_ENRICHED_PURCHASES_SQL = """

@@ -37,6 +37,9 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("session_seq", T.LongType()),
+        # LTZ like the stream's event time; the state fn emits naive UTC
+        # wall times, which Arrow binds to instants via the UTC session
+        # timezone. ``jobs._ntz`` converts back for oracle comparison.
         T.StructField("session_start", T.TimestampType()),
         T.StructField("session_end", T.TimestampType()),
         T.StructField("session_duration_minutes", T.DoubleType()),

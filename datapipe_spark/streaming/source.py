@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datapipe_spark.functions import epoch_us
 from datapipe_spark.sources.tables import load_table
 from datapipe_spark.util import fresh_dir, scratch_root  # noqa: F401 (re-export)
 
@@ -39,6 +40,12 @@ SENTINEL_TYPE = "__flush__"
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
+        # LTZ: watermarks/session_window reject TIMESTAMP_NTZ
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the driver
+        # testdata's NTZ ts is cast to an instant when the drops are
+        # materialized — exact under the UTC session timezone tables.py
+        # pins. Streaming jobs cast timestamp outputs back to NTZ so
+        # results compare bit-for-bit with the batch twins + oracle.
         T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
@@ -86,19 +93,19 @@ def prepare_event_drops(
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
 
-    e = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
-    lo, hi = e.agg(F.min("ts"), F.max("ts")).first()
-    span_us = max(int((hi - lo).total_seconds() * 1_000_000), 1)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(*_EVENT_COLS)
+        .withColumn("ts", F.col("ts").cast(EVENT_SCHEMA["ts"].dataType.simpleString()))
+    )
+    lo_us, hi_us = e.agg(F.min(epoch_us("ts")), F.max(epoch_us("ts"))).first()
+    span_us = max(hi_us - lo_us, 1)
     # fixed time-range chunks: batch k covers [lo + k*span/n, ...) so
     # per-user event order is preserved across drops (required by the
     # stateful session operator; mirrors Kafka per-key ordering)
     batch = F.least(
         F.lit(n_drops - 1),
-        F.floor(
-            (F.unix_micros("ts") - F.lit(int(lo.timestamp() * 1_000_000)))
-            * F.lit(n_drops)
-            / F.lit(span_us + 1)
-        ),
+        F.floor((epoch_us("ts") - F.lit(lo_us)) * F.lit(n_drops) / F.lit(span_us + 1)),
     ).cast("int")
     e = e.withColumn("_batch", batch)
     if dup_every:
@@ -114,7 +121,11 @@ def prepare_event_drops(
                 e.select("user_id").distinct()
                 .select(
                     (-F.col("user_id") - 1).alias("event_id"),
-                    (F.lit(hi) + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+                    (
+                        F.timestamp_micros(F.lit(hi_us))
+                        .cast(EVENT_SCHEMA["ts"].dataType.simpleString())
+                        + F.expr("INTERVAL 30 DAYS")
+                    ).alias("ts"),
                     "user_id",
                     F.lit(SENTINEL_TYPE).alias("event_type"),
                     F.lit(None).cast("double").alias("value"),

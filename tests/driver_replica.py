@@ -3,7 +3,22 @@
 Builds a VANILLA SparkSession (no engine confs — the driver's shape),
 imports ``__spark_entry__`` by path, runs ``entry`` plus every
 ``queries()`` entry at sf0.01, and compares each oracled query against
-DuckDB with the order-insensitive value comparison from tests/oracle.py.
+DuckDB.
+
+Canonicalization mirrors the driver's *pandas* path (observed in
+CORRECTNESS_r02 tracebacks: ``DataFrame.sort_values`` over all columns),
+not ``fetchall``. That matters for two failure modes the fetchall
+comparison cannot see:
+
+- DuckDB HUGEINT (e.g. ``SUM(INT)``) becomes float64 in ``.df()`` while
+  Spark returns int64 — hash mismatch in the driver even though the
+  Python values compare equal (r02 ``events_json_stats``).
+- list-valued cells make ``sort_values`` raise ``unhashable type:
+  'list'`` — the driver records ERR (r02 ``winnow_fingerprints`` /
+  ``multimodal_features``).
+
+Rows-only queries are also canonicalized (the driver does), so an
+unsortable result is an ERR here too.
 
 Usage: ``python tests/driver_replica.py [sf_dir]`` — prints one line per
 query (PASS / ROWS-ONLY / FAIL / ERR) and a final summary; exit code 1
@@ -12,6 +27,7 @@ if anything fails.
 
 from __future__ import annotations
 
+import datetime
 import importlib.util
 import os
 import sys
@@ -21,7 +37,36 @@ import traceback
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from oracle import _canon, duckdb_con  # noqa: E402
+from oracle import duckdb_con  # noqa: E402
+
+
+def _canon_pdf(pdf):
+    """Driver-shaped canonical form: columns sorted by name, rows sorted
+    by every column, cells normalized to hashable scalars. Raises on
+    unsortable cells, exactly like the driver's sweep."""
+    import pandas as pd
+
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    cells = []
+    for row in pdf.itertuples(index=False, name=None):
+        out = []
+        for v in row:
+            if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+                out.append(None)
+            elif isinstance(v, pd.Timestamp):
+                out.append(v.tz_localize(None).isoformat() if v.tzinfo else v.isoformat())
+            elif isinstance(v, datetime.date):
+                # DATE arrives as datetime.date from Spark but as a
+                # midnight datetime64 from DuckDB .df(); the driver
+                # hash-matches these (r02: funnel_daily et al. PASS), so
+                # normalize both to the midnight ISO form.
+                out.append(f"{v.isoformat()}T00:00:00")
+            else:
+                out.append(v)
+        cells.append(tuple(out))
+    return cells
 
 
 def main() -> int:
@@ -55,8 +100,8 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
+            s_canon = _canon_pdf(s_pdf)
         except Exception:
             n_err += 1
             print(f"ERR  {name}\n{traceback.format_exc()[-1500:]}", flush=True)
@@ -64,24 +109,22 @@ def main() -> int:
         dt = time.perf_counter() - t0
         if name not in oracles:
             n_rows_only += 1
-            print(f"ROWS {name}: {len(s_rows)} rows ({dt:.1f}s)", flush=True)
+            print(f"ROWS {name}: {len(s_pdf)} rows ({dt:.1f}s)", flush=True)
             continue
         try:
-            res = con.sql(oracles[name])
-            o_cols = res.columns
-            o_rows = res.fetchall()
+            o_pdf = con.sql(oracles[name]).df()
+            o_canon = _canon_pdf(o_pdf)
         except Exception:
             n_err += 1
             print(f"ERR  {name} (oracle)\n{traceback.format_exc()[-1500:]}", flush=True)
             continue
         problems = []
-        if sorted(s_cols) != sorted(o_cols):
-            problems.append(f"cols {sorted(s_cols)} != {sorted(o_cols)}")
-        if len(s_rows) != len(o_rows):
-            problems.append(f"rows {len(s_rows)} != {len(o_rows)}")
+        if sorted(s_pdf.columns) != sorted(o_pdf.columns):
+            problems.append(f"cols {sorted(s_pdf.columns)} != {sorted(o_pdf.columns)}")
+        if len(s_pdf) != len(o_pdf):
+            problems.append(f"rows {len(s_pdf)} != {len(o_pdf)}")
         if not problems:
-            sc, oc = _canon(s_rows, s_cols), _canon(o_rows, o_cols)
-            bad = [(a, b) for a, b in zip(sc, oc) if a != b]
+            bad = [(a, b) for a, b in zip(s_canon, o_canon) if repr(a) != repr(b)]
             if bad:
                 problems.append(f"{len(bad)} value mismatches; first: {bad[0]}")
         if problems:
@@ -89,7 +132,7 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(problems)}", flush=True)
         else:
             n_pass += 1
-            print(f"PASS {name}: {len(s_rows)} rows ({dt:.1f}s)", flush=True)
+            print(f"PASS {name}: {len(s_pdf)} rows ({dt:.1f}s)", flush=True)
 
     con.close()
     spark.stop()

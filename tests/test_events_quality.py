@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 
+from datapipe_spark.functions import epoch_us
 from datapipe_spark.plans import events_queries as ev
 from datapipe_spark.plans import quality as q
 from datapipe_spark.plans.marts import DAILY_BUSINESS_METRICS_SQL
@@ -48,7 +49,7 @@ def test_sessionize_gap_property(spark, sf_dir):
         F.col("prev_end").isNotNull()
     )
     bad = gaps.filter(
-        (F.unix_micros("session_start") - F.unix_micros("prev_end")) <= 30 * 60 * 1_000_000
+        (epoch_us("session_start") - epoch_us("prev_end")) <= 30 * 60 * 1_000_000
     )
     assert bad.count() == 0
 
