@@ -58,6 +58,14 @@ def _ensure_session_confs(spark: SparkSession, name: str) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def ensure_session_confs(spark: SparkSession, name: str = "events") -> None:
+    """Public form of the runtime-conf guard, for paths that consume
+    previously-materialized data (e.g. a cached streaming drop-set)
+    without going through ``load_table`` first: timestamp casts are
+    only exact if the session timezone is already pinned to UTC."""
+    _ensure_session_confs(spark, name)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing timestamp columns."""
     _ensure_session_confs(spark, name)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datapipe_spark.functions import epoch_us
-from datapipe_spark.sources.tables import load_table
+from datapipe_spark.sources.tables import ensure_session_confs, load_table
 from datapipe_spark.util import fresh_dir, scratch_root  # noqa: F401 (re-export)
 
 SENTINEL_TYPE = "__flush__"
@@ -89,6 +89,10 @@ def prepare_event_drops(
     key = _drops_key(sf_dir, n_drops, dup_every, sentinel, as_json, corrupt_every)
     out = os.path.join(scratch_root(), key)
     if os.path.exists(os.path.join(out, "_READY")):
+        # cache hit skips load_table, but downstream event-time casts
+        # still require the UTC session timezone — pin it here too, so
+        # a fresh session consuming a warm scratch dir stays exact
+        ensure_session_confs(spark)
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)

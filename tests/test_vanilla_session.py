@@ -5,7 +5,9 @@ confs (no nanosAsLong, no UTC timezone, default shuffle partitions).
 Round 1 lost all 16 events/streaming oracle checks to exactly this gap:
 the engine's session factory set ``spark.sql.legacy.parquet.nanosAsLong``
 but ``load_table`` didn't, so ``events.parquet`` (TIMESTAMP(NANOS)) was
-unreadable outside ``get_spark()``.
+unreadable outside ``get_spark()``. Round 2 lost them again when the
+regenerated testdata switched to TIMESTAMP(MICROS, adjusted=false) —
+read as TIMESTAMP_NTZ, which ``unix_micros`` and watermarks reject.
 
 Runs in a subprocess so the session really is vanilla — inside the test
 process ``getOrCreate`` would reuse the conf-laden test session.
@@ -37,10 +39,23 @@ _SCRIPT = textwrap.dedent(
     sf = "/root/testdata/sf0.001"
     qs = mod.queries()
     # events-reading batch query (the round-1 failure mode), a marts
-    # query (timezone-sensitive date math), and a streaming query
-    # (events drop-set preparation also reads events.parquet)
-    for name in ["funnel_daily", "daily_business_metrics", "streaming_dedup_events"]:
-        n = qs[name](spark, sf).count()
+    # query (timezone-sensitive date math), a streaming query (events
+    # drop-set preparation also reads events.parquet), sessionize
+    # (epoch arithmetic on the NTZ ts — the round-2 failure mode), and
+    # a complex-output query (array columns must arrive JSON-serialized
+    # so the driver's pandas sort doesn't crash on list cells)
+    for name in [
+        "funnel_daily",
+        "daily_business_metrics",
+        "streaming_dedup_events",
+        "sessionize",
+        "winnow_fingerprints",
+    ]:
+        df = qs[name](spark, sf)
+        assert not any(
+            t.startswith(("array", "map", "struct")) for _c, t in df.dtypes
+        ), f"{name}: complex-typed driver output {df.dtypes}"
+        n = df.count()
         assert n > 0, f"{name}: expected rows, got {n}"
         print(f"OK {name} rows={n}", flush=True)
     spark.stop()
