@@ -438,19 +438,32 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup *clusters* (not just pairs): MinHash-LSH pair graph →
+def dedup_clusters(spark: SparkSession, sf_dir: str, graph: str = "exact") -> DataFrame:
+    """Near-dup *clusters* (not just pairs): near-dup pair graph →
     connected components → per-doc canonical assignment + cluster
     size. The keep-one-per-cluster decision every dedup pipeline ends
-    with. Rows-only check (iterative, not single-query SQL); cluster
-    structure is unit-tested on crafted graphs.
+    with.
+
+    ``graph="exact"`` (default) clusters the exact n-gram Jaccard pair
+    graph — deterministic and engine-independent, so the whole operator
+    is DuckDB-oracled end-to-end (``DEDUP_CLUSTERS_SQL``: same pair CTE
+    + recursive-CTE reachability closure, ``canonical = min reachable
+    id``). ``graph="minhash"`` clusters the MinHash-LSH approximation
+    instead — the 100 TB path, where exact pair generation is the
+    bottleneck; its engine-specific hashes keep it rows-only (cluster
+    structure unit-tested on crafted graphs).
 
     NOTE: sharing the pair graph with dedup_minhash_lsh via a persisted
     session cache was tried and benched at a net LOSS (-1.5s here,
     -0.4s there at sf0.1): .persist() forces full-column
     materialization and blocks column pruning, costing more than the
     recompute saves. Rebuilding the lazy plan is the faster path."""
-    pairs = minhash_dedup(spark, sf_dir)
+    if graph == "exact":
+        pairs = ngram_jaccard_pairs(spark, sf_dir)
+    elif graph == "minhash":
+        pairs = minhash_dedup(spark, sf_dir)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown pair graph {graph!r}")
     comp = connected_components(pairs)
     sizes = comp.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
     return (
@@ -462,3 +475,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
         )
     )
+
+
+# Connected components as a recursive reachability closure: canonical =
+# min id reachable from each node. Equivalent to the engine's iterative
+# min-label propagation at fixpoint; closure size is bounded by
+# Σ|component|² over the (small) near-dup pair graph — fine at oracle
+# scale, while the engine side scales by O(diameter) label rounds.
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{NGRAM_JACCARD_PAIRS_SQL}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
+), sizes AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id
+)
+SELECT c.doc_id, c.canonical_id, s.cluster_size,
+       c.doc_id <> c.canonical_id AS is_duplicate
+FROM comp c JOIN sizes s USING (canonical_id)
+"""

@@ -166,10 +166,12 @@ def test_connected_components_on_crafted_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
-def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+def test_dedup_clusters_minhash_consistent_with_pairs(spark, sf_dir):
+    """The minhash-graph clustering path (the 100 TB scale path; the
+    registry's default exact-graph path is DuckDB-oracled)."""
     from datapipe_spark.operators.dedup import dedup_clusters, minhash_dedup
 
-    clusters = dedup_clusters(spark, sf_dir)
+    clusters = dedup_clusters(spark, sf_dir, graph="minhash")
     rows = clusters.collect()
     by_id = {r["doc_id"]: r for r in rows}
     # every paired doc appears; canonical is the min id of its cluster
@@ -179,6 +181,12 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     for r in rows:
         assert r["canonical_id"] <= r["doc_id"]
         assert r["is_duplicate"] == (r["doc_id"] != r["canonical_id"])
+
+
+def test_dedup_clusters_exact_matches_oracle(spark, sf_dir):
+    from datapipe_spark.operators.dedup import DEDUP_CLUSTERS_SQL, dedup_clusters
+
+    compare_to_oracle(spark, dedup_clusters, DEDUP_CLUSTERS_SQL, sf_dir)
 
 
 def test_knn_join_shape_and_ordering(spark, sf_dir):
