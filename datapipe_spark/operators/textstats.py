@@ -182,33 +182,64 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("lang_match", F.col("predicted_lang") == F.col("lang"))
 
 
-def winnow_fingerprints(spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4) -> DataFrame:
-    """Document fingerprinting via winnowing (rolling-hash k-grams,
-    per-window minimum selection — the MOSS algorithm). Rows-only
-    check: the rolling hash is engine-specific by design.
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = 5, window: int = 4, hash: str = "md5"
+) -> DataFrame:
+    """Document fingerprinting via winnowing (hashed k-grams,
+    per-window minimum selection — the MOSS algorithm).
 
-    JVM-side: token k-gram hashes via xxhash64; window-min selection is
-    a per-document array fold — no shuffle, no Python.
+    ``hash="md5"`` (default) makes the whole operator engine-portable:
+    md5 hex digests are identical across engines and window-min is
+    lexicographic, so the fingerprint sets are DuckDB-oracle-checkable
+    value for value (``WINNOW_FINGERPRINTS_SQL``). ``hash="xxhash64"``
+    is the cheaper 64-bit variant for the 100 TB path (≈2× less hash
+    CPU, 8-byte prints), engine-specific by nature.
+
+    JVM-side either way: k-gram hashing and window-min selection are
+    per-document array expressions — no shuffle, no Python. Output
+    carries the fingerprint set sorted and comma-joined (a scalar
+    column, driver-canonicalization-safe) plus its size.
     """
     d = load_table(spark, sf_dir, "documents")
+    gram_fn = "md5" if hash == "md5" else "xxhash64"
     grams = F.expr(
-        f"transform(sequence(0, greatest(size(split(text,' '))-{k}, 0)), "
-        f"i -> xxhash64(concat_ws(' ', slice(split(text,' '), i+1, {k}))))"
+        f"transform(sequence(1, greatest(size(split(text,' '))-{k}+1, 1)), "
+        f"i -> {gram_fn}(concat_ws(' ', slice(split(text,' '), i, {k}))))"
     )
     wins = F.expr(
-        f"transform(sequence(0, greatest(size(_grams)-{window}, 0)), "
-        f"i -> array_min(slice(_grams, i+1, {window})))"
+        f"transform(sequence(1, greatest(size(_grams)-{window}+1, 1)), "
+        f"i -> array_min(slice(_grams, i, {window})))"
     )
     return (
         d.withColumn("_grams", grams)
-        .withColumn("fingerprints", F.array_distinct(wins))
+        .withColumn("_fps", F.array_distinct(wins))
         .select(
             "doc_id",
             "lang",
-            F.size("fingerprints").alias("n_fingerprints"),
-            "fingerprints",
+            F.size("_fps").alias("n_fingerprints"),
+            F.array_join(F.array_sort("_fps"), ",").alias("fingerprints"),
         )
     )
+
+
+WINNOW_FINGERPRINTS_SQL = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, lang,
+    [md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))
+     for i in range(1, greatest(len(w) - 5 + 2, 2))] AS grams
+  FROM t
+), f AS (
+  SELECT doc_id, lang,
+    list_distinct([list_min(grams[i:i+3])
+                   for i in range(1, greatest(len(grams) - 4 + 2, 2))]) AS fps
+  FROM g
+)
+SELECT doc_id, lang, CAST(len(fps) AS INT) AS n_fingerprints,
+       array_to_string(list_sort(fps), ',') AS fingerprints
+FROM f
+"""
 
 
 # Quality-filter thresholds (documented constants so the oracle SQL and

@@ -114,7 +114,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textstats.corpus_quality_filter,
         textstats.CORPUS_QUALITY_FILTER_SQL,
     ),
-    "winnow_fingerprints": (textstats.winnow_fingerprints, None),  # engine-hash: rows-only
+    "winnow_fingerprints": (
+        textstats.winnow_fingerprints,
+        textstats.WINNOW_FINGERPRINTS_SQL,
+    ),
     # --- training-data ops: multimodal columns ---
     "multimodal_features": (multimodal.multimodal_features, None),  # binary plumbing: rows-only
     # --- training-data ops: corpus curation ---

@@ -125,7 +125,7 @@ def test_winnow_fingerprints_detect_near_dups(spark, sf_dir):
     fingerprints."""
     truth = dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
     fps = {
-        r["doc_id"]: set(r["fingerprints"])
+        r["doc_id"]: set(r["fingerprints"].split(","))
         for r in textstats.winnow_fingerprints(spark, sf_dir).collect()
     }
     for pair in truth:
