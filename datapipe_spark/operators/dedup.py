@@ -193,9 +193,23 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """MinHash signatures (32 perms) from shingle xxhash64 values —
-    pure array expressions, linear scan."""
+def minhash_signatures(docs: DataFrame, hash: str = "md5") -> DataFrame:
+    """MinHash signatures (32 perms) from hashed shingles — pure array
+    expressions, linear scan.
+
+    The permutation family ``(a·h + b) mod p`` is plain arithmetic, so
+    signatures are engine-portable whenever the base shingle hash is:
+    ``hash="md5"`` (default) parses the first 15 hex chars of the md5
+    digest to a 60-bit int — bit-identical in DuckDB (``('0x'||…)::
+    BIGINT``), which makes the whole LSH pipeline oracle-checkable.
+    ``hash="xxhash64"`` is the cheaper engine-specific variant for the
+    100 TB path (one 64-bit hash vs md5's 128-bit + hex parse).
+    """
+    base = (
+        f"pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), {_P}L)"
+        if hash == "md5"
+        else f"pmod(xxhash64(s), {_P}L)"
+    )
     sig = F.array(
         *[
             F.expr(
@@ -207,14 +221,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return (
         docs.withColumn("_sh", _shingles())
         .filter(F.size("_sh") > 0)
-        .withColumn("_h", F.expr(f"transform(_sh, s -> pmod(xxhash64(s), {_P}L))"))
+        .withColumn("_h", F.expr(f"transform(_sh, s -> {base})"))
         .withColumn("signature", sig)
         .drop("_h")
     )
 
 
 def minhash_dedup(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+    hash: str = "md5",
 ) -> DataFrame:
     """MinHash+LSH near-dup detection — the scale path.
 
@@ -223,25 +238,34 @@ def minhash_dedup(
     only. At 100 TB this is a linear scan plus an equi-join on band
     keys (no all-pairs anywhere); banding parameters give ≈99 % recall
     at Jaccard ≥ 0.8 (P(candidate) = 1-(1-s^4)^8).
+
+    ``hash="md5"`` (default): portable signatures (see
+    ``minhash_signatures``), string band keys, string-set verification
+    — deterministic and DuckDB-oracled (``MINHASH_DEDUP_SQL`` replays
+    the identical pipeline). ``hash="xxhash64"``: 8-byte band keys and
+    int64 verification sets — the cheaper shuffle for the 100 TB path.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures(docs).persist()
+    sigs = minhash_signatures(docs, hash=hash).persist()
     # band rows carry ONLY (doc_id, band key): the 8× explode shuffles
-    # 16 bytes/row, not the shingle arrays
+    # the band key, not the shingle arrays
+    if hash == "md5":
+        band_exprs = [
+            "concat_ws(','," + ", ".join(f"signature[{j * _ROWS + r}]" for r in range(_ROWS)) + ")"
+            for j in range(_BANDS)
+        ]
+    else:
+        band_exprs = [
+            "xxhash64("
+            + ", ".join([str(j)] + [f"signature[{j * _ROWS + r}]" for r in range(_ROWS)])
+            + ")"
+            for j in range(_BANDS)
+        ]
     bands = sigs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        "xxhash64("
-                        + ", ".join([str(j)] + [f"signature[{j * _ROWS + r}]" for r in range(_ROWS)])
-                        + ")"
-                    )
-                    for j in range(_BANDS)
-                ]
-            )
-        ).alias("band_id", "band_key"),
+        F.posexplode(F.array(*[F.expr(e) for e in band_exprs])).alias(
+            "band_id", "band_key"
+        ),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -258,9 +282,16 @@ def minhash_dedup(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # exact-jaccard verification only for surviving candidates, on the
-    # hashed (int64) shingle sets
-    sets = sigs.select("doc_id", F.expr("transform(_sh, s -> xxhash64(s))").alias("hs"))
+    # exact-jaccard verification only for surviving candidates — on the
+    # raw shingle strings in portable mode (byte-identical to the
+    # oracle), on hashed int64 sets in xxhash64 mode (cheaper compare)
+    sets = sigs.select(
+        "doc_id",
+        (
+            F.col("_sh") if hash == "md5"
+            else F.expr("transform(_sh, s -> xxhash64(s))")
+        ).alias("hs"),
+    )
     verified = candidates.join(
         sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")), "doc_a"
     ).join(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")), "doc_b")
@@ -274,6 +305,52 @@ def minhash_dedup(
         .filter(F.col("jaccard") >= threshold),
         sigs,
     )
+
+
+# Oracle replay of the portable (md5) MinHash+LSH pipeline: identical
+# shingles, base hashes, permutations, band keys, and string-set
+# verification. DuckDB's % equals Spark's pmod here (operands positive:
+# base hashes are 60-bit parses reduced mod P).
+_ORACLE_SIGS = ", ".join(
+    f"list_min([({_A[i]} * h + {_B[i]}) % {_P} for h in hs])" for i in range(_N_PERM)
+)
+_ORACLE_BANDS = ", ".join(
+    "concat_ws(','," + ", ".join(f"sig[{j * _ROWS + r + 1}]" for r in range(_ROWS)) + ")"
+    for j in range(_BANDS)
+)
+MINHASH_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)])
+    ELSE [] END AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), nz AS (
+  SELECT doc_id, sh,
+         [CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {_P} for g in sh] AS hs
+  FROM t WHERE len(sh) > 0
+), sigs AS (
+  SELECT doc_id, sh, [{_ORACLE_SIGS}] AS sig FROM nz
+), bands AS (
+  SELECT doc_id, r.j AS band_id, bkeys[r.j + 1] AS band_key
+  FROM (SELECT doc_id, [{_ORACLE_BANDS}] AS bkeys FROM sigs), range({_BANDS}) r(j)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b,
+    CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0 THEN
+      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+    ELSE 0.0 END AS jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
 
 
 def simhash_dedup(spark: SparkSession, sf_dir: str, max_hamming: int = 7) -> DataFrame:
