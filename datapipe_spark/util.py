@@ -13,6 +13,11 @@ import tempfile
 
 
 def scratch_root() -> str:
+    # NOTE: defaulting this to /dev/shm (tmpfs) was benched and
+    # rejected — A/B at sf0.1 showed no win (74.5 s vs 71.8 s suite
+    # wall); the scratch files are small enough that the OS page cache
+    # already absorbs them on /tmp. Override via the env var if a host
+    # has a genuinely slow temp filesystem.
     root = os.environ.get(
         "SPARK_GRAFT_STREAM_DIR",
         os.path.join(tempfile.gettempdir(), "datapipe_spark_stream"),
