@@ -43,18 +43,30 @@ def main() -> None:
     _gl.cogroup(_gr).applyInPandas(lambda lf, rf: lf[["id"]], "id long").count()
     # Materialize the Kafka-topic stand-in (shared micro-batch drop-set)
     # untimed — the topic exists before any consumer starts; cached
-    # across queries, so only a cold scratch dir pays this
+    # across queries, so only a cold scratch dir pays this. Guarded:
+    # round 2 lost the ENTIRE bench artifact to one exception here
+    # (driver testdata changed type under us) — a warmup failure must
+    # degrade to cold streaming runs, not a dead benchmark.
     from datapipe_spark.streaming import source as stream_src
 
-    stream_src.prepare_event_drops(spark, sf_dir, sentinel=True)
+    try:
+        stream_src.prepare_event_drops(spark, sf_dir, sentinel=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"warmup failed (continuing cold): {exc!r}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     t_suite = time.perf_counter()
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001 — one bad query must
+            # not zero the whole round's numbers
+            errors[name] = repr(exc)[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
     total = round(time.perf_counter() - t_suite, 3)
@@ -63,27 +75,29 @@ def main() -> None:
     # ingest-rate analog of the reference baseline (10,244 ev/s
     # sustained through the full CDC pipeline): events fully processed
     # through the streaming dedup+archive pipeline per wall second
-    n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    try:
+        n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    except Exception:  # noqa: BLE001
+        n_events = 0
     ingest_rate = (
         round(n_events / timings["streaming_dedup_events"], 1)
-        if timings.get("streaming_dedup_events")
+        if n_events and timings.get("streaming_dedup_events")
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": int(cpus),
-                "n_queries": len(timings),
-                "stream_ingest_events_per_sec": ingest_rate,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+        "n_queries": len(timings),
+        "stream_ingest_events_per_sec": ingest_rate,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 
