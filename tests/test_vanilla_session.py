@@ -50,6 +50,7 @@ _SCRIPT = textwrap.dedent(
         "streaming_dedup_events",
         "sessionize",
         "winnow_fingerprints",
+        "multimodal_features",
     ]:
         df = qs[name](spark, sf)
         assert not any(
