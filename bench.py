@@ -79,9 +79,22 @@ def main() -> None:
         n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     except Exception:  # noqa: BLE001
         n_events = 0
+    # the headline rate divides by a ~1.5 s denominator, so one noisy
+    # replay swings it ±30%; take the median of three full pipeline
+    # runs (the suite-timed one plus two more, outside the suite wall)
+    dedup_times = [timings.get("streaming_dedup_events")]
+    if n_events and dedup_times[0]:
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                qs["streaming_dedup_events"](spark, sf_dir).count()
+                dedup_times.append(time.perf_counter() - t0)
+            except Exception:  # noqa: BLE001
+                break
+    dedup_times = sorted(t for t in dedup_times if t)
     ingest_rate = (
-        round(n_events / timings["streaming_dedup_events"], 1)
-        if n_events and timings.get("streaming_dedup_events")
+        round(n_events / dedup_times[len(dedup_times) // 2], 1)
+        if n_events and dedup_times
         else None
     )
     out = {
