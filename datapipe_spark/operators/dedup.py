@@ -579,3 +579,126 @@ SELECT c.doc_id, c.canonical_id, s.cluster_size,
        c.doc_id <> c.canonical_id AS is_duplicate
 FROM comp c JOIN sizes s USING (canonical_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup (verbatim shared spans)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 8  # minimum verbatim run, in tokens
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str, k: int = DUP_SPAN_K) -> DataFrame:
+    """Verbatim substring dedup: maximal token spans that appear
+    word-for-word in ≥ 2 documents (the substring-granular complement
+    to the document-level dedups — boilerplate, license headers, and
+    quoted passages duplicate at span level long before whole
+    documents do).
+
+    Suffix-array semantics approximated the Spark-native way:
+    positional k-token grams (md5 — portable, so the whole operator is
+    DuckDB-oracled) → gram-frequency filter (a gram kept iff it occurs
+    in ≥ 2 distinct docs) → per-doc gap-and-island merge of surviving
+    gram positions into maximal spans (adjacent/overlapping gram
+    coverage fuses, same lag+running-sum shape as sessionize).
+
+    Scale: the positional gram table is O(total tokens) — linear, the
+    unavoidable term — shuffled once on the gram hash for the
+    frequency filter (map-side partial agg), joined back on the same
+    key, then one shuffle on doc_id for the island merge. No pairwise
+    comparison anywhere: cost is independent of how many documents
+    share a span. At 100 TB the frequency filter is the workhorse —
+    unique grams drop out at the first aggregate and never reach the
+    join.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_dup_spans_frame(d, k)
+
+
+def substring_dup_spans_frame(d: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+    """Span detection over any (doc_id, text) frame — see
+    ``substring_dup_spans`` for semantics and scale notes."""
+    # materialize the word array once per row: a `split(text)` inside
+    # the transform lambda would re-split per element — O(words²)/doc.
+    # Grams are md5 digests parsed to 60-bit ints (the same portable
+    # parse as minhash): the frequency filter and join then shuffle
+    # 8-byte keys instead of 32-char strings, and DuckDB reproduces
+    # the value bit-for-bit. Collisions: |grams|²/2⁶⁰ ≈ 0.
+    grams = F.expr(
+        f"transform(sequence(1, size(_w) - {k} + 1), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', slice(_w, i, {k}))), 1, 15), 16, 10) as bigint))"
+    )
+    occ = (
+        d.withColumn("_w", F.split("text", " "))
+        .filter(F.size("_w") >= k)
+        .withColumn("_g", grams)
+        .select("doc_id", F.posexplode("_g").alias("_p0", "gram"))
+        .select("doc_id", (F.col("_p0") + 1).cast("long").alias("pos"), "gram")
+        # consumed by the frequency filter AND the join-back: cache the
+        # positional gram table instead of hashing the corpus twice
+        .persist()
+    )
+    dup_grams = (
+        occ.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("gram")
+    )
+    hits = occ.join(dup_grams, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(
+        flagged.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("_lo"), F.max("pos").alias("_hi"), F.count("*").alias("n_grams"))
+        .select(
+            "doc_id",
+            F.col("_lo").alias("span_start"),
+            (F.col("_hi") + k - 1).alias("span_end"),
+            (F.col("_hi") + k - F.col("_lo")).alias("span_tokens"),
+            "n_grams",
+        ),
+        occ,
+    )
+
+
+_SPAN_GRAM = "CAST(('0x' || substring(md5(concat_ws(' ', " + ", ".join(
+    f"w[i+{r}]" for r in range(DUP_SPAN_K)
+) + ")), 1, 15)) AS BIGINT)"
+SUBSTRING_DUP_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+    [{_SPAN_GRAM} for i in range(1, len(w) - {DUP_SPAN_K} + 2)] AS grams
+  FROM t WHERE len(w) >= {DUP_SPAN_K}
+), occ AS (
+  SELECT doc_id, unnest(grams) AS gram,
+         unnest(range(1, len(grams) + 1)) AS pos
+  FROM g
+), dup AS (
+  SELECT gram FROM occ GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN dup d USING (gram)
+), flagged AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > LAG(pos) OVER w + {DUP_SPAN_K} THEN 1 ELSE 0 END AS new_island
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), numbered AS (
+  SELECT doc_id, pos,
+    SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, MIN(pos) AS span_start,
+       MAX(pos) + {DUP_SPAN_K} - 1 AS span_end,
+       MAX(pos) + {DUP_SPAN_K} - MIN(pos) AS span_tokens,
+       COUNT(*) AS n_grams
+FROM numbered GROUP BY doc_id, island
+"""

@@ -351,3 +351,36 @@ def test_repetition_stats_flags_repetitive_docs(spark, sf_dir):
         assert 1 <= r["top_word_count"] <= r["n_words"]
         assert abs(r["dup_word_ratio"] - (1 - r["n_distinct_words"] / r["n_words"])) < 1e-12
         assert abs(r["top_word_frac"] - r["top_word_count"] / r["n_words"]) < 1e-12
+
+
+def test_substring_dup_spans_crafted(spark):
+    """Two docs sharing one verbatim 12-token run (k=8) must each get
+    exactly one span covering those 12 tokens; unique text gets none."""
+    from datapipe_spark.operators.dedup import substring_dup_spans_frame
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta iota kappa lam mu"),
+            (3, "totally different words " + " ".join(f"u{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in substring_dup_spans_frame(docs, k=8).collect()}
+    assert set(rows) == {1, 2}
+    # doc 1: shared run occupies token positions 3..14 (1-based)
+    assert (rows[1]["span_start"], rows[1]["span_end"], rows[1]["span_tokens"]) == (3, 14, 12)
+    # doc 2: run starts the document, positions 1..12
+    assert (rows[2]["span_start"], rows[2]["span_end"], rows[2]["span_tokens"]) == (1, 12, 12)
+    # 12-token run with k=8 → 5 grams
+    assert rows[1]["n_grams"] == rows[2]["n_grams"] == 5
+
+
+def test_substring_dup_spans_matches_oracle(spark, sf_dir):
+    from datapipe_spark.operators.dedup import (
+        SUBSTRING_DUP_SPANS_SQL,
+        substring_dup_spans,
+    )
+
+    compare_to_oracle(spark, substring_dup_spans, SUBSTRING_DUP_SPANS_SQL, sf_dir)

@@ -84,7 +84,7 @@ def test_no_rowwise_python_in_any_batch_query(spark, sf_dir):
         q.rule_violations, q.daily_completeness_violations,
         q.orphan_lineitems, q.reconciliation,
         dedup.exact_dedup, dedup.ngram_jaccard_pairs, dedup.minhash_dedup,
-        dedup.simhash_dedup,
+        dedup.simhash_dedup, dedup.substring_dup_spans,
         similarity.topk_bruteforce, similarity.embedding_near_dup,
         similarity.topk_ivf,
         textstats.text_stats, textstats.token_profile_by_lang,
@@ -131,6 +131,7 @@ def test_no_plan_cache_leaks_after_pair_operators(spark, sf_dir):
         dedup.ngram_jaccard_pairs,
         dedup.minhash_dedup,
         dedup.dedup_clusters,
+        dedup.substring_dup_spans,
         similarity.embedding_near_dup,
     ):
         fn(spark, sf_dir).count()
