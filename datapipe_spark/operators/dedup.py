@@ -353,34 +353,57 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
-def simhash_dedup(spark: SparkSession, sf_dir: str, max_hamming: int = 7) -> DataFrame:
-    """SimHash near-dup detection: 64-bit shingle-feature simhash,
-    banded Hamming search (8 bands × 8 bits — a pair within Hamming
-    ≤ 7 must agree exactly on ≥ 1 band, by pigeonhole).
+def _band_layout(n_bits: int, n_bands: int = _BANDS) -> list[tuple[int, int]]:
+    """(offset, width) per band: n_bits split into n_bands near-equal
+    disjoint chunks — any such partition keeps the pigeonhole guarantee
+    (Hamming ≤ n_bands-1 ⟹ some band untouched)."""
+    widths = [n_bits // n_bands + (1 if r < n_bits % n_bands else 0) for r in range(n_bands)]
+    offs = [sum(widths[:j]) for j in range(n_bands)]
+    return list(zip(offs, widths))
+
+
+def simhash_dedup(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 7, hash: str = "md5"
+) -> DataFrame:
+    """SimHash near-dup detection: shingle-feature simhash, banded
+    Hamming search (8 disjoint bands — a pair within Hamming ≤ 7 must
+    agree exactly on ≥ 1 band, by pigeonhole).
+
+    ``hash="md5"`` (default): 60-bit simhash from md5 hex parses —
+    engine-portable bit votes, so the whole operator is DuckDB-oracled
+    (``SIMHASH_DEDUP_SQL`` replays votes, packing, bands, and Hamming
+    bit-for-bit). ``hash="xxhash64"``: 64-bit variant, one cheap hash
+    per shingle — the 100 TB path.
 
     Features are word 3-gram shingles (not unigrams): on vocabulary-
     dense corpora unigram bags barely differ between unrelated
     documents, which collapses Hamming separation and explodes band
-    collisions; shingles keep unrelated pairs near Hamming 32.
+    collisions; shingles keep unrelated pairs near mid-range Hamming.
 
-    Linear scan → per-doc 64 conditional sums (codegen'd) → band
+    Linear scan → per-doc conditional bit sums (codegen'd) → band
     bucket join; no all-pairs. Known limitation (documented, tested):
     very short documents flip proportionally more bits per edited
     token, so recall degrades below ~15 tokens — minhash_dedup is the
     recall anchor there.
     """
+    n_bits = 60 if hash == "md5" else 64
+    base = (
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
+        if hash == "md5"
+        else "xxhash64(tok)"
+    )
     d = load_table(spark, sf_dir, "documents")
     # distinct-shingle bit votes in ONE shuffle: explode → hash →
-    # 64 conditional sums (map-side partial agg halves the shuffle).
+    # conditional sums (map-side partial agg halves the shuffle).
     # NOTE a per-document array-fold ("zero shuffle") formulation was
     # tried and rejected: Spark's higher-order array functions execute
     # interpreted (no whole-stage codegen), making the 64-counter fold
     # ~30× slower than these codegen'd conditional aggregates — the
-    # shuffle here carries only 64 longs per doc per map partition.
+    # shuffle here carries only n_bits longs per doc per map partition.
     toks = (
         d.withColumn("_sh", _shingles())
         .select("doc_id", F.explode("_sh").alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select("doc_id", F.expr(base).alias("h"))
     )
     bit_sums = toks.groupBy("doc_id").agg(
         *[
@@ -389,16 +412,17 @@ def simhash_dedup(spark: SparkSession, sf_dir: str, max_hamming: int = 7) -> Dat
                     F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                 ).otherwise(F.lit(-1))
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
-    half = lambda lo: sum(  # noqa: E731 — build 32-bit halves, then pack
-        (F.when(F.col(f"b{i}") > 0, F.lit(1 << (i - lo))).otherwise(F.lit(0)) for i in range(lo, lo + 32)),
+    halfw = n_bits // 2
+    half = lambda lo: sum(  # noqa: E731 — build halves, then pack
+        (F.when(F.col(f"b{i}") > 0, F.lit(1 << (i - lo))).otherwise(F.lit(0)) for i in range(lo, lo + halfw)),
         start=F.lit(0),
     )
     sh = bit_sums.select(
         "doc_id",
-        F.shiftleft(half(32).cast("long"), 32)
+        F.shiftleft(half(halfw).cast("long"), halfw)
         .bitwiseOR(half(0).cast("long"))
         .alias("simhash"),
     )
@@ -408,8 +432,8 @@ def simhash_dedup(spark: SparkSession, sf_dir: str, max_hamming: int = 7) -> Dat
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 8 * j).bitwiseAND(F.lit(255))
-                    for j in range(8)
+                    F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+                    for off, w in _band_layout(n_bits)
                 ]
             )
         ).alias("band_id", "band_val"),
@@ -434,6 +458,48 @@ def simhash_dedup(spark: SparkSession, sf_dir: str, max_hamming: int = 7) -> Dat
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# Oracle replay of the portable (md5, 60-bit) simhash pipeline: same
+# shingles, base-hash parses, bit votes, packing, band layout, and
+# Hamming filter. Bit ops are on positive BIGINTs in both engines.
+_SIMHASH_BANDS_SQL = ", ".join(
+    f"(sim >> {off}) & {(1 << w) - 1}" for off, w in _band_layout(60)
+)
+SIMHASH_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)])
+    ELSE [] END AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), nz AS (
+  SELECT doc_id,
+         [CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) for g in sh] AS hs
+  FROM t WHERE len(sh) > 0
+), votes AS (
+  SELECT doc_id,
+    [list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in hs])
+     for i in range(0, 60)] AS v
+  FROM nz
+), sims AS (
+  SELECT doc_id,
+    list_sum([CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+              for i in range(0, 60)]) AS sim
+  FROM votes
+), bands AS (
+  SELECT doc_id, sim, r.j AS band_id, bkeys[r.j + 1] AS band_key
+  FROM (SELECT doc_id, sim, [{_SIMHASH_BANDS_SQL}] AS bkeys FROM sims),
+       range({_BANDS}) r(j)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 7
+"""
 
 
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:

@@ -140,7 +140,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # DESIGN (nondeterministic loaded_at/batch_id lineage metadata,
     # SURVEY §2 Q4/F13/F14). ---
     "multimodal_features": (multimodal.multimodal_features, None),  # binary plumbing
-    "dedup_simhash": (dedup.simhash_dedup, None),  # engine-hash based: rows-only
+    # oracled past the window (portable md5 variant; replica-checked)
+    "dedup_simhash": (dedup.simhash_dedup, dedup.SIMHASH_DEDUP_SQL),
     "similarity_topk_ivf": (similarity.topk_ivf, None),  # ANN: rows-only (recall-tested)
     "lang_id_ngram": (textstats.lang_id_ngram, None),  # data-derived model: rows-only
     "funnel_daily_approx": (ev.funnel_daily_approx, None),  # A6 HLL scale path: rows-only

@@ -384,3 +384,9 @@ def test_substring_dup_spans_matches_oracle(spark, sf_dir):
     )
 
     compare_to_oracle(spark, substring_dup_spans, SUBSTRING_DUP_SPANS_SQL, sf_dir)
+
+
+def test_dedup_simhash_matches_oracle(spark, sf_dir):
+    from datapipe_spark.operators.dedup import SIMHASH_DEDUP_SQL, simhash_dedup
+
+    compare_to_oracle(spark, simhash_dedup, SIMHASH_DEDUP_SQL, sf_dir)
