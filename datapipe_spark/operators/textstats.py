@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datapipe_spark.sources.tables import load_table
 
@@ -301,4 +302,63 @@ WITH t AS (
 )
 SELECT doc_id, lang, n_tokens, filter_reason, filter_reason = 'kept' AS keep
 FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary builder (tokenizer-training primitive)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 1000
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent whitespace tokens
+    with rank, count, corpus frequency, and cumulative coverage — the
+    table every tokenizer-training / vocab-pruning step starts from
+    ("what fraction of the corpus do the top-N tokens cover?").
+
+    Scale shape: one explode → groupBy(token) count with map-side
+    combine (the only corpus-sized shuffle), then a global top-k
+    (``orderBy.limit`` — Spark plans TakeOrderedAndProject: per-
+    partition heaps of k, no full sort) and a window over the k
+    surviving rows only. Ties broken (count DESC, token ASC) so the
+    head is deterministic and oracle-checkable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n")).first()[0]
+    head = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return head.select(
+        F.row_number().over(w).alias("rank"),
+        "token",
+        "n",
+        (F.col("n") / F.lit(total)).alias("corpus_frac"),
+        (
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.lit(total)
+        ).alias("cum_coverage"),
+    )
+
+
+VOCAB_TOP_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
+), total AS (
+  SELECT SUM(n) AS t FROM counts
+), head AS (
+  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {VOCAB_TOP_K}
+)
+SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, token, n,
+       n / (SELECT t FROM total) AS corpus_frac,
+       SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING)
+         / (SELECT t FROM total) AS cum_coverage
+FROM head WINDOW w AS (ORDER BY n DESC, token)
 """

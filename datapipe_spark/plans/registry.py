@@ -147,9 +147,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "funnel_daily_approx": (ev.funnel_daily_approx, None),  # A6 HLL scale path: rows-only
     "knn_join_ivf": (similarity.knn_join_ivf, None),  # all-pairs kNN: rows-only
     "lineage_orders_raw": (_lineage_orders_raw, None),  # Q4: nondeterministic metadata
-    # oracled but past the window (newest extension — the window's 50
-    # slots are taken; the committed replica sweep hash-checks it)
+    # oracled but past the window (newest extensions — the window's 50
+    # slots are taken; the committed replica sweep hash-checks them)
     "dedup_substring_spans": (dedup.substring_dup_spans, dedup.SUBSTRING_DUP_SPANS_SQL),
+    "vocab_top_tokens": (textstats.vocab_top_tokens, textstats.VOCAB_TOP_TOKENS_SQL),
 }
 
 

@@ -390,3 +390,23 @@ def test_dedup_simhash_matches_oracle(spark, sf_dir):
     from datapipe_spark.operators.dedup import SIMHASH_DEDUP_SQL, simhash_dedup
 
     compare_to_oracle(spark, simhash_dedup, SIMHASH_DEDUP_SQL, sf_dir)
+
+
+def test_vocab_top_tokens_matches_oracle(spark, sf_dir):
+    from datapipe_spark.operators.textstats import (
+        VOCAB_TOP_TOKENS_SQL,
+        vocab_top_tokens,
+    )
+
+    compare_to_oracle(spark, vocab_top_tokens, VOCAB_TOP_TOKENS_SQL, sf_dir)
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    from datapipe_spark.operators.textstats import vocab_top_tokens
+
+    rows = vocab_top_tokens(spark, sf_dir, k=50).orderBy("rank").collect()
+    # tiny-SF vocab can be smaller than k
+    assert 0 < len(rows) <= 50
+    assert all(a["cum_coverage"] <= b["cum_coverage"] for a, b in zip(rows, rows[1:]))
+    assert all(a["n"] >= b["n"] for a, b in zip(rows, rows[1:]))
+    assert 0 < rows[-1]["cum_coverage"] <= 1.0
