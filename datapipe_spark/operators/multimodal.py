@@ -166,7 +166,49 @@ def sample_frames(
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline query (rows-only check):
-    documents → binary payload table → Arrow-batched feature
-    extraction."""
-    return extract_features(with_binary_payload(spark, sf_dir))
+    """End-to-end multimodal pipeline query: documents → binary payload
+    table → Arrow-batched feature extraction, projected to scalar
+    feature columns f0..f3.
+
+    Oracle-checked: the stand-in extractor's byte arithmetic (quartile
+    byte means over the utf-8 payload) is replayed in DuckDB
+    (``MULTIMODAL_FEATURES_SQL``) — every partial sum is an exact
+    integer below 2⁵³, so the final double divisions agree bit-for-bit.
+    That verifies the binary → Arrow batch → Python extractor → typed
+    row plumbing end-to-end, not just that it runs. A real codec swaps
+    into ``decode_media`` with the identical contract.
+    """
+    feats = extract_features(with_binary_payload(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        *[
+            F.element_at("features", i + 1).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
+
+
+def _chunk_avg_sql(i: int) -> str:
+    # python-slice semantics of fake_features: chunk_i = bytes[i*step :
+    # (i+1)*step], falling back to the last `step` bytes when empty;
+    # text is ASCII (asserted in tests), so ascii(char) == byte value
+    return (
+        f"CASE WHEN n = 0 THEN 0.0 "
+        f"WHEN {i} * step < n THEN "
+        f"list_avg([ascii(text[j]) for j in range({i}*step + 1, least(({i}+1)*step, n) + 1)]) "
+        f"ELSE list_avg([ascii(text[j]) for j in range(n - step + 1, n + 1)]) END AS f{i}"
+    )
+
+
+MULTIMODAL_FEATURES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         greatest(octet_length(encode(text)) // {FEATURE_DIM}, 1) AS step
+  FROM documents
+)
+SELECT doc_id, 'text/plain' AS media_type, CAST(n AS BIGINT) AS byte_len,
+       {", ".join(_chunk_avg_sql(i) for i in range(FEATURE_DIM))}
+FROM t
+"""

@@ -410,3 +410,22 @@ def test_vocab_coverage_monotone(spark, sf_dir):
     assert all(a["cum_coverage"] <= b["cum_coverage"] for a, b in zip(rows, rows[1:]))
     assert all(a["n"] >= b["n"] for a, b in zip(rows, rows[1:]))
     assert 0 < rows[-1]["cum_coverage"] <= 1.0
+
+
+def test_multimodal_features_matches_oracle(spark, sf_dir):
+    """The oracle replays fake_features' byte arithmetic on ASCII text;
+    assert the ASCII precondition so a future non-ASCII testdata regen
+    fails loudly here instead of as a silent value drift."""
+    from datapipe_spark.operators.multimodal import (
+        MULTIMODAL_FEATURES_SQL,
+        multimodal_features,
+    )
+    from datapipe_spark.sources.tables import load_table
+
+    non_ascii = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") != F.length("text"))
+        .count()
+    )
+    assert non_ascii == 0, "oracle assumes ASCII text (byte == codepoint)"
+    compare_to_oracle(spark, multimodal_features, MULTIMODAL_FEATURES_SQL, sf_dir)
