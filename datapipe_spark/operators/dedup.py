@@ -227,26 +227,87 @@ def minhash_signatures(docs: DataFrame, hash: str = "md5") -> DataFrame:
     )
 
 
-def minhash_dedup(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD,
-    hash: str = "md5",
-) -> DataFrame:
-    """MinHash+LSH near-dup detection — the scale path.
+def _collapse_exact(docs: DataFrame) -> DataFrame:
+    """Verbatim-copy collapse — the LSH band-bucket skew guard.
 
-    shingle → 32-perm minhash → 8 bands × 4 rows → band-key bucket
-    join → candidate pairs → exact Jaccard verification on candidates
-    only. At 100 TB this is a linear scan plus an equi-join on band
-    keys (no all-pairs anywhere); banding parameters give ≈99 % recall
-    at Jaccard ≥ 0.8 (P(candidate) = 1-(1-s^4)^8).
+    Membership table ``(doc_id, ghash, rep_id, gsz)`` over every doc
+    with ≥ 1 shingle (≥ 3 words — the same population the signature
+    pipelines keep): ``ghash`` is the md5 content hash, ``rep_id`` the
+    min doc_id of the identical-content group, ``gsz`` its size.
 
-    ``hash="md5"`` (default): portable signatures (see
-    ``minhash_signatures``), string band keys, string-set verification
-    — deterministic and DuckDB-oracled (``MINHASH_DEDUP_SQL`` replays
-    the identical pipeline). ``hash="xxhash64"``: 8-byte band keys and
-    int64 verification sets — the cheaper shuffle for the 100 TB path.
+    Why: band-bucket candidate generation is quadratic *within* a
+    bucket, and at 100 TB a boilerplate mega-cluster (1M verbatim
+    copies of a license header) puts one band key on every copy —
+    ~10¹² candidate pairs from a single bucket. Identical texts have
+    *identical* signatures, so running LSH on one representative per
+    distinct content is output-equivalent: rep-pair candidates project
+    exactly onto member-pair candidates, within-group pairs are known
+    (similarity 1.0 / Hamming 0) without any bucket join, and a
+    verbatim mega-cluster contributes exactly ONE row to the band
+    join. One shuffle on the content hash (uniform by construction —
+    md5 keys cannot skew).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = minhash_signatures(docs, hash=hash).persist()
+    w = Window.partitionBy("ghash")
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.md5("text").alias("ghash"))
+        .withColumn("rep_id", F.min("doc_id").over(w))
+        .withColumn("gsz", F.count("*").over(w))
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, mem: DataFrame, score_col: str, exact_score: F.Column
+) -> DataFrame:
+    """Project verified representative-level pairs back onto members
+    and add the known within-group pairs.
+
+    Cross-group: every (member of rep_a's group) × (member of rep_b's
+    group) pair carries the rep pair's score unchanged (identical
+    texts ⟹ identical shingle sets / simhash). Within-group: all
+    ``gsz·(gsz-1)/2`` ordered pairs at ``exact_score``. Both are
+    output-sized joins — no candidate blow-up, no verification cost.
+    """
+    ma = mem.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("_da"))
+    mb = mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("_db"))
+    cross = (
+        rep_pairs.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            F.col(score_col),
+        )
+    )
+    grp = mem.filter(F.col("gsz") > 1)
+    g1 = grp.select("ghash", F.col("doc_id").alias("_da"))
+    g2 = grp.select("ghash", F.col("doc_id").alias("_db"))
+    within = (
+        g1.join(g2, "ghash")
+        .filter(F.col("_da") < F.col("_db"))
+        .select(
+            F.col("_da").alias("doc_a"),
+            F.col("_db").alias("doc_b"),
+            exact_score.alias(score_col),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def minhash_rep_candidates(
+    docs: DataFrame, hash: str = "md5"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Collapse verbatim copies, sign the representatives, and band-join
+    them into candidate pairs. Returns ``(mem, sigs, candidates)`` —
+    ``candidates`` is rep-level ``(rep_a, rep_b)``; ``mem``/``sigs``
+    are persisted (caller releases). Factored out so the skew guard is
+    directly testable: a 10k-copy mega-cluster must contribute one row
+    to the band join, keeping this frame small."""
+    mem = _collapse_exact(docs).persist()
+    reps = docs.join(
+        mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"), "doc_id"
+    )
+    sigs = minhash_signatures(reps, hash=hash).persist()
     # band rows carry ONLY (doc_id, band key): the 8× explode shuffles
     # the band key, not the shingle arrays
     if hash == "md5":
@@ -277,13 +338,49 @@ def minhash_dedup(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["rep_a", "rep_b"])
     )
-    # exact-jaccard verification only for surviving candidates — on the
-    # raw shingle strings in portable mode (byte-identical to the
+    return mem, sigs, candidates
+
+
+def minhash_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+    hash: str = "md5",
+) -> DataFrame:
+    """MinHash+LSH near-dup detection — the scale path.
+
+    verbatim-copy collapse (``_collapse_exact`` — the bucket-skew
+    guard) → shingle → 32-perm minhash → 8 bands × 4 rows → band-key
+    bucket join over *representatives* → candidate pairs → exact
+    Jaccard verification on candidates only → member expansion. At
+    100 TB this is a linear scan plus equi-joins (no all-pairs
+    anywhere); banding parameters give ≈99 % recall at Jaccard ≥ 0.8
+    (P(candidate) = 1-(1-s^4)^8), and a verbatim mega-cluster of any
+    size occupies one band-join row instead of going quadratic.
+
+    ``hash="md5"`` (default): portable signatures (see
+    ``minhash_signatures``), string band keys, string-set verification
+    — deterministic and DuckDB-oracled (``MINHASH_DEDUP_SQL`` replays
+    the band join un-collapsed; output is provably identical because
+    identical texts have identical signatures). ``hash="xxhash64"``:
+    8-byte band keys and int64 verification sets — the cheaper shuffle
+    for the 100 TB path.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_dedup_frame(docs, threshold=threshold, hash=hash)
+
+
+def minhash_dedup_frame(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, hash: str = "md5"
+) -> DataFrame:
+    """MinHash+LSH over any ``(doc_id, text)`` frame — see
+    ``minhash_dedup`` for semantics and scale notes."""
+    mem, sigs, candidates = minhash_rep_candidates(docs, hash=hash)
+    # exact-jaccard verification only for surviving rep candidates — on
+    # the raw shingle strings in portable mode (byte-identical to the
     # oracle), on hashed int64 sets in xxhash64 mode (cheaper compare)
     sets = sigs.select(
         "doc_id",
@@ -293,17 +390,19 @@ def minhash_dedup(
         ).alias("hs"),
     )
     verified = candidates.join(
-        sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")), "doc_a"
-    ).join(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")), "doc_b")
+        sets.select(F.col("doc_id").alias("rep_a"), F.col("hs").alias("sh_a")), "rep_a"
+    ).join(sets.select(F.col("doc_id").alias("rep_b"), F.col("hs").alias("sh_b")), "rep_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    rep_pairs = (
+        verified.select("rep_a", "rep_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
     from datapipe_spark.util import materialize_and_release
 
     return materialize_and_release(
-        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold),
-        sigs,
+        _expand_rep_pairs(rep_pairs, mem, "jaccard", F.lit(1.0)), sigs, mem
     )
 
 
@@ -380,19 +479,39 @@ def simhash_dedup(
     documents, which collapses Hamming separation and explodes band
     collisions; shingles keep unrelated pairs near mid-range Hamming.
 
+    Verbatim-copy collapse first (``_collapse_exact`` — the
+    bucket-skew guard shared with minhash_dedup): banding runs over
+    one representative per distinct content, within-group pairs are
+    emitted directly at Hamming 0, and verified rep pairs expand back
+    to members — output-identical (identical texts ⟹ identical
+    simhash), but a boilerplate mega-cluster occupies one band-join
+    row instead of going quadratic in a bucket.
+
     Linear scan → per-doc conditional bit sums (codegen'd) → band
     bucket join; no all-pairs. Known limitation (documented, tested):
     very short documents flip proportionally more bits per edited
     token, so recall degrades below ~15 tokens — minhash_dedup is the
     recall anchor there.
     """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_dedup_frame(d, max_hamming=max_hamming, hash=hash)
+
+
+def simhash_dedup_frame(
+    d: DataFrame, max_hamming: int = 7, hash: str = "md5"
+) -> DataFrame:
+    """SimHash near-dup pairs over any ``(doc_id, text)`` frame — see
+    ``simhash_dedup`` for semantics and scale notes."""
     n_bits = 60 if hash == "md5" else 64
     base = (
         "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
         if hash == "md5"
         else "xxhash64(tok)"
     )
-    d = load_table(spark, sf_dir, "documents")
+    mem = _collapse_exact(d).persist()
+    reps = d.join(
+        mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"), "doc_id"
+    )
     # distinct-shingle bit votes in ONE shuffle: explode → hash →
     # conditional sums (map-side partial agg halves the shuffle).
     # NOTE a per-document array-fold ("zero shuffle") formulation was
@@ -401,7 +520,7 @@ def simhash_dedup(
     # ~30× slower than these codegen'd conditional aggregates — the
     # shuffle here carries only n_bits longs per doc per map partition.
     toks = (
-        d.withColumn("_sh", _shingles())
+        reps.withColumn("_sh", _shingles())
         .select("doc_id", F.explode("_sh").alias("tok"))
         .select("doc_id", F.expr(base).alias("h"))
     )
@@ -440,7 +559,7 @@ def simhash_dedup(
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -448,16 +567,20 @@ def simhash_dedup(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["rep_a", "rep_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(
+        _expand_rep_pairs(rep_pairs, mem, "hamming", F.lit(0)), mem
+    )
 
 
 # Oracle replay of the portable (md5, 60-bit) simhash pipeline: same

@@ -429,3 +429,60 @@ def test_multimodal_features_matches_oracle(spark, sf_dir):
     )
     assert non_ascii == 0, "oracle assumes ASCII text (byte == codepoint)"
     compare_to_oracle(spark, multimodal_features, MULTIMODAL_FEATURES_SQL, sf_dir)
+
+
+def _crafted_corpus(spark, n_copies: int):
+    """n_copies verbatim copies of one boilerplate doc + 50 distinct docs."""
+    boiler = "all work and no play makes jack a dull boy " * 4
+    mega = spark.range(n_copies).select(
+        F.col("id").alias("doc_id"), F.lit(boiler.strip()).alias("text")
+    )
+    uniq = spark.range(50).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("unique"),
+            F.col("id").cast("string"),
+            F.lit("document"),
+            (F.col("id") * 7919 % 997).cast("string"),
+            F.lit("with"),
+            (F.col("id") * 104729 % 991).cast("string"),
+            F.lit("own words"),
+        ).alias("text"),
+    )
+    return mega.unionByName(uniq)
+
+
+def test_lsh_megacluster_bounded_candidates(spark):
+    """The band-bucket skew guard: 10k verbatim copies of one document
+    must contribute exactly ONE representative row to the band join, so
+    candidate generation is bounded by the number of DISTINCT contents
+    (51 here), never by raw doc count — the quadratic-bucket hazard a
+    boilerplate mega-cluster poses at 100 TB."""
+    from datapipe_spark.operators.dedup import minhash_rep_candidates
+
+    docs = _crafted_corpus(spark, 10_000)
+    mem, sigs, cands = minhash_rep_candidates(docs)
+    try:
+        assert sigs.count() == 51  # one signature per distinct content
+        assert cands.count() <= 51 * 50 // 2  # rep-level, not 10k²-level
+    finally:
+        sigs.unpersist()
+        mem.unpersist()
+
+
+def test_lsh_megacluster_full_output_preserved(spark):
+    """The guard must not change WHAT is reported: with 1k verbatim
+    copies the full (output-sized) pair list still comes back — all
+    C(1000,2) within-group pairs at jaccard 1.0 / hamming 0."""
+    from datapipe_spark.operators.dedup import (
+        minhash_dedup_frame,
+        simhash_dedup_frame,
+    )
+
+    docs = _crafted_corpus(spark, 1_000)
+    want = 1_000 * 999 // 2
+    mh = minhash_dedup_frame(docs)
+    assert mh.filter((F.col("doc_a") < 1_000) & (F.col("jaccard") > 0.999)).count() == want
+    sh = simhash_dedup_frame(docs)
+    assert sh.filter((F.col("doc_a") < 1_000) & (F.col("hamming") == 0)).count() == want
