@@ -92,11 +92,17 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 break
     dedup_times = sorted(t for t in dedup_times if t)
-    ingest_rate = (
-        round(n_events / dedup_times[len(dedup_times) // 2], 1)
-        if n_events and dedup_times
-        else None
-    )
+    if dedup_times:
+        m = len(dedup_times)
+        # true median: average the middle two when a repeat run died
+        # and left an even count (indexing m//2 there picks the MAX of
+        # two timings — the opposite bias from the noise this guards)
+        median_t = (
+            dedup_times[m // 2]
+            if m % 2
+            else (dedup_times[m // 2 - 1] + dedup_times[m // 2]) / 2
+        )
+    ingest_rate = round(n_events / median_t, 1) if n_events and dedup_times else None
     out = {
         "metric": "suite_wall_seconds",
         "value": total,

@@ -86,54 +86,68 @@ FROM documents
 _LEN_BAND = 16  # near-dups differ by a few tokens, not rewrites: tight band
 
 
-def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+def _ppjoin_prefixes(
+    d0: DataFrame, threshold: float, freq_order: bool = True
 ) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard within a ±16-char length
-    band — the exactness anchor the probabilistic methods are tested
-    against.
+    """Exploded PPJoin prefix rows ``(doc_id, n_chars, tok)``.
 
-    Candidates come from *prefix filtering* (the PPJoin family): an
-    equi-join on the first ``|A|-⌈θ|A|⌉+1`` sorted shingle hashes of
-    each doc, which is sound for J ≥ θ. At scale this is a shuffle
-    join on shingle hashes whose fan-out is proportional to the number
-    of *true* near-dup pairs, never an all-pairs nested loop; exact
-    Jaccard runs only on surviving candidates.
+    Prefix filtering is sound for ANY global total order over tokens:
+    J(A,B) ≥ θ ⟹ |A∩B| ≥ θ·max(|A|,|B|) ⟹ the first
+    ``|A|-⌈θ|A|⌉+1`` elements of A and ``|B|-⌈θ|B|⌉+1`` of B (in the
+    shared order) intersect. ``freq_order=True`` uses the *canonical*
+    PPJoin order — ascending global document frequency, hash as
+    tie-break — so prefixes carry each document's RAREST shingles:
+    candidate fan-out from boilerplate tokens (df in the thousands at
+    100 TB) collapses, because hot tokens sort to the array tails and
+    never enter a prefix. ``freq_order=False`` keeps the plain hash
+    order (used by tests to measure the reduction).
+
+    Cost of the ordering: one df aggregate over the (distinct) shingle
+    table — map-side-combined, output is O(|vocabulary|) — plus a
+    broadcast join-back and one per-doc ranking window (a shuffle of
+    (doc, df, tok) triples; benched FASTER end-to-end than the
+    shuffle-free hash order at sf0.1, because the candidate join it
+    feeds is ~2× smaller). At 100 TB the df table is filtered to
+    df ≥ 2 before broadcast (df-1 singletons coalesce to 1 on the null
+    side, and singletons dominate real corpora); if the repeated-token
+    table still exceeds the broadcast threshold, the same plan with a
+    shuffle equi-join on ``tok`` is the drop-in fallback.
+
+    ceil(θ·|A|) carries an epsilon guard: when θ·|A| is integral in
+    exact arithmetic (e.g. 0.8×5), float error can push the product
+    just above the integer and make ceil overshoot, shortening the
+    prefix below the sound bound (missed true pairs).
     """
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .withColumn("_sh_str", _shingles())
-        .select(
-            "doc_id",
-            "n_chars",
-            # shingles hashed to int64 and sorted: set-intersection on
-            # longs is ~10× cheaper than on strings, jaccard *counts*
-            # are unchanged (collision odds ~|corpus shingles|²/2⁶⁴≈0),
-            # and the sort gives the canonical order prefix filtering
-            # needs
-            F.array_sort(F.expr("transform(_sh_str, s -> xxhash64(s))")).alias("sh"),
+    if not freq_order:
+        pfx_len = (
+            F.size("sh")
+            - F.ceil(F.lit(threshold) * F.size("sh") - F.lit(1e-9)).cast("int")
+            + 1
         )
-        .filter(F.size("sh") > 0)
-        # consumed by prefix-explode AND exact verification: cache the
-        # hashed shingle sets instead of re-shingling per subtree
-        .persist()
+        return d0.select("doc_id", "n_chars", F.array_sort("_h").alias("sh")).select(
+            "doc_id", "n_chars", F.explode(F.slice("sh", F.lit(1), pfx_len)).alias("tok")
+        )
+    occ = d0.select(
+        "doc_id", "n_chars", F.size("_h").alias("sz"), F.explode("_h").alias("tok")
     )
-    # Prefix filtering (PPJoin): J(A,B) ≥ θ ⟹ |A∩B| ≥ θ·max(|A|,|B|)
-    # ⟹ the first |A|-⌈θ|A|⌉+1 elements of sorted A and the first
-    # |B|-⌈θ|B|⌉+1 of sorted B share ≥1 element. Candidate generation
-    # is an equi-join on those prefix tokens — output-identical to the
-    # all-pairs-in-block form but |candidates| ≈ |true near-dups|.
-    # ceil(θ·|A|) with an epsilon guard: when θ·|A| is integral in exact
-    # arithmetic (e.g. 0.8×5), float error can push the product just
-    # above the integer and make ceil overshoot, shortening the prefix
-    # below the sound |A|-⌈θ|A|⌉+1 bound (missed true pairs)
+    dfs = occ.groupBy("tok").agg(F.count("*").alias("df")).filter(F.col("df") >= 2)
+    w = Window.partitionBy("doc_id").orderBy(F.coalesce("df", F.lit(1)), "tok")
     pfx_len = (
-        F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh") - F.lit(1e-9)).cast("int") + 1
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast("int") + 1
     )
-    prefixes = d.select(
-        "doc_id", "n_chars", F.explode(F.slice("sh", F.lit(1), pfx_len)).alias("tok")
+    return (
+        occ.join(F.broadcast(dfs), "tok", "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= pfx_len)
+        .select("doc_id", "n_chars", "tok")
     )
-    candidates = (
+
+
+def _ppjoin_candidates(prefixes: DataFrame) -> DataFrame:
+    """Candidate pairs from prefix rows: equi-join on prefix tokens +
+    length-band filter. Output-identical to all-pairs-in-block but
+    |candidates| ≈ |true near-dups| when prefixes are freq-ordered."""
+    return (
         prefixes.alias("a")
         .join(
             prefixes.select(
@@ -148,7 +162,54 @@ def ngram_jaccard_pairs(
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = d.select("doc_id", "sh")
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard within a ±16-char length
+    band — the exactness anchor the probabilistic methods are tested
+    against.
+
+    Candidates come from *prefix filtering* (the PPJoin family) with
+    canonical frequency-ascending token order (``_ppjoin_prefixes``):
+    an equi-join on each doc's rarest shingle hashes, sound for J ≥ θ.
+    At scale this is a shuffle join on shingle hashes whose fan-out is
+    proportional to the number of *true* near-dup pairs, never an
+    all-pairs nested loop; exact Jaccard runs only on surviving
+    candidates, over the UNORDERED hashed sets (``array_intersect`` is
+    order-independent), so the final output is invariant to the prefix
+    ordering — the DuckDB oracle needs no df computation.
+    """
+    return ngram_jaccard_pairs_frame(
+        load_table(spark, sf_dir, "documents"), threshold=threshold
+    )
+
+
+def ngram_jaccard_pairs_frame(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, freq_order: bool = True
+) -> DataFrame:
+    """PPJoin n-gram Jaccard over any ``(doc_id, n_chars?, text)``
+    frame — see ``ngram_jaccard_pairs`` for semantics and scale notes."""
+    if "n_chars" not in docs.columns:
+        docs = docs.withColumn("n_chars", F.length("text"))
+    d0 = (
+        docs.withColumn("_sh_str", _shingles())
+        .select(
+            "doc_id",
+            "n_chars",
+            # shingles hashed to int64: set-intersection on longs is
+            # ~10× cheaper than on strings and jaccard *counts* are
+            # unchanged (collision odds ~|corpus shingles|²/2⁶⁴ ≈ 0)
+            F.expr("transform(_sh_str, s -> xxhash64(s))").alias("_h"),
+        )
+        .filter(F.size("_h") > 0)
+        # consumed by the df pass, the prefix explode AND exact
+        # verification: cache the hashed shingle sets once
+        .persist()
+    )
+    candidates = _ppjoin_candidates(_ppjoin_prefixes(d0, threshold, freq_order))
+    sets = d0.select("doc_id", F.col("_h").alias("sh"))
     verified = candidates.join(
         sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a"
     ).join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
@@ -162,7 +223,7 @@ def ngram_jaccard_pairs(
     return materialize_and_release(
         verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold),
-        d,
+        d0,
     )
 
 

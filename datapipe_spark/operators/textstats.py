@@ -115,23 +115,67 @@ FROM t GROUP BY lang
 """
 
 
+LANG_ID_DIM = 4096  # hashed-trigram feature space (collisions ≈ 1/D per pair)
+LANG_ID_TRAIN_DOCS = 128  # per-language training-sample cap (deterministic)
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic n-gram language ID (rows-only check — model weights
-    are data-derived, not SQL-expressible).
+    are data-derived, not SQL-expressible). See ``lang_id_ngram_frame``."""
+    return lang_id_ngram_frame(load_table(spark, sf_dir, "documents"))
 
-    Trains per-language character-trigram centroid profiles from the
-    corpus itself (one 5-key groupBy), broadcasts them, and scores each
-    document by cosine overlap via an Arrow-batched Pandas UDF. Output:
-    per-doc predicted language + match flag against the labeled column.
-    On synthetic testdata (shared vocabulary across langs) accuracy is
-    near-chance; the operator plumbing — train/broadcast/score — is the
-    deliverable and is property-tested.
+
+def lang_id_ngram_frame(d: DataFrame) -> DataFrame:
+    """Train per-language centroids over hashed character trigrams and
+    score every document by cosine against them.
+
+    Feature space: trigram → 24-bit byte code (``b0<<16|b1<<8|b2``)
+    mod ``LANG_ID_DIM``. Training is all JVM-side — a deterministic
+    per-language sample (first ``LANG_ID_TRAIN_DOCS`` doc_ids per
+    lang, ranked over a 2-column pruned projection so the sampling
+    shuffle carries ids, not text) → trigram explode → one groupBy on
+    (lang, dim) — so the driver collects at most L×LANG_ID_DIM rows
+    and the explode touches at most L×LANG_ID_TRAIN_DOCS documents
+    regardless of corpus size (the unhashed full-corpus
+    trigram-vocabulary collect this replaced scales with the corpus;
+    this does not — centroid direction converges long before 128 docs
+    of trigrams per language). Scoring is an Arrow-batched pandas UDF that builds
+    the whole batch's doc×dim count matrix with ONE ``np.bincount``
+    over byte-decoded text (no per-document Python loop) and ranks all
+    languages with one matmul against the stacked, L2-normalized
+    centroid matrix — the per-byte cost is numpy, not interpreter.
+    Ties/zero vectors resolve to the alphabetically first language
+    (argmax-first over the sorted language axis), matching the old
+    scorer's strict-improvement scan.
+
+    Non-ASCII caveat: Python-side byte codes come from latin-1
+    ('replace'), JVM-side dims from ``ascii()`` codepoints — identical
+    for codepoints ≤ 255; beyond that a trigram may train and score in
+    different hash buckets (testdata is ASCII; asserted in tests).
+
+    Output: per-doc predicted language + match flag vs the labeled
+    column. On synthetic testdata (shared vocabulary across langs)
+    accuracy is near-chance; the train/broadcast/score plumbing is the
+    deliverable — crafted disjoint-vocabulary corpora separate
+    perfectly (property-tested).
     """
+    import numpy as np
     import pandas as pd
 
-    d = load_table(spark, sf_dir, "documents")
-    # trigram explode (JVM-side): doc → char 3-grams
-    tri = d.select(
+    dim_expr = F.pmod(
+        F.ascii(F.col("tri")) * 65536
+        + F.ascii(F.substring("tri", 2, 1)) * 256
+        + F.ascii(F.substring("tri", 3, 1)),
+        F.lit(LANG_ID_DIM),
+    )
+    wl = Window.partitionBy("lang").orderBy("doc_id")
+    train_ids = (
+        d.select("lang", "doc_id")
+        .withColumn("_rk", F.row_number().over(wl))
+        .filter(F.col("_rk") <= LANG_ID_TRAIN_DOCS)
+        .select("doc_id")
+    )
+    tri = d.join(train_ids, "doc_id").select(
         "lang",
         F.explode(
             F.expr(
@@ -140,42 +184,53 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tri"),
     )
     profile = (
-        tri.groupBy("lang", "tri")
-        .count()
-        .groupBy("lang")
-        .agg(F.map_from_arrays(F.collect_list("tri"), F.collect_list("count")).alias("prof"))
+        tri.select("lang", dim_expr.alias("dim"))
+        .groupBy("lang", "dim")
+        .agg(F.count("*").alias("n"))
+        .collect()
     )
-    centroids = {
-        r["lang"]: r["prof"] for r in profile.collect()
-    }  # ~5 langs × bounded trigram vocab: safe driver-side broadcast
-    bc = spark.sparkContext.broadcast(centroids)
+    langs = sorted({r["lang"] for r in profile})
+    cmat = np.zeros((len(langs), LANG_ID_DIM))
+    li = {lang: i for i, lang in enumerate(langs)}
+    for r in profile:
+        cmat[li[r["lang"]], r["dim"]] = r["n"]
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cmat /= np.where(norms == 0, 1.0, norms)
+    bc = d.sparkSession.sparkContext.broadcast((langs, cmat))
 
     # note: no type hints — `from __future__ import annotations` turns
     # them into strings pyspark's hint parser rejects
     def _predict(texts):
-        import collections
-        import math
-
-        profs = {
-            lang: (prof, math.sqrt(sum(v * v for v in prof.values())))
-            for lang, prof in bc.value.items()
-        }
-
-        def one(text: str) -> str:
-            grams = collections.Counter(
-                text[i : i + 3] for i in range(max(len(text) - 2, 1))
-            )
-            norm = math.sqrt(sum(v * v for v in grams.values())) or 1.0
-            best_lang, best = None, -1.0
-            for lang in sorted(profs):
-                prof, pnorm = profs[lang]
-                dot = sum(cnt * prof.get(g, 0) for g, cnt in grams.items())
-                score = dot / (norm * pnorm or 1.0)
-                if score > best:
-                    best_lang, best = lang, score
-            return best_lang
-
-        return texts.map(one)
+        langs, cmat = bc.value
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        bufs = [
+            np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8)
+            for t in texts
+        ]
+        lens = np.array([len(b) for b in bufs], dtype=np.int64)
+        starts = np.cumsum(lens) - lens
+        total = np.concatenate(bufs) if lens.sum() else np.zeros(0, np.uint8)
+        # trigram codes at every in-doc position, batch-wide: one
+        # vectorized pass over the concatenated bytes, boundary
+        # positions excluded by construction of the gather index
+        nval = np.maximum(lens - 2, 0)
+        doc_of = np.repeat(np.arange(n), nval)
+        local = np.arange(nval.sum()) - np.repeat(np.cumsum(nval) - nval, nval)
+        pos = local + np.repeat(starts, nval)
+        codes = (
+            (total[pos].astype(np.int64) << 16)
+            | (total[pos + 1].astype(np.int64) << 8)
+            | total[pos + 2].astype(np.int64)
+        ) % LANG_ID_DIM
+        x = np.bincount(
+            doc_of * LANG_ID_DIM + codes, minlength=n * LANG_ID_DIM
+        ).reshape(n, LANG_ID_DIM).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1, keepdims=True)
+        x /= np.where(xn == 0, 1.0, xn)
+        best = np.argmax(x @ cmat.T, axis=1)  # first max = sorted-lang tie-break
+        return pd.Series([langs[i] for i in best])
 
     predict = F.pandas_udf(_predict, "string")
     return d.select(
@@ -331,18 +386,29 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> 
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("n"))
+        # consumed by the grand total AND the top-k head: persist so
+        # the corpus-sized explode+shuffle really runs once (the
+        # docstring's claim) — without it the eager total recomputes
+        # the whole scan for the lazy head
+        .persist()
     )
     total = counts.agg(F.sum("n")).first()[0]
     head = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return head.select(
-        F.row_number().over(w).alias("rank"),
-        "token",
-        "n",
-        (F.col("n") / F.lit(total)).alias("corpus_frac"),
-        (
-            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)) / F.lit(total)
-        ).alias("cum_coverage"),
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(
+        head.select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "n",
+            (F.col("n") / F.lit(total)).alias("corpus_frac"),
+            (
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.lit(total)
+            ).alias("cum_coverage"),
+        ),
+        counts,
     )
 
 
