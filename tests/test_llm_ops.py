@@ -221,10 +221,16 @@ def test_knn_join_shape_and_ordering(spark, sf_dir):
         (F.col("n") > KNN_JOIN_K) | (F.col("n") != F.col("max_rank")) | (F.col("self_hits") > 0)
     )
     assert bad.count() == 0
-    # every vector with a non-singleton cell gets neighbors
-    cells = load_table(spark, sf_dir, "embeddings").groupBy("label").count()
-    expected_q = cells.filter(F.col("count") > 1).agg(F.sum("count")).first()[0]
-    assert knn.select("vec_id").distinct().count() == expected_q
+    # multi-probe (nprobe >= 2): EVERY vector reaches a non-self
+    # neighbor (its second probed cell holds only non-self vectors)
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert knn.select("vec_id").distinct().count() == n_vecs
+    # cell-local nprobe=1 covers a subset of the multi-probe queries
+    from datapipe_spark.operators.similarity import knn_join_ivf as kj
+
+    ids1 = {r["vec_id"] for r in kj(spark, sf_dir, nprobe=1).select("vec_id").distinct().collect()}
+    ids2 = {r["vec_id"] for r in knn.select("vec_id").distinct().collect()}
+    assert ids1 <= ids2
     # rank 1 has the max cosine per query
     r1 = knn.filter(F.col("rank") == 1).select("vec_id", F.col("cosine").alias("c1"))
     mx = knn.groupBy("vec_id").agg(F.max("cosine").alias("cm"))
@@ -240,6 +246,44 @@ def test_knn_join_block_split_equivalence(spark, sf_dir):
     whole = {tuple(r) for r in knn_join_ivf(spark, sf_dir).collect()}
     split = {tuple(r) for r in knn_join_ivf(spark, sf_dir, block_rows=37).collect()}
     assert split == whole
+
+
+def test_knn_join_multiprobe_recall(spark, sf_dir):
+    """Two recall properties of the learned-quantizer multi-probe IVF:
+    (1) strong pairs — the exact embedding_near_dup truth (cos ≥ 0.4;
+    the testdata has NO tighter pairs, so these weakly-correlated
+    points in d=64 noise are the hardest realistic target) must be
+    recovered as kNN neighbors in ≥75% of cases at the default
+    nprobe=4 — far above the ~33% random-coverage baseline
+    (1-(1-npx/nlist)² with npx=4, nlist=22 at sf0.01), i.e. the
+    learned cells genuinely concentrate similar vectors; (2)
+    multi-probe weakly dominates cell-local on exact brute-force
+    top-k over sampled queries."""
+    from datapipe_spark.operators.similarity import (
+        KNN_JOIN_K,
+        embedding_near_dup,
+        knn_join_ivf,
+        topk_bruteforce,
+    )
+
+    knn2 = knn_join_ivf(spark, sf_dir)  # default nprobe
+    got2 = {(r["vec_id"], r["neighbor_id"]) for r in knn2.collect()}
+    strong = [
+        (r["vec_a"], r["vec_b"]) for r in embedding_near_dup(spark, sf_dir).collect()
+    ]
+    assert strong
+    hit = sum(1 for a, b in strong if (a, b) in got2 or (b, a) in got2)
+    assert hit / len(strong) >= 0.75, f"strong-pair recall {hit}/{len(strong)}"
+
+    qids = tuple(range(10))
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(spark, sf_dir, k=KNN_JOIN_K, query_ids=qids).collect()
+    }
+    got1 = {(r["vec_id"], r["neighbor_id"]) for r in knn_join_ivf(spark, sf_dir, nprobe=1).collect()}
+    r1 = len(bf & got1) / len(bf)
+    r2 = len(bf & got2) / len(bf)
+    assert r2 >= r1, (r1, r2)
 
 
 def test_corpus_quality_filter_reasons(spark, sf_dir):
