@@ -19,7 +19,7 @@ from datapipe_spark.plans import events_queries as ev
 from datapipe_spark.plans import incremental as incr
 from datapipe_spark.plans import marts
 from datapipe_spark.plans import quality as q
-from datapipe_spark.sources import datagen
+from datapipe_spark.sources import avro_py, datagen
 from datapipe_spark.streaming import jobs as stream
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -151,6 +151,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # slots are taken; the committed replica sweep hash-checks them)
     "dedup_substring_spans": (dedup.substring_dup_spans, dedup.SUBSTRING_DUP_SPANS_SQL),
     "vocab_top_tokens": (textstats.vocab_top_tokens, textstats.VOCAB_TOP_TOKENS_SQL),
+    # S3 runtime Avro: pure-Python Confluent-framed codec fallback
+    # (no spark-avro jar in this sandbox); oracle = identity SQL, so a
+    # byte-level codec bug surfaces as a value mismatch
+    "cdc_avro_roundtrip": (avro_py.avro_roundtrip, avro_py.AVRO_ROUNDTRIP_SQL),
 }
 
 
