@@ -45,8 +45,14 @@ def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     violations = q.rule_violations(spark, sf_dir)
     counts["rule_violations"] = violations.count()
 
-    # 2-3. spark_batch_job + dbt_run — the marts, no edges between
-    # them: submit concurrently and let the scheduler interleave
+    # 2-4. spark_batch_job + dbt_run + lambda_reconciliation. The four
+    # marts have no edges between them; reconciliation sits after dbt
+    # in the reference's Airflow graph because it compares *deployed*
+    # serving tables, but THIS implementation derives both sides of
+    # the differential from the sources directly (quality.py), so it
+    # has no data edge to the mart writes either — submit all five
+    # from one pool and let the scheduler interleave their jobs (the
+    # same parallelism Airflow gets from independent tasks).
     def _run_mart(item: tuple) -> tuple:
         name, fn = item
         df = fn(spark, sf_dir)
@@ -58,11 +64,14 @@ def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
         df.repartition(8).write.mode("overwrite").parquet(os.path.join(out_dir, name))
         return name, spark.read.parquet(os.path.join(out_dir, name)).count()
 
-    with ThreadPoolExecutor(max_workers=len(_MART_STAGES)) as pool:
-        counts.update(dict(pool.map(_run_mart, _MART_STAGES.items())))
+    def _run_recon(_item=None) -> tuple:
+        return "reconciliation", q.reconciliation(spark, sf_dir).count()
 
-    # 4. lambda_reconciliation — speed-vs-batch differential
-    counts["reconciliation"] = q.reconciliation(spark, sf_dir).count()
+    stages = list(_MART_STAGES.items())
+    with ThreadPoolExecutor(max_workers=len(stages) + 1) as pool:
+        futs = [pool.submit(_run_mart, it) for it in stages]
+        futs.append(pool.submit(_run_recon))
+        counts.update(dict(f.result() for f in futs))
     return counts
 
 
