@@ -574,30 +574,34 @@ def simhash_dedup_frame(
         mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"), "doc_id"
     )
     # distinct-shingle bit votes in ONE shuffle: explode → hash →
-    # conditional sums (map-side partial agg halves the shuffle).
+    # branch-free bit sums (map-side partial agg halves the shuffle).
+    # The ±1 vote per bit is recovered arithmetically: vote_i > 0 ⟺
+    # 2·Σ bit_i > n (strict inequality preserved; ties pack 0, same
+    # as the ±1 formulation) — a plain SUM((h>>i)&1) per bit plus one
+    # COUNT, with no per-row CASE WHEN branch in the hot loop.
     # NOTE a per-document array-fold ("zero shuffle") formulation was
     # tried and rejected: Spark's higher-order array functions execute
     # interpreted (no whole-stage codegen), making the 64-counter fold
-    # ~30× slower than these codegen'd conditional aggregates — the
-    # shuffle here carries only n_bits longs per doc per map partition.
+    # ~30× slower than these codegen'd aggregates — the shuffle here
+    # carries only n_bits longs per doc per map partition.
     toks = (
         reps.withColumn("_sh", _shingles())
         .select("doc_id", F.explode("_sh").alias("tok"))
         .select("doc_id", F.expr(base).alias("h"))
     )
     bit_sums = toks.groupBy("doc_id").agg(
+        F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-            ).alias(f"b{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
             for i in range(n_bits)
-        ]
+        ],
     )
     halfw = n_bits // 2
     half = lambda lo: sum(  # noqa: E731 — build halves, then pack
-        (F.when(F.col(f"b{i}") > 0, F.lit(1 << (i - lo))).otherwise(F.lit(0)) for i in range(lo, lo + halfw)),
+        (
+            F.when(F.col(f"b{i}") * 2 > F.col("_n"), F.lit(1 << (i - lo))).otherwise(F.lit(0))
+            for i in range(lo, lo + halfw)
+        ),
         start=F.lit(0),
     )
     sh = bit_sums.select(

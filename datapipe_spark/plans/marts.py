@@ -30,6 +30,62 @@ def _zero_money():
     return F.lit(0).cast("decimal(18,2)")
 
 
+def _global_cume_dist(
+    df: DataFrame, val_col: str, id_col: str, out_col: str, n_buckets: int = 32
+) -> DataFrame:
+    """``CUME_DIST() OVER (ORDER BY val, id)`` without a
+    single-partition global window — the 100 TB-safe formulation.
+
+    A plain unpartitioned window moves EVERY row to one task (Spark
+    warns "No Partition Defined"); fine for thousands of customers,
+    fatal for hundreds of millions. Distributed equivalent, exact for
+    unique ``id``: (1) one tiny action computes ``percentile_approx``
+    bucket boundaries of ``val`` (any boundaries are *correct* — they
+    only balance work; offsets repair whatever split results), (2)
+    rows bucket by boundary comparison (ties on a boundary stay in one
+    bucket, so buckets are contiguous in (val, id) order), (3)
+    row_number within each bucket's window + the broadcast-joined
+    cumulative count of earlier buckets gives the exact global rank;
+    rank/N is CUME_DIST because ``id`` makes the sort key unique.
+    Per-bucket windows parallelize; the counts table is O(n_buckets).
+    """
+    from pyspark.sql import Window
+
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.agg(F.percentile_approx(val_col, qs, 10_000).alias("b")).first()["b"]
+    bounds = sorted(set(bounds or []))
+    bucket = sum(
+        (F.when(F.col(val_col) > F.lit(b), 1).otherwise(0) for b in bounds),
+        start=F.lit(0),
+    )
+    b = df.withColumn("_bkt", bucket)
+    counts = (
+        b.groupBy("_bkt")
+        .agg(F.count("*").alias("_cnt"))
+        .select(
+            "_bkt",
+            (
+                F.sum("_cnt").over(
+                    Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+                )
+            ).alias("_off"),
+            F.sum("_cnt").over(Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )).alias("_tot"),
+        )
+    )
+    w = Window.partitionBy("_bkt").orderBy(F.col(val_col), F.col(id_col))
+    return (
+        b.join(F.broadcast(counts), "_bkt")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) + F.coalesce("_off", F.lit(0))).cast("double")
+            / F.col("_tot"),
+        )
+        .drop("_bkt", "_off", "_tot")
+    )
+
+
 def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized orders: event date + exact money amount."""
     return load_table(spark, sf_dir, "orders").select(
@@ -303,7 +359,12 @@ FROM per_product
 """
 
 
-def customer_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+GLOBAL_SORT_MAX_ROWS = 1_000_000  # single-task window cutover
+
+
+def customer_analytics(
+    spark: SparkSession, sf_dir: str, distributed_quantiles: bool | None = None
+) -> DataFrame:
     """Customer lifetime analytics with tier assignment.
 
     Reference: ``customer_analytics`` mart (batch design.md:576-614):
@@ -316,8 +377,6 @@ def customer_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Activity flags use the dataset's max order date as "today" so the
     query is deterministic (reference uses current_date, design.md:606).
     """
-    from pyspark.sql import Window
-
     o = _orders_base(spark, sf_dir)
     per_cust = o.groupBy("o_custkey").agg(
         F.count("*").alias("order_count"),
@@ -325,11 +384,39 @@ def customer_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("order_date").alias("first_order_date"),
         F.max("order_date").alias("last_order_date"),
     )
-    anchor = F.max(F.col("last_order_date")).over(Window.partitionBy())
-    spend_dist = F.cume_dist().over(
-        Window.partitionBy().orderBy(F.col("_spent"), F.col("o_custkey"))
-    )
-    enriched = per_cust.select(
+    # The spend CUME_DIST needs a global (val, id) order. A plain
+    # unpartitioned window moves every customer to ONE task — fine for
+    # thousands, fatal for the hundreds of millions a 100 TB corpus
+    # holds. Adaptive cutover ("measure, don't guess"): a parquet
+    # METADATA count of the customer dimension (row-group stats, no
+    # scan) picks the single-window form below GLOBAL_SORT_MAX_ROWS
+    # and the bucketed distributed form (`_global_cume_dist`,
+    # output-identical) above it. Both paths are oracle-checked.
+    if distributed_quantiles is None:
+        distributed_quantiles = (
+            load_table(spark, sf_dir, "customer").count() > GLOBAL_SORT_MAX_ROWS
+        )
+    if distributed_quantiles:
+        # three consumers (quantile boundaries, anchor scalar, ranked
+        # output): checkpoint once so the orders scan+aggregation
+        # doesn't re-run per consumer — blocks are freed by the
+        # ContextCleaner when the result frame is dropped
+        per_cust = per_cust.localCheckpoint(eager=True)
+        ranked = _global_cume_dist(per_cust, "_spent", "o_custkey", "_spend_pct")
+    else:
+        from pyspark.sql import Window
+
+        ranked = per_cust.withColumn(
+            "_spend_pct",
+            F.cume_dist().over(
+                Window.partitionBy().orderBy(F.col("_spent"), F.col("o_custkey"))
+            ),
+        )
+    # dataset anchor date as a broadcast scalar either way (a
+    # global-window MAX would also single-task the big table)
+    anchor_df = per_cust.agg(F.max("last_order_date").alias("_anchor"))
+    anchor = F.col("_anchor")
+    enriched = ranked.crossJoin(F.broadcast(anchor_df)).select(
         F.col("o_custkey").alias("customer_id"),
         "order_count",
         F.col("_spent").cast("double").alias("total_spent"),
@@ -343,7 +430,7 @@ def customer_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(anchor, F.col("last_order_date")).alias("days_since_last_order"),
         (F.datediff(anchor, F.col("last_order_date")) <= 90).alias("is_active_90d"),
         (F.datediff(anchor, F.col("last_order_date")) <= 180).alias("is_active_180d"),
-        spend_dist.alias("_spend_pct"),
+        "_spend_pct",
     )
     tier = (
         F.when(F.col("_spend_pct") <= 0.60, "bronze")

@@ -37,3 +37,22 @@ def test_customer_analytics_tier_distribution(spark, sf_dir):
     }
     assert abs(frac.get("bronze", 0) - 0.60) < 0.05
     assert abs(frac.get("platinum", 0) - 0.03) < 0.03
+
+
+def test_customer_analytics_distributed_quantiles_identical(spark, sf_dir):
+    """The bucketed distributed CUME_DIST (the 100 TB path, chosen
+    automatically above GLOBAL_SORT_MAX_ROWS customers) must be
+    bit-identical to the single-window form."""
+    small = {
+        tuple(r)
+        for r in marts.customer_analytics(
+            spark, sf_dir, distributed_quantiles=False
+        ).collect()
+    }
+    big = {
+        tuple(r)
+        for r in marts.customer_analytics(
+            spark, sf_dir, distributed_quantiles=True
+        ).collect()
+    }
+    assert small == big
