@@ -127,15 +127,43 @@ def test_no_plan_cache_leaks_after_pair_operators(spark, sf_dir):
     spark.catalog.clearCache()
     assert cache_mgr.isEmpty()
 
+    from datapipe_spark.operators import textstats
+    from datapipe_spark.plans import incremental as incr
+
     for fn in (
         dedup.ngram_jaccard_pairs,
         dedup.minhash_dedup,
+        dedup.simhash_dedup,
         dedup.dedup_clusters,
         dedup.substring_dup_spans,
         similarity.embedding_near_dup,
+        similarity.knn_join_ivf,
+        textstats.vocab_top_tokens,
+        incr.incremental_daily_metrics,
     ):
         fn(spark, sf_dir).count()
         assert cache_mgr.isEmpty(), f"{fn.__name__} leaked a plan cache"
+
+
+def test_ppjoin_df_join_broadcasts_and_prefix_window_is_keyed(spark, sf_dir):
+    """The frequency-ordering pass must stay cheap by construction:
+    the document-frequency table joins back via BROADCAST (the df
+    table is O(repeated vocabulary), never corpus-sized), and the
+    ranking window partitions by doc_id — no global sort."""
+    from datapipe_spark.operators.dedup import _ppjoin_candidates, _ppjoin_prefixes, _shingles
+
+    d0 = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("_sh_str", _shingles())
+        .select(
+            "doc_id", "n_chars",
+            F.expr("transform(_sh_str, s -> xxhash64(s))").alias("_h"),
+        )
+        .filter(F.size("_h") > 0)
+    )
+    plan = _plan(spark, _ppjoin_candidates(_ppjoin_prefixes(d0, 0.8)), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(doc_id" in plan
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
