@@ -690,7 +690,12 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 7
 """
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+CC_DRIVER_MAX_EDGES = 2_000_000  # union-find cutover (~32 MB collect)
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, driver_max_edges: int = CC_DRIVER_MAX_EDGES
+) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a
     near-dup pair graph by iterative min-label propagation (the
     standard large-graph approach — each round, every node adopts the
@@ -702,6 +707,15 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     groupBy-min shuffle on ids — no driver-side graph. Iterative
     fixpoint loops are exactly what DataFrames + a Python driver loop
     express well; checkpointless because lineage stays k hops deep.
+
+    Adaptive cutover ("measure, don't guess"): the edge count is
+    measured anyway to size the loop's shuffles; when the pair graph
+    fits comfortably on the driver (≤ ``driver_max_edges`` — near-dup
+    graphs are output-sized, usually tiny next to the corpus), a
+    single collect + union-find replaces the multi-job loop, saving
+    O(diameter) Spark rounds of fixed overhead. Both paths are
+    equivalence-tested; the distributed loop remains the path for
+    billion-edge graphs.
     """
     # near-dup pair graphs are far smaller than the corpus (edges ≈
     # true duplicates); size the per-iteration shuffles to the actual
@@ -719,6 +733,29 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .persist()  # count + repartition below both read this once-built cache
     )
     n_edges = undirected.count()
+    if n_edges <= driver_max_edges:
+        rows = undirected.collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r["src"]), find(r["dst"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        spark = pairs.sparkSession
+        out = spark.createDataFrame(
+            sorted((node, find(node)) for node in parent),
+            "doc_id long, canonical_id long",
+        )
+        undirected.unpersist()
+        return out
     # ~1M edges per partition keeps loop tasks meaty without starving
     # parallelism on big graphs; floor of 4 avoids single-task loops.
     # Partitioning by dst pre-aligns the cached edges with the loop's

@@ -278,6 +278,281 @@ KNN_JOIN_K = 5
 KNN_NPROBE = 4  # default probes: ~4/√N of the corpus per query
 
 
+PQ_M = 8  # subspaces (64-dim vectors → 8 dims each)
+PQ_NCODES = 256  # 8-bit codes per subspace → 8 bytes per vector
+
+
+def _pq_codebooks(e: DataFrame, m: int, ncodes: int, sample_cap: int = 4096):
+    """Train PQ sub-codebooks on a deterministic sample of L2-normalized
+    vectors: split the dimension into ``m`` contiguous subspaces, plain
+    Lloyd k-means (``_lloyd``) per subspace. Returns an (m, ncodes_j,
+    sub_dim) list — O(m·ncodes·dim/m) = O(ncodes·dim) floats, broadcastable
+    at any corpus size (the faiss train-on-sample split)."""
+    import numpy as np
+
+    n = e.count()
+    step = max(1, n // sample_cap)
+    rows = (
+        e.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0).select("vec_id", "v").collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x / np.where(xn == 0, 1.0, xn)
+    d = x.shape[1]
+    splits = np.array_split(np.arange(d), m)
+    return [ _lloyd(x[:, idx], ncodes) for idx in splits ], [list(map(int, idx)) for idx in splits]
+
+
+def topk_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    query_ids: tuple[int, ...] = DEFAULT_QUERY_IDS,
+    m: int = PQ_M,
+    ncodes: int = PQ_NCODES,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (the memory-bound 100 TB path): the
+    corpus lives as ``m``-byte PQ codes — 8 bytes/vector vs 512 for
+    raw float64×64 — and queries scan codes with ADC (asymmetric
+    distance computation).
+
+    Train: per-subspace Lloyd codebooks on a deterministic sample
+    (``_pq_codebooks``). Encode: one Arrow-batched ``mapInPandas``
+    pass — per subspace, a ‖x‖²+‖c‖²−2x·c matmul argmin; map-only, no
+    shuffle, output is (vec_id, codes). Search: each query builds an
+    (m × ncodes) inner-product LUT against the broadcast codebooks;
+    a code-scan batch scores all its vectors with ``m`` vectorized
+    gathers + a sum (no per-row Python) and keeps a batch-local
+    shortlist. **Exact re-rank** (the standard PQ refine stage): the
+    per-query ADC shortlist (default 8k candidates) joins back to the
+    raw vectors and exact cosine ranks the final top-k — so
+    quantization error only costs recall when a true neighbor falls
+    outside the shortlist, not on the returned ordering. Exactness
+    anchor (property-tested): when every distinct subvector is a
+    centroid, ADC is lossless and PQ equals brute force even without
+    the refine. At 100 TB compose with IVF cells (probe, ADC within
+    the cell, refine the union) — ``knn_join_ivf`` provides the cell
+    machinery; the refine join touches O(|Q|·shortlist) rows.
+
+    Rows-only check (quantization is data-derived float math);
+    recall vs brute force is property-tested.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).persist()
+    books, splits = _pq_codebooks(e, m, ncodes)
+    bc = spark.sparkContext.broadcast((books, splits))
+
+    code_schema = "vec_id long, codes array<int>"
+
+    def encode(batches):
+        bks, spl = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(xn == 0, 1.0, xn)
+            codes = np.empty((len(x), len(bks)), dtype=np.int32)
+            for j, (c, idx) in enumerate(zip(bks, spl)):
+                sub = x[:, idx]
+                d2 = (
+                    (sub * sub).sum(1, keepdims=True)
+                    + (c * c).sum(1)[None, :]
+                    - 2.0 * (sub @ c.T)
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    codes_df = e.mapInPandas(encode, code_schema)
+
+    q_rows = e.filter(F.col("vec_id").isin(list(query_ids))).collect()
+    luts = {}
+    for r in q_rows:
+        qv = np.asarray(r["v"], dtype=np.float64)
+        qn = np.linalg.norm(qv) or 1.0
+        qv = qv / qn
+        luts[r["vec_id"]] = [c @ qv[idx] for c, idx in zip(books, splits)]
+    # codebooks can have fewer than ncodes entries (distinct-subvector
+    # cap): pad LUT rows to the max width so one ndarray serves all
+    width = max(b.shape[0] for b in books)
+    for qid, lt in luts.items():
+        luts[qid] = np.stack(
+            [
+                np.pad(row, (0, width - len(row)), constant_values=-np.inf)
+                for row in lt
+            ]
+        )
+    bq = spark.sparkContext.broadcast(luts)
+
+    out_schema = "query_id long, neighbor_id long, adc_score double"
+
+    sl = shortlist if shortlist is not None else 8 * k
+
+    def adc_scan(batches):
+        lts = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(np.int64)
+            codes = np.stack(pdf["codes"].to_numpy())
+            outs = []
+            for qid, lut in lts.items():
+                score = np.zeros(len(ids))
+                for j in range(codes.shape[1]):
+                    score += lut[j, codes[:, j]]
+                mask = ids != qid
+                # batch-local prune: keep the shortlist best
+                order = np.lexsort((ids[mask], -score[mask]))[:sl]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[mask][order],
+                            "adc_score": np.round(score[mask][order], 9),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                columns=["query_id", "neighbor_id", "adc_score"]
+            )
+
+    cands = codes_df.mapInPandas(adc_scan, out_schema)
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    short = (
+        cands.withColumn("_ar", F.row_number().over(w_adc))
+        .filter(F.col("_ar") <= sl)
+        .select("query_id", "neighbor_id")
+    )
+    # exact refine: shortlist × raw vectors, cosine on the original
+    # floats — O(|Q|·shortlist) rows through a broadcast-joined query
+    # side and an id-keyed join to the corpus
+    q_df = spark.createDataFrame(
+        [(r["vec_id"], r["v"]) for r in q_rows], "query_id long, qv array<double>"
+    )
+    refined = (
+        short.join(e.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id")
+        .join(F.broadcast(q_df), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine("qv", "v"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")),
+        e,
+    )
+
+
+def semantic_dedup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-level (semantic) dedup clusters: exact cosine
+    near-dup pairs above ``threshold`` → connected components →
+    per-vector canonical assignment + cluster size — the
+    keep-one-per-cluster decision for semantic dedup, mirroring
+    ``dedup_clusters`` on the text side.
+
+    Scale shape: pair generation is the block-matrix
+    ``embedding_near_dup`` (bounded executor memory, no all-pairs
+    shuffle), clustering is iterative min-label propagation sized from
+    the measured edge count (``dedup.connected_components``). Vectors
+    in no near-dup pair are singleton clusters (left-join fill), so
+    output is one row per corpus vector. Fully DuckDB-oracled: the
+    pair SQL is deterministic exact cosine and the closure replays as
+    a recursive CTE.
+    """
+    from datapipe_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup(spark, sf_dir, threshold=threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("canonical_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    full = e.join(comp, "vec_id", "left").select(
+        "vec_id", F.coalesce("canonical_id", "vec_id").alias("canonical_id")
+    )
+    sizes = full.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return full.join(sizes, "canonical_id").select(
+        "vec_id",
+        "canonical_id",
+        "cluster_size",
+        (F.col("vec_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+SEMANTIC_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{EMBEDDING_NEAR_DUP_SQL}
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION
+  SELECT vec_b, vec_a FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+), comp AS (
+  SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id
+), full_assign AS (
+  SELECT v.vec_id, COALESCE(c.canonical_id, v.vec_id) AS canonical_id
+  FROM (SELECT vec_id FROM embeddings) v
+  LEFT JOIN comp c ON c.id = v.vec_id
+), sizes AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM full_assign
+  GROUP BY canonical_id
+)
+SELECT f.vec_id, f.canonical_id, s.cluster_size,
+       f.vec_id <> f.canonical_id AS is_duplicate
+FROM full_assign f JOIN sizes s USING (canonical_id)
+"""
+
+
+def _lloyd(x, k: int, iters: int = 12, spherical: bool = False):
+    """Deterministic Lloyd k-means over a numpy sample: init = first
+    ``k`` distinct rows (lexicographic unique — no RNG), L2 metric via
+    the ‖x‖²+‖c‖²−2x·c matmul form, empty clusters dropped; centroids
+    L2-normalized per round when ``spherical``."""
+    import numpy as np
+
+    uniq = np.unique(x, axis=0)
+    c = uniq[: min(k, len(uniq))].copy()
+    for _ in range(iters):
+        d2 = (
+            (x * x).sum(1, keepdims=True)
+            + (c * c).sum(1)[None, :]
+            - 2.0 * (x @ c.T)
+        )
+        assign = d2.argmin(1)
+        counts = np.bincount(assign, minlength=len(c))
+        newc = np.zeros_like(c)
+        np.add.at(newc, assign, x)
+        keep = counts > 0
+        newc = newc[keep] / counts[keep][:, None]
+        if spherical:
+            nn = np.linalg.norm(newc, axis=1, keepdims=True)
+            newc = newc / np.where(nn == 0, 1.0, nn)
+        c = newc
+    return c
+
+
 def _kmeans_cells(e: DataFrame, nlist: int, sample_cap: int = 4096, iters: int = 8):
     """Learn an IVF coarse quantizer: spherical k-means over a
     deterministic sample, driver-side numpy.

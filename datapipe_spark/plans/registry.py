@@ -155,6 +155,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # (no spark-avro jar in this sandbox); oracle = identity SQL, so a
     # byte-level codec bug surfaces as a value mismatch
     "cdc_avro_roundtrip": (avro_py.avro_roundtrip, avro_py.AVRO_ROUNDTRIP_SQL),
+    # semantic (embedding-level) dedup clusters — exact pair graph +
+    # connected components, oracled end-to-end via recursive CTE
+    "dedup_semantic": (
+        similarity.semantic_dedup_clusters,
+        similarity.SEMANTIC_DEDUP_CLUSTERS_SQL,
+    ),
+    # PQ-compressed ANN (8-byte codes + ADC + exact refine): rows-only
+    # (data-derived quantization); exactness anchor + recall tests
+    "similarity_topk_pq": (similarity.topk_pq, None),
 }
 
 

@@ -176,10 +176,18 @@ def test_connected_components_on_crafted_graph(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
         "doc_a long, doc_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     got = {
         r["doc_id"]: r["canonical_id"] for r in connected_components(pairs).collect()
     }
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert got == want
+    # the distributed min-label loop (the big-graph path) must agree
+    # with the driver union-find cutover exactly
+    dist = {
+        r["doc_id"]: r["canonical_id"]
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert dist == want
 
 
 def test_dedup_clusters_minhash_consistent_with_pairs(spark, sf_dir):
@@ -246,6 +254,99 @@ def test_knn_join_block_split_equivalence(spark, sf_dir):
     whole = {tuple(r) for r in knn_join_ivf(spark, sf_dir).collect()}
     split = {tuple(r) for r in knn_join_ivf(spark, sf_dir, block_rows=37).collect()}
     assert split == whole
+
+
+def test_pq_exact_when_codebook_covers_subvectors(spark, tmp_path):
+    """PQ's correctness anchor: when every distinct subvector is its
+    own centroid (ncodes ≥ distinct sample rows), reconstruction is
+    lossless and the ADC top-k equals brute-force cosine top-k."""
+    import numpy as np
+
+    from datapipe_spark.operators.similarity import topk_bruteforce, topk_pq
+
+    rng = [((i * 2654435761) % 2**32) / 2**32 for i in range(100 * 16)]
+    rows = [
+        (i, [float(rng[i * 16 + j] - 0.5) for j in range(16)], 0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    path = str(tmp_path / "emb")
+    df.write.parquet(path + "/embeddings.parquet")
+
+    bf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_bruteforce(spark, path, k=5, query_ids=(0, 1, 2)).collect()
+    }
+    pq = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in topk_pq(
+            spark, path, k=5, query_ids=(0, 1, 2), m=4, ncodes=128
+        ).collect()
+    }
+    # neighbor SETS per query must match (ranks may swap only on exact
+    # fp ties, which the random corpus doesn't produce)
+    for q in (0, 1, 2):
+        assert {v for (qq, _), v in bf.items() if qq == q} == {
+            v for (qq, _), v in pq.items() if qq == q
+        }
+
+
+def test_pq_recall_and_code_shape(spark, sf_dir):
+    """8-byte codes must recover most of the exact top-k on the real
+    corpus (64-dim near-uniform data, m=8×8 bits), and the code arrays
+    carry exactly m entries in [0, ncodes)."""
+    from datapipe_spark.operators.similarity import (
+        DEFAULT_QUERY_IDS,
+        PQ_M,
+        PQ_NCODES,
+        topk_bruteforce,
+        topk_pq,
+    )
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_bruteforce(spark, sf_dir).collect()
+    }
+    pq_df = topk_pq(spark, sf_dir)
+    pq = {(r["query_id"], r["neighbor_id"]) for r in pq_df.collect()}
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.9, f"PQ recall {recall:.2f}"
+    per_q = pq_df.groupBy("query_id").count().collect()
+    assert {r["query_id"] for r in per_q} == set(DEFAULT_QUERY_IDS)
+
+
+def test_semantic_dedup_clusters_match_oracle(spark, sf_dir):
+    from datapipe_spark.operators.similarity import (
+        SEMANTIC_DEDUP_CLUSTERS_SQL,
+        semantic_dedup_clusters,
+    )
+
+    compare_to_oracle(
+        spark, semantic_dedup_clusters, SEMANTIC_DEDUP_CLUSTERS_SQL, sf_dir
+    )
+
+
+def test_semantic_dedup_covers_every_vector(spark, sf_dir):
+    """One row per corpus vector; paired vectors share canonicals;
+    singletons are their own canonical."""
+    from datapipe_spark.operators.similarity import (
+        embedding_near_dup,
+        semantic_dedup_clusters,
+    )
+    from datapipe_spark.sources.tables import load_table
+
+    out = semantic_dedup_clusters(spark, sf_dir)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == load_table(spark, sf_dir, "embeddings").count()
+    for p in embedding_near_dup(spark, sf_dir).collect():
+        assert rows[p["vec_a"]]["canonical_id"] == rows[p["vec_b"]]["canonical_id"]
+    for r in rows.values():
+        assert (r["cluster_size"] == 1) == (
+            r["canonical_id"] == r["vec_id"] and not r["is_duplicate"]
+            and sum(
+                1 for x in rows.values() if x["canonical_id"] == r["canonical_id"]
+            ) == 1
+        )
 
 
 def test_knn_join_multiprobe_recall(spark, sf_dir):

@@ -45,6 +45,7 @@ def test_tail_rows_only_entries_are_the_documented_ones():
     rows_only = [n for n in names if n not in oracled]
     assert set(rows_only) == {
         "similarity_topk_ivf",
+        "similarity_topk_pq",
         "lang_id_ngram",
         "funnel_daily_approx",
         "knn_join_ivf",
