@@ -197,3 +197,85 @@ SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
   n_tokens > {_PACK_BUDGET} AS is_oversize
 FROM c
 """
+
+
+# target mixture weights per domain/source (relative, integer); any
+# source not named gets the default — corpus mixing reweights crawl
+# skew toward the training recipe
+_MIX_WEIGHTS = {"src0": 30, "src1": 20, "src2": 10}
+_MIX_DEFAULT_W = 5
+
+
+def corpus_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: downsample each ``source`` so the kept
+    corpus matches target mixture weights EXACTLY (the data-recipe
+    step every pretraining run applies to reweight crawl skew).
+
+    The achievable budget is ``T = min_s floor(n_s·W/w_s)`` (the
+    largest total for which no domain's quota exceeds its supply);
+    each domain keeps ``floor(w_s·T/W)`` documents. Selection within
+    a domain is deterministic hash-order: rank by
+    ``(md5(doc_id), doc_id)`` per source and keep the first quota
+    ranks — reproducible across runs AND engines (md5 is
+    bit-identical in DuckDB, so the whole operator is value-oracled;
+    at 100 TB swap in xxhash64 for cheaper ranking). All quota
+    arithmetic is exact: integers through double math far below 2^53.
+
+    Scale shape: one O(sources) count aggregate (broadcast back), one
+    per-source ranking window (keyed shuffle — never a global sort),
+    map-side filter. Output: kept docs with their domain weight and
+    quota.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # per-domain supply: O(domains) rows — collected and turned into
+    # exact integer quotas driver-side (the mixture table is tiny at
+    # any corpus size; the documents themselves never leave executors)
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    w = {s: _MIX_WEIGHTS.get(s, _MIX_DEFAULT_W) for s in counts}
+    big_w = sum(w.values())
+    budget = min(n * big_w // w[s] for s, n in counts.items()) if counts else 0
+    quotas = spark.createDataFrame(
+        [(s, w[s], w[s] * budget // big_w) for s in sorted(counts)],
+        "source string, domain_weight long, domain_quota long",
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("_rk", F.row_number().over(wr))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("_rk") <= F.col("domain_quota"))
+        .select("doc_id", "source", "lang", "n_chars", "domain_weight", "domain_quota")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {wv}" for s, wv in sorted(_MIX_WEIGHTS.items())
+)
+
+CORPUS_MIX_DOMAINS_SQL = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(CASE {_MIX_CASE} ELSE {_MIX_DEFAULT_W} END AS BIGINT) AS w
+  FROM documents GROUP BY source
+), quotas AS (
+  SELECT source, w AS domain_weight,
+    CAST(FLOOR(w * (SELECT MIN(FLOOR(n * (SELECT SUM(w) FROM counts) / w)) FROM counts)
+               / (SELECT SUM(w) FROM counts)) AS BIGINT) AS domain_quota
+  FROM counts
+), ranked AS (
+  SELECT doc_id, source, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.lang, r.n_chars, q.domain_weight, q.domain_quota
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.rk <= q.domain_quota
+"""

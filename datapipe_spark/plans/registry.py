@@ -164,6 +164,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # PQ-compressed ANN (8-byte codes + ADC + exact refine): rows-only
     # (data-derived quantization); exactness anchor + recall tests
     "similarity_topk_pq": (similarity.topk_pq, None),
+    # domain-mixture sampling (exact quotas, hash-order selection)
+    "corpus_mix_domains": (decontam.corpus_mix_domains, decontam.CORPUS_MIX_DOMAINS_SQL),
 }
 
 

@@ -21,6 +21,7 @@ ORACLE_CASES = [
     (decontam.decontaminate, decontam.DECONTAMINATE_SQL),
     (decontam.corpus_sample_stratified, decontam.CORPUS_SAMPLE_STRATIFIED_SQL),
     (decontam.pack_token_budget, decontam.PACK_TOKEN_BUDGET_SQL),
+    (decontam.corpus_mix_domains, decontam.CORPUS_MIX_DOMAINS_SQL),
 ]
 
 
@@ -254,6 +255,41 @@ def test_knn_join_block_split_equivalence(spark, sf_dir):
     whole = {tuple(r) for r in knn_join_ivf(spark, sf_dir).collect()}
     split = {tuple(r) for r in knn_join_ivf(spark, sf_dir, block_rows=37).collect()}
     assert split == whole
+
+
+def test_corpus_mix_hits_exact_quotas(spark, sf_dir):
+    """Every domain's kept count equals floor(w_s·T/W) with T the
+    binding budget — the mixture is exact, not approximate — and the
+    per-domain selection is the deterministic md5-order prefix."""
+    from datapipe_spark.operators.decontam import (
+        _MIX_DEFAULT_W,
+        _MIX_WEIGHTS,
+        corpus_mix_domains,
+    )
+    from datapipe_spark.sources.tables import load_table
+
+    out = corpus_mix_domains(spark, sf_dir)
+    kept = {
+        (r["source"],): r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    counts = {
+        r["source"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    w = {s: _MIX_WEIGHTS.get(s, _MIX_DEFAULT_W) for s in counts}
+    W = sum(w.values())
+    T = min(n * W // w[s] for s, n in counts.items())
+    for s, n in counts.items():
+        want = w[s] * T // W
+        assert kept.get((s,), 0) == want, (s, kept.get((s,)), want)
+    # determinism: two runs select the same doc ids
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in corpus_mix_domains(spark, sf_dir).collect()}
+    assert ids1 == ids2
 
 
 def test_pq_exact_when_codebook_covers_subvectors(spark, tmp_path):
