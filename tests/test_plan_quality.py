@@ -86,7 +86,8 @@ def test_no_rowwise_python_in_any_batch_query(spark, sf_dir):
         dedup.exact_dedup, dedup.ngram_jaccard_pairs, dedup.minhash_dedup,
         dedup.simhash_dedup, dedup.substring_dup_spans,
         similarity.topk_bruteforce, similarity.embedding_near_dup,
-        similarity.topk_ivf,
+        similarity.topk_ivf, similarity.topk_pq,
+        similarity.semantic_dedup_clusters,
         textstats.text_stats, textstats.token_profile_by_lang,
         textstats.lang_id_ngram, textstats.winnow_fingerprints,
         multimodal.multimodal_features,
@@ -183,6 +184,20 @@ def test_stratified_sample_prunes_text_column(spark, sf_dir):
     from datapipe_spark.operators import decontam
 
     plan = _plan(spark, decontam.corpus_sample_stratified(spark, sf_dir))
+    read_schemas = [
+        line.split("ReadSchema:", 1)[1]
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+    assert read_schemas and all("text" not in rs for rs in read_schemas)
+
+
+def test_corpus_mix_prunes_text_column(spark, sf_dir):
+    """Mixture sampling decides on metadata only — the (wide) text
+    column must be pruned from every parquet scan in the plan."""
+    from datapipe_spark.operators import decontam
+
+    plan = _plan(spark, decontam.corpus_mix_domains(spark, sf_dir))
     read_schemas = [
         line.split("ReadSchema:", 1)[1]
         for line in plan.splitlines()
