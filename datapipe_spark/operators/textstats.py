@@ -428,3 +428,71 @@ SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, token, n,
          / (SELECT t FROM total) AS cum_coverage
 FROM head WINDOW w AS (ORDER BY n DESC, token)
 """
+
+
+def tokenize_with_vocab(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Tokenizer application: encode every document against the
+    corpus-derived top-k vocabulary (``vocab_top_tokens`` order:
+    count desc, token asc → vocab id = rank, OOV → 0) — the
+    text→ids step between vocab training and sequence packing.
+
+    Per-doc output: positional id sequence (comma-joined — scalar,
+    driver-canonicalization-safe), token count, OOV count and rate.
+    Scale shape: one token-count aggregate for the vocab head (top-k
+    via TakeOrderedAndProject), then explode → BROADCAST join against
+    the k-row vocab → one doc-keyed regroup shuffle that carries
+    (pos, id) pairs, never the text. Deterministic end-to-end, so the
+    DuckDB oracle replays it value-for-value.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    wv = Window.orderBy(F.col("n").desc(), F.col("token"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+        .select("token", F.row_number().over(wv).alias("vocab_id"))
+    )
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    joined = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("vocab_id", F.lit(0)).alias("tid")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count(F.when(F.col("tid") == 0, 1)).alias("n_unk"),
+        (
+            F.count(F.when(F.col("tid") == 0, 1)).cast("double") / F.count("*")
+        ).alias("unk_rate"),
+        F.concat_ws(
+            ",",
+            F.expr("transform(array_sort(collect_list(struct(pos, tid))), s -> s.tid)"),
+        ).alias("token_ids"),
+    )
+
+
+TOKENIZE_WITH_VOCAB_SQL = f"""
+WITH toks0 AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+         unnest(range(0, len(string_split(text, ' ')))) AS pos
+  FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS n FROM toks0 WHERE token <> '' GROUP BY token
+), vocab AS (
+  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS vocab_id
+  FROM (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT {VOCAB_TOP_K})
+), ids AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, 0) AS tid
+  FROM toks0 t LEFT JOIN vocab v USING (token) WHERE t.token <> ''
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (tid = 0) AS BIGINT) AS n_unk,
+       CAST(COUNT(*) FILTER (tid = 0) AS DOUBLE) / COUNT(*) AS unk_rate,
+       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids
+FROM ids GROUP BY doc_id
+"""

@@ -166,6 +166,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "similarity_topk_pq": (similarity.topk_pq, None),
     # domain-mixture sampling (exact quotas, hash-order selection)
     "corpus_mix_domains": (decontam.corpus_mix_domains, decontam.CORPUS_MIX_DOMAINS_SQL),
+    # tokenizer application: encode docs against the corpus top-k vocab
+    "tokenize_with_vocab": (
+        textstats.tokenize_with_vocab,
+        textstats.TOKENIZE_WITH_VOCAB_SQL,
+    ),
 }
 
 

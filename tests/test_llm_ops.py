@@ -836,3 +836,42 @@ def test_lsh_megacluster_full_output_preserved(spark):
     assert mh.filter((F.col("doc_a") < 1_000) & (F.col("jaccard") > 0.999)).count() == want
     sh = simhash_dedup_frame(docs)
     assert sh.filter((F.col("doc_a") < 1_000) & (F.col("hamming") == 0)).count() == want
+
+
+def test_tokenize_with_vocab_matches_oracle(spark, sf_dir):
+    from datapipe_spark.operators.textstats import (
+        TOKENIZE_WITH_VOCAB_SQL,
+        tokenize_with_vocab,
+    )
+
+    compare_to_oracle(spark, tokenize_with_vocab, TOKENIZE_WITH_VOCAB_SQL, sf_dir)
+
+
+def test_tokenize_roundtrips_in_vocab_tokens(spark, sf_dir):
+    """Documents made ENTIRELY of vocabulary tokens must encode with
+    zero OOV, and id sequences must be positionally faithful (the id
+    at position p decodes back to the token at position p)."""
+    from datapipe_spark.operators.textstats import (
+        tokenize_with_vocab,
+        vocab_top_tokens,
+    )
+    from datapipe_spark.sources.tables import load_table
+
+    vocab = {r["rank"]: r["token"] for r in vocab_top_tokens(spark, sf_dir).collect()}
+    enc = {r["doc_id"]: r for r in tokenize_with_vocab(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: [w for w in r["text"].split(" ") if w]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    checked = 0
+    for doc_id, words in docs.items():
+        r = enc[doc_id]
+        assert r["n_tokens"] == len(words)
+        ids = [int(x) for x in r["token_ids"].split(",")]
+        assert len(ids) == len(words)
+        for w, i in zip(words, ids):
+            if i != 0:
+                assert vocab[i] == w
+                checked += 1
+        assert r["n_unk"] == sum(1 for i in ids if i == 0)
+    assert checked > 1000  # the corpus head-vocab must cover real mass
