@@ -574,32 +574,53 @@ def simhash_dedup_frame(
         mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"), "doc_id"
     )
     # distinct-shingle bit votes in ONE shuffle: explode → hash →
-    # branch-free bit sums (map-side partial agg halves the shuffle).
-    # The ±1 vote per bit is recovered arithmetically: vote_i > 0 ⟺
-    # 2·Σ bit_i > n (strict inequality preserved; ties pack 0, same
-    # as the ±1 formulation) — a plain SUM((h>>i)&1) per bit plus one
-    # COUNT, with no per-row CASE WHEN branch in the hot loop.
+    # branch-free LANE-PACKED bit sums (map-side partial agg halves
+    # the shuffle). Three bit-counters share one 64-bit accumulator in
+    # 20-bit lanes (each lane counts set bits for one simhash bit —
+    # sound for ≤ 2^20 ≈ 1M distinct shingles per document, far above
+    # any real document), so 60/64 bits need 20/22 SUM columns instead
+    # of one per bit — 3× narrower partial-agg/shuffle rows (local
+    # wall time is flat vs the one-column-per-bit form — A/B'd within
+    # noise at sf0.1 — the win is shuffle volume at scale). The ±1
+    # vote per bit is recovered
+    # arithmetically post-agg: vote_i > 0 ⟺ 2·count_i > n (strict
+    # inequality preserved; ties pack 0, same as the ±1 formulation).
     # NOTE a per-document array-fold ("zero shuffle") formulation was
     # tried and rejected: Spark's higher-order array functions execute
     # interpreted (no whole-stage codegen), making the 64-counter fold
-    # ~30× slower than these codegen'd aggregates — the shuffle here
-    # carries only n_bits longs per doc per map partition.
+    # ~30× slower than these codegen'd aggregates.
     toks = (
         reps.withColumn("_sh", _shingles())
         .select("doc_id", F.explode("_sh").alias("tok"))
         .select("doc_id", F.expr(base).alias("h"))
     )
+    _LANE = 20  # bits per packed counter lane
+    groups = [list(range(g, min(g + 3, n_bits))) for g in range(0, n_bits, 3)]
+
+    def _packed(bits: list[int]) -> F.Column:
+        col = F.lit(0).cast("long")
+        for lane, i in enumerate(bits):
+            col = col + F.shiftleft(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long"),
+                lane * _LANE,
+            )
+        return F.sum(col)
+
     bit_sums = toks.groupBy("doc_id").agg(
         F.count("*").alias("_n"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-            for i in range(n_bits)
-        ],
+        *[_packed(bits).alias(f"g{gi}") for gi, bits in enumerate(groups)],
     )
+
+    def _count(i: int) -> F.Column:  # unpack bit i's set-count lane
+        gi, lane = i // 3, i % 3
+        return F.shiftright(F.col(f"g{gi}"), lane * _LANE).bitwiseAND(
+            F.lit((1 << _LANE) - 1)
+        )
+
     halfw = n_bits // 2
     half = lambda lo: sum(  # noqa: E731 — build halves, then pack
         (
-            F.when(F.col(f"b{i}") * 2 > F.col("_n"), F.lit(1 << (i - lo))).otherwise(F.lit(0))
+            F.when(_count(i) * 2 > F.col("_n"), F.lit(1 << (i - lo))).otherwise(F.lit(0))
             for i in range(lo, lo + halfw)
         ),
         start=F.lit(0),
