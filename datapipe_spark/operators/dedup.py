@@ -558,11 +558,37 @@ def simhash_dedup(
     return simhash_dedup_frame(d, max_hamming=max_hamming, hash=hash)
 
 
+SIMHASH_BUCKET_CAP = 256  # band-bucket width guard threshold
+# (oracle-scale max observed width: 14 at sf0.01, 82 at sf0.1 — the
+# guard stays inactive there, so the DuckDB replay needs no guard arm)
+
+
 def simhash_dedup_frame(
-    d: DataFrame, max_hamming: int = 7, hash: str = "md5"
+    d: DataFrame, max_hamming: int = 7, hash: str = "md5",
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-dup pairs over any ``(doc_id, text)`` frame — see
-    ``simhash_dedup`` for semantics and scale notes."""
+    ``simhash_dedup`` for semantics and scale notes.
+
+    **Band-bucket width guard** (the corpus-density hazard): 8 bands
+    over 60/64 bits leave only 7-8 bits per band — ~181/256 buckets —
+    so candidate generation inside a band goes quadratic once the
+    corpus outgrows the keyspace (measured on a 10×-replicated sf0.1:
+    ~55M candidate pairs, 81 s; 30×: ~500M). Buckets wider than
+    ``bucket_cap`` are therefore split into ``ceil(width/cap)``
+    sub-buckets keyed by the ADJACENT band's value: any pair agreeing
+    on both bands lands in the same sub-bucket (and was a candidate
+    via the other band regardless), so the split only drops pairs
+    whose ONLY agreeing band is the over-cap one — under pathological
+    density those are overwhelmingly far pairs, and true near-dups
+    (Hamming ≤ 7 of 60) agree on most bands. The frequency pass is
+    one map-side-combined aggregate over (band, key) rows; sub-bucket
+    assignment is a broadcast join against the (rare) over-cap keys.
+    The guard never activates at oracle scale (max observed bucket at
+    sf0.1 is far below the cap — asserted in tests), so the DuckDB
+    replay needs no guard arm; recall under forced activation is
+    property-tested.
+    """
     n_bits = 60 if hash == "md5" else 64
     base = (
         "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
@@ -625,23 +651,47 @@ def simhash_dedup_frame(
         ),
         start=F.lit(0),
     )
+    # the per-doc simhash table feeds three consumers (band frequency
+    # pass + both sides of the candidate self-join): persist so the
+    # vote aggregation runs once
     sh = bit_sums.select(
         "doc_id",
         F.shiftleft(half(halfw).cast("long"), halfw)
         .bitwiseOR(half(0).cast("long"))
         .alias("simhash"),
+    ).persist()
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in _band_layout(n_bits)
+        ]
     )
-    bands = sh.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
-                    for off, w in _band_layout(n_bits)
-                ]
+    bands0 = (
+        sh.withColumn("_vals", band_arr)
+        .select(
+            "doc_id", "simhash", "_vals",
+            F.posexplode("_vals").alias("band_id", "band_val"),
+        )
+        .withColumn("_adj", F.expr(f"_vals[pmod(band_id + 1, {_BANDS})]"))
+        .drop("_vals")
+    )
+    over_cap = (
+        bands0.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("_bc"))
+        .filter(F.col("_bc") > bucket_cap)
+    )
+    bands = (
+        bands0.join(F.broadcast(over_cap), ["band_id", "band_val"], "left")
+        .withColumn(
+            "sub",
+            F.when(
+                F.col("_bc").isNotNull(),
+                F.pmod(F.col("_adj"), F.ceil(F.col("_bc") / F.lit(bucket_cap))),
             )
-        ).alias("band_id", "band_val"),
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_bc", "_adj")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -650,6 +700,7 @@ def simhash_dedup_frame(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -665,7 +716,7 @@ def simhash_dedup_frame(
     from datapipe_spark.util import materialize_and_release
 
     return materialize_and_release(
-        _expand_rep_pairs(rep_pairs, mem, "hamming", F.lit(0)), mem
+        _expand_rep_pairs(rep_pairs, mem, "hamming", F.lit(0)), mem, sh
     )
 
 

@@ -762,6 +762,45 @@ def test_minhash_signatures_xxhash64_shape(spark, sf_dir):
         assert all(0 <= v < _P for v in sig)
 
 
+def test_simhash_bucket_guard_subset_and_recall(spark, sf_dir):
+    """The band-bucket width guard can only REMOVE candidate pairs
+    (splits partition buckets), never invent them — and under forced
+    activation (cap=8 splits even sf0.01's widest 14-doc buckets) it
+    must keep ≥95% of the unguarded pairs: a near-dup pair agrees on
+    several bands, so losing one split band rarely loses the pair."""
+    from datapipe_spark.operators.dedup import simhash_dedup_frame
+    from datapipe_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    unguarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_dedup_frame(d, bucket_cap=10**9).collect()
+    }
+    forced = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_dedup_frame(d, bucket_cap=8).collect()
+    }
+    assert forced <= unguarded
+    assert len(forced) / len(unguarded) >= 0.95, (len(forced), len(unguarded))
+
+
+def test_simhash_guard_inactive_at_oracle_scale(spark, sf_dir):
+    """The default cap must not alter oracled output: sf0.01's widest
+    band bucket (14 docs) sits far below SIMHASH_BUCKET_CAP, so the
+    guarded and unguarded pair sets are identical."""
+    from datapipe_spark.operators.dedup import simhash_dedup_frame
+    from datapipe_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    default = {
+        tuple(r) for r in simhash_dedup_frame(d).collect()
+    }
+    unguarded = {
+        tuple(r) for r in simhash_dedup_frame(d, bucket_cap=10**9).collect()
+    }
+    assert default == unguarded
+
+
 def test_ppjoin_freq_order_prunes_boilerplate_candidates(spark):
     """Canonical PPJoin token order (global df asc) must shrink the
     candidate set on a boilerplate-heavy corpus — hot shingles sort to
