@@ -290,18 +290,12 @@ def _pq_codebooks(e: DataFrame, m: int, ncodes: int, sample_cap: int = 4096):
     at any corpus size (the faiss train-on-sample split)."""
     import numpy as np
 
-    n = e.count()
-    step = max(1, n // sample_cap)
-    rows = (
-        e.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0).select("vec_id", "v").collect()
+    x = _sample_normalized(e, sample_cap)
+    splits = np.array_split(np.arange(x.shape[1]), m)
+    return (
+        [_lloyd(x[:, idx], ncodes) for idx in splits],
+        [list(map(int, idx)) for idx in splits],
     )
-    rows.sort(key=lambda r: r["vec_id"])
-    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    xn = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x / np.where(xn == 0, 1.0, xn)
-    d = x.shape[1]
-    splits = np.array_split(np.arange(d), m)
-    return [ _lloyd(x[:, idx], ncodes) for idx in splits ], [list(map(int, idx)) for idx in splits]
 
 
 def topk_pq(
@@ -525,15 +519,37 @@ FROM full_assign f JOIN sizes s USING (canonical_id)
 """
 
 
-def _lloyd(x, k: int, iters: int = 12, spherical: bool = False):
-    """Deterministic Lloyd k-means over a numpy sample: init = first
-    ``k`` distinct rows (lexicographic unique — no RNG), L2 metric via
-    the ‖x‖²+‖c‖²−2x·c matmul form, empty clusters dropped; centroids
-    L2-normalized per round when ``spherical``."""
+def _sample_normalized(e: DataFrame, sample_cap: int = 4096):
+    """Deterministic training sample: every ⌈N/cap⌉-th vec_id
+    (pushdown-friendly filter, no RNG), L2-normalized rows sorted by
+    id — the shared train-on-sample step for the IVF quantizer and the
+    PQ codebooks."""
     import numpy as np
 
-    uniq = np.unique(x, axis=0)
-    c = uniq[: min(k, len(uniq))].copy()
+    n = e.count()
+    step = max(1, n // sample_cap)
+    rows = (
+        e.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
+        .select("vec_id", "v")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.where(xn == 0, 1.0, xn)
+
+
+def _lloyd(x, k: int, iters: int = 12, spherical: bool = False, init: str = "unique"):
+    """Deterministic Lloyd k-means over a numpy sample: init = first
+    ``k`` distinct rows (``init="unique"`` — lexicographic, no RNG) or
+    the first ``k`` sample rows in id order (``init="first"``), L2
+    metric via the ‖x‖²+‖c‖²−2x·c matmul form (≡ cosine-argmax when
+    rows and centroids are normalized), empty clusters dropped;
+    centroids L2-normalized per round when ``spherical``."""
+    import numpy as np
+
+    pool = np.unique(x, axis=0) if init == "unique" else x
+    c = pool[: min(k, len(pool))].copy()
     for _ in range(iters):
         d2 = (
             (x * x).sum(1, keepdims=True)
@@ -554,47 +570,20 @@ def _lloyd(x, k: int, iters: int = 12, spherical: bool = False):
 
 
 def _kmeans_cells(e: DataFrame, nlist: int, sample_cap: int = 4096, iters: int = 8):
-    """Learn an IVF coarse quantizer: spherical k-means over a
-    deterministic sample, driver-side numpy.
+    """Learn an IVF coarse quantizer: spherical k-means
+    (``_lloyd(spherical=True, init="first")``) over the shared
+    deterministic sample (``_sample_normalized``), driver-side numpy.
 
     The testdata ``label`` column is geometry-random (within-label
     mean cosine ≈ cross-label), so bucketing by it cannot concentrate
-    neighbors — a real IVF index *learns* its cells. Sample =
-    every ⌈N/sample_cap⌉-th vec_id (deterministic, pushdown-friendly
-    filter); init = first ``nlist`` distinct sample vectors (fixed,
-    no RNG); ``iters`` Lloyd rounds with L2-normalized (spherical)
-    centroid updates; empty cells are dropped. Driver cost is
+    neighbors — a real IVF index *learns* its cells. Driver cost is
     O(sample_cap × nlist × dim) flops and the result is an
     O(nlist × dim) centroid matrix — broadcastable at any corpus
     size. At 100 TB this is exactly the faiss-style train-on-sample /
     assign-distributed split.
     """
-    import numpy as np
-
-    n = e.count()
-    step = max(1, n // sample_cap)
-    sample = (
-        e.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0)
-        .select("vec_id", "v")
-        .collect()
-    )
-    sample.sort(key=lambda r: r["vec_id"])
-    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
-    xn = np.linalg.norm(x, axis=1, keepdims=True)
-    x = x / np.where(xn == 0, 1.0, xn)
-    k = min(nlist, len(x))
-    cmat = x[:k].copy()
-    for _ in range(iters):
-        assign = np.argmax(x @ cmat.T, axis=1)
-        newc = np.zeros_like(cmat)
-        counts = np.bincount(assign, minlength=k)
-        np.add.at(newc, assign, x)
-        keep = counts > 0
-        newc = newc[keep]
-        nn = np.linalg.norm(newc, axis=1, keepdims=True)
-        cmat = newc / np.where(nn == 0, 1.0, nn)
-        k = len(cmat)
-    return cmat
+    x = _sample_normalized(e, sample_cap)
+    return _lloyd(x, nlist, iters=iters, spherical=True, init="first")
 
 
 def knn_join_ivf(

@@ -56,10 +56,16 @@ def high_watermark(spark: SparkSession, base: str):
     """P8: ``SELECT MAX(date) FROM this`` over the serving table."""
     path = _table_path(base)
     # cheap local existence probe — the exception-based probe paid a
-    # full (warn-logged) JVM analysis round trip on every first run
+    # full (warn-logged) JVM analysis round trip on every first run.
+    # The read stays guarded: a dir a crashed prior write left behind
+    # (only _temporary/, no committed part files) must mean "first
+    # run", not an aborted pipeline.
     if not os.path.isdir(path):
         return None
-    return spark.read.parquet(path).agg(F.max("order_date")).first()[0]
+    try:
+        return spark.read.parquet(path).agg(F.max("order_date")).first()[0]
+    except Exception:
+        return None
 
 
 PARTITION_FMT = {"year": "yyyy", "month": "yyyy-MM"}

@@ -79,17 +79,51 @@ _PRIM_WRITERS = {
 }
 
 
+_BRANCH_PY_TYPES = {
+    "boolean": (bool,),
+    "int": (int,),
+    "long": (int,),
+    "float": (float, int),
+    "double": (float, int),
+    "string": (str,),
+    "bytes": (bytes, bytearray),
+}
+
+
+def _branch_accepts(typ, v) -> bool:
+    if isinstance(typ, dict):
+        if typ.get("type") == "record":
+            return isinstance(v, dict)
+        typ = typ["type"]  # annotated primitive (logicalType wrapper)
+    ok = _BRANCH_PY_TYPES.get(typ)
+    # bool is an int subclass: keep it out of the numeric branches
+    if ok and isinstance(v, bool):
+        return typ == "boolean"
+    return bool(ok) and isinstance(v, ok)
+
+
 def _write_value(out: bytearray, typ, v) -> None:
     if isinstance(typ, list):  # union — index varint, then the value
         if v is None:
             _write_long(out, typ.index("null"))
             return
-        branch = next(i for i, t in enumerate(typ) if t != "null")
+        # pick the union branch by the value's RUNTIME type — a blind
+        # first-non-null choice mis-encodes any union beyond [null, T]
+        branch = next(
+            (i for i, t in enumerate(typ) if t != "null" and _branch_accepts(t, v)),
+            None,
+        )
+        if branch is None:
+            raise ValueError(f"no union branch in {typ!r} accepts {type(v).__name__}")
         _write_long(out, branch)
         _write_value(out, typ[branch], v)
     elif isinstance(typ, dict) and typ.get("type") == "record":
         for f in typ["fields"]:
             _write_value(out, f["type"], v[f["name"]])
+    elif isinstance(typ, dict):
+        # annotated primitive ({"type": "int", "logicalType": "date"}):
+        # logical types share their base type's byte encoding
+        _PRIM_WRITERS[typ["type"]](out, v)
     else:
         _PRIM_WRITERS[typ](out, v)
 
@@ -105,6 +139,8 @@ def _read_value(buf: bytes, pos: int, typ):
         for f in typ["fields"]:
             rec[f["name"]], pos = _read_value(buf, pos, f["type"])
         return rec, pos
+    if isinstance(typ, dict):  # annotated primitive: base-type bytes
+        return _read_value(buf, pos, typ["type"])
     if typ == "boolean":
         return buf[pos] == 1, pos + 1
     if typ in ("int", "long"):
@@ -153,10 +189,24 @@ _AVRO_FOR_SPARK = {
 }
 
 
+_LOGICAL_FOR_SPARK = {"date": "date", "timestamp-micros": "timestamp"}
+
+
 def _spark_type(typ) -> str:
     if isinstance(typ, list):
         return _spark_type(next(t for t in typ if t != "null"))
+    if isinstance(typ, dict):
+        lt = typ.get("logicalType")
+        if lt in _LOGICAL_FOR_SPARK:
+            return _LOGICAL_FOR_SPARK[lt]
+        return _AVRO_FOR_SPARK[typ["type"]]
     return _AVRO_FOR_SPARK[typ]
+
+
+def _logical_type(typ) -> str | None:
+    if isinstance(typ, list):
+        typ = next(t for t in typ if t != "null")
+    return typ.get("logicalType") if isinstance(typ, dict) else None
 
 
 def _spark_schema(schema: dict) -> str:
@@ -166,7 +216,11 @@ def _spark_schema(schema: dict) -> str:
 def schema_for(df: DataFrame, name: str = "Record", nullable_all: bool = True) -> dict:
     """Derive a flat Avro record schema from a DataFrame's columns
     (primitives only — the CDC payload shape). ``nullable_all`` wraps
-    every field in ``[null, T]``, the registry-friendly default."""
+    every field in ``[null, T]``, the registry-friendly default.
+    Date/timestamp columns carry their Avro logicalType annotations
+    (``date`` / ``timestamp-micros``) so readers — including
+    ``decode_records`` — can restore the logical value; the spec-
+    invalid ``default: null`` is emitted only on nullable fields."""
     from pyspark.sql import types as T
 
     back = {
@@ -177,17 +231,18 @@ def schema_for(df: DataFrame, name: str = "Record", nullable_all: bool = True) -
         T.BooleanType(): "boolean",
         T.StringType(): "string",
         T.BinaryType(): "bytes",
-        T.DateType(): "int",  # Avro date logical type: days since epoch
-        T.TimestampType(): "long",  # timestamp-micros logical type
+        T.DateType(): {"type": "int", "logicalType": "date"},
+        T.TimestampType(): {"type": "long", "logicalType": "timestamp-micros"},
     }
     fields = []
     for f in df.schema.fields:
         t = back.get(f.dataType)
         if t is None:
             raise ValueError(f"no flat Avro mapping for column {f.name}: {f.dataType}")
-        fields.append(
-            {"name": f.name, "type": ["null", t] if nullable_all else t, "default": None}
-        )
+        fld = {"name": f.name, "type": ["null", t] if nullable_all else t}
+        if nullable_all:
+            fld["default"] = None
+        fields.append(fld)
     return {"type": "record", "name": name, "fields": fields}
 
 
@@ -266,14 +321,31 @@ def decode_records(
     wsch, rsch = json.dumps(writer_schema), json.dumps(reader)
 
     def dec(batches):
+        import datetime
+
         w, r = json.loads(wsch), json.loads(rsch)
         rnames = [f["name"] for f in r["fields"]]
         defaults = {f["name"]: f.get("default") for f in r["fields"]}
+        logical = {f["name"]: _logical_type(f["type"]) for f in r["fields"]}
+        epoch = datetime.date(1970, 1, 1)
+
+        def restore(name, v):
+            if v is None:
+                return None
+            lt = logical.get(name)
+            if lt == "date":
+                return epoch + datetime.timedelta(days=v)
+            if lt == "timestamp-micros":
+                return pd.Timestamp(v, unit="us")
+            return v
+
         for pdf in batches:
             rows = []
             for msg in pdf["value"]:
                 _sid, rec = decode_record(bytes(msg), w)
-                rows.append([rec.get(n, defaults.get(n)) for n in rnames])
+                rows.append(
+                    [restore(n, rec.get(n, defaults.get(n))) for n in rnames]
+                )
             yield pd.DataFrame(rows, columns=rnames)
 
     return df.mapInPandas(dec, out_schema)

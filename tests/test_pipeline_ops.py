@@ -179,6 +179,54 @@ def test_avro_py_wire_framing_and_primitives():
     assert body[0:2] == bytes([2, 1])  # union branch 1, zigzag(-1)=1
 
 
+def test_avro_py_logical_types_roundtrip(spark):
+    """Date/timestamp columns must survive encode→decode as logical
+    values (Avro date / timestamp-micros annotations), not raw ints —
+    and the emitted schema must carry the logicalType so external
+    readers can restore them too."""
+    import datetime
+
+    from datapipe_spark.sources.avro_py import (
+        decode_records,
+        encode_records,
+        schema_for,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 2, 29), datetime.datetime(2024, 2, 29, 12, 30, 45, 123456)),
+            (2, None, None),
+        ],
+        "id long, d date, ts timestamp",
+    )
+    schema = schema_for(df, name="L")
+    lts = {f["name"]: f["type"][1] for f in schema["fields"] if f["name"] != "id"}
+    assert lts["d"]["logicalType"] == "date"
+    assert lts["ts"]["logicalType"] == "timestamp-micros"
+    out = {r["id"]: r for r in decode_records(encode_records(df, schema), schema).collect()}
+    assert out[1]["d"] == datetime.date(2024, 2, 29)
+    assert out[1]["ts"] == datetime.datetime(2024, 2, 29, 12, 30, 45, 123456)
+    assert out[2]["d"] is None and out[2]["ts"] is None
+
+
+def test_avro_py_union_branch_by_runtime_type():
+    """Multi-branch unions must pick the branch matching the value's
+    runtime type (a blind first-non-null choice corrupts bytes)."""
+    import pytest as _pytest
+
+    from datapipe_spark.sources.avro_py import decode_record, encode_record
+
+    schema = {
+        "type": "record",
+        "name": "U3",
+        "fields": [{"name": "x", "type": ["null", "long", "string"]}],
+    }
+    for v in (5, "five", None):
+        assert decode_record(encode_record({"x": v}, schema, 1), schema)[1] == {"x": v}
+    with _pytest.raises(ValueError, match="no union branch"):
+        encode_record({"x": 1.5}, schema, 1)
+
+
 def test_avro_py_backward_evolution(spark):
     """BACKWARD rule: bytes written with the OLD schema must decode
     under a reader that added a nullable/defaulted field (filled with
