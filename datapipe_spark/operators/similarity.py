@@ -453,6 +453,196 @@ def topk_pq(
     )
 
 
+def knn_join_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_JOIN_K,
+    block_rows: int = _NEAR_DUP_BLOCK_ROWS,
+    nprobe: int = KNN_NPROBE,
+    m: int = PQ_M,
+    ncodes: int = PQ_NCODES,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """All-pairs kNN join over a PQ-COMPRESSED index — the composition
+    the 100 TB similarity stack actually runs: IVF cells bound WHICH
+    vectors each query scans (``nprobe``/√N of the corpus), PQ codes
+    bound WHAT the scan shuffles and multiplies (``m`` bytes per
+    indexed vector instead of dim×8 — 8 vs 512 here), ADC produces a
+    per-query shortlist, and an exact re-rank on the raw vectors
+    restores true cosine ordering.
+
+    Pipeline: shared IVF front half (``_probe_assignments`` — learned
+    cells, one assignment pass, probe rank 1 = index cell) → index
+    side PQ-encoded in one map-only Arrow pass (the cogroup shuffle
+    then carries codes, not vectors) → per (cell, query-block,
+    index-block) cogroup scores every query against the block's codes
+    with per-batch LUT gathers (m gathers + a sum per query row — no
+    per-row Python, ~m/dim of the raw-matmul flops) and keeps a
+    block-local shortlist → global per-query ADC window → exact
+    cosine refine over O(N·shortlist) (query, neighbor) pairs → final
+    top-k. Quantization error only costs recall when a true neighbor
+    falls outside the ADC shortlist; returned scores and ordering are
+    exact cosine.
+
+    Rows-only check (data-derived quantization); recall is
+    property-tested against the raw-vector ``knn_join_ivf`` at the
+    same nprobe (the IVF probe loss is shared, so the delta isolates
+    PQ shortlist loss).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e, q = _probe_assignments(spark, sf_dir, nprobe)
+    books, splits = _pq_codebooks(e, m, ncodes)
+    width = max(b.shape[0] for b in books)
+    bcb = spark.sparkContext.broadcast((books, splits, width))
+    sl = shortlist if shortlist is not None else 4 * k
+
+    idx_raw = q.filter(F.col("probe") == 1).select("qcell", "vec_id", "v")
+
+    code_schema = "qcell int, vec_id long, codes array<int>"
+
+    def encode(batches):
+        bks, spl, _w = bcb.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(xn == 0, 1.0, xn)
+            codes = np.empty((len(x), len(bks)), dtype=np.int32)
+            for j, (c, idxs) in enumerate(zip(bks, spl)):
+                sub = x[:, idxs]
+                d2 = (
+                    (sub * sub).sum(1, keepdims=True)
+                    + (c * c).sum(1)[None, :]
+                    - 2.0 * (sub @ c.T)
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"qcell": pdf["qcell"], "vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    codes_df = idx_raw.mapInPandas(encode, code_schema)
+
+    # block grid exactly as knn_join_ivf: O(nlist) sizing collects
+    isizes = {
+        r["qcell"]: max(1, -(-r["n"] // block_rows))
+        for r in idx_raw.groupBy("qcell").agg(F.count("*").alias("n")).collect()
+    }
+    qsizes = {
+        r["qcell"]: max(1, -(-r["n"] // block_rows))
+        for r in q.groupBy("qcell").agg(F.count("*").alias("n")).collect()
+    }
+    grid = spark.createDataFrame(
+        [
+            (cell, qb, ib)
+            for cell, inb in isizes.items()
+            for qb in range(qsizes.get(cell, 0))
+            for ib in range(inb)
+        ],
+        "cell int, qb int, ib int",
+    )
+    inb_map = F.create_map(*[F.lit(x) for kv in isizes.items() for x in kv])
+    qnb_map = F.create_map(*[F.lit(x) for kv in qsizes.items() for x in kv])
+    q_side = (
+        q.withColumn("qblk", F.pmod(F.col("vec_id"), qnb_map[F.col("qcell")]).cast("int"))
+        .alias("qa")
+        .join(
+            F.broadcast(grid.alias("gq")),
+            (F.col("qa.qcell") == F.col("gq.cell")) & (F.col("qa.qblk") == F.col("gq.qb")),
+        )
+        .select(
+            F.col("gq.cell").alias("cell"),
+            F.col("gq.qb").alias("qb"),
+            F.col("gq.ib").alias("ib"),
+            F.col("qa.vec_id").alias("vec_id"),
+            F.col("qa.v").alias("v"),
+        )
+    )
+    i_side = (
+        codes_df.withColumn(
+            "iblk", F.pmod(F.col("vec_id"), inb_map[F.col("qcell")]).cast("int")
+        )
+        .alias("ia")
+        .join(
+            F.broadcast(grid.alias("gi")),
+            (F.col("ia.qcell") == F.col("gi.cell")) & (F.col("ia.iblk") == F.col("gi.ib")),
+        )
+        .select(
+            F.col("gi.cell").alias("cell"),
+            F.col("gi.qb").alias("qb"),
+            F.col("gi.ib").alias("ib"),
+            F.col("ia.vec_id").alias("vec_id"),
+            F.col("ia.codes").alias("codes"),
+        )
+    )
+
+    cand_schema = "vec_id long, neighbor_id long, adc double"
+
+    def adc_block(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        bks, spl, w = bcb.value
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=["vec_id", "neighbor_id", "adc"])
+        q_ids = left["vec_id"].to_numpy(np.int64)
+        x = np.stack(left["v"].to_numpy()).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(xn == 0, 1.0, xn)
+        i_ids = right["vec_id"].to_numpy(np.int64)
+        codes = np.stack(right["codes"].to_numpy())
+        score = np.zeros((len(q_ids), len(i_ids)))
+        for j, (c, idxs) in enumerate(zip(bks, spl)):
+            lut = x[:, idxs] @ c.T  # (nq × ncodes_j) inner products
+            score += lut[:, codes[:, j]]
+        score[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        kk = min(sl, score.shape[1])
+        order = np.lexsort((i_ids[None, :].repeat(len(q_ids), 0), -score), axis=1)[:, :kk]
+        vals = np.take_along_axis(score, order, axis=1)
+        keep = np.isfinite(vals)
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(q_ids, kk)[keep.ravel()],
+                "neighbor_id": i_ids[order.ravel()][keep.ravel()],
+                "adc": np.round(vals.ravel()[keep.ravel()], 9),
+            }
+        )
+
+    cands = (
+        q_side.groupBy("cell", "qb", "ib")
+        .cogroup(i_side.groupBy("cell", "qb", "ib"))
+        .applyInPandas(adc_block, cand_schema)
+    )
+    w_adc = Window.partitionBy("vec_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    short = (
+        cands.withColumn("_ar", F.row_number().over(w_adc))
+        .filter(F.col("_ar") <= sl)
+        .select("vec_id", "neighbor_id")
+    )
+    # exact refine: O(N·shortlist) id-keyed joins back to raw vectors
+    refined = (
+        short.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")),
+            "neighbor_id",
+        )
+        .join(e.select("vec_id", F.col("v").alias("qv")), "vec_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(_cosine("qv", "nv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank")),
+        e,
+        q,
+    )
+
+
 def semantic_dedup_clusters(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
@@ -586,6 +776,56 @@ def _kmeans_cells(e: DataFrame, nlist: int, sample_cap: int = 4096, iters: int =
     return _lloyd(x, nlist, iters=iters, spherical=True, init="first")
 
 
+def _probe_assignments(spark: SparkSession, sf_dir: str, nprobe: int):
+    """Shared IVF front half: learn cells (``_kmeans_cells``), then
+    ONE Arrow-batched assignment pass over the corpus emitting every
+    vector's ``nprobe`` nearest cells — probe rank 1 doubles as the
+    index-cell assignment. Returns ``(e, q)``, both persisted
+    (callers release via ``materialize_and_release``): ``e`` is the
+    raw (vec_id, v) corpus, ``q`` the (vec_id, qcell, probe, v)
+    assignment frame."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).persist()
+    n_vecs = e.count()  # sizes nlist; also materializes the cache
+    nlist = max(1, int(math.isqrt(n_vecs)))  # faiss rule of thumb
+    cmat = _kmeans_cells(e, nlist)
+    npr = min(nprobe, len(cmat))
+    bc = spark.sparkContext.broadcast((cmat, npr))
+
+    probe_schema = "vec_id long, qcell int, probe int, v array<double>"
+
+    def assign_probes(batches):
+        cm, npx = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(xn == 0, 1.0, xn)
+            s = x @ cm.T
+            # deterministic (cosine desc, cell asc) probe order
+            cells = np.arange(len(cm), dtype=np.int64)
+            order = np.lexsort((cells[None, :].repeat(len(x), 0), -s), axis=1)[:, :npx]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npx),
+                    "qcell": order.ravel().astype(np.int32),
+                    "probe": np.tile(np.arange(1, npx + 1, dtype=np.int32), n),
+                    "v": pdf["v"].iloc[np.repeat(np.arange(n), npx)].to_numpy(),
+                }
+            )
+
+    q = e.mapInPandas(assign_probes, probe_schema).persist()
+    return e, q
+
+
 def knn_join_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -628,47 +868,9 @@ def knn_join_ivf(
     At 100 TB: embarrassingly parallel across cells × block pairs;
     raise ``nprobe`` for recall, at linearly growing flops.
     """
-    import math
-
-    import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).persist()
-    n_vecs = e.count()  # sizes nlist; also materializes the cache
-    nlist = max(1, int(math.isqrt(n_vecs)))  # faiss rule of thumb
-    cmat = _kmeans_cells(e, nlist)
-    npr = min(nprobe, len(cmat))
-    bc = spark.sparkContext.broadcast((cmat, npr))
-
-    probe_schema = "vec_id long, qcell int, probe int, v array<double>"
-
-    def assign_probes(batches):
-        cm, npx = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            xn = np.linalg.norm(x, axis=1, keepdims=True)
-            x = x / np.where(xn == 0, 1.0, xn)
-            s = x @ cm.T
-            # deterministic (cosine desc, cell asc) probe order
-            cells = np.arange(len(cm), dtype=np.int64)
-            order = np.lexsort((cells[None, :].repeat(len(x), 0), -s), axis=1)[:, :npx]
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), npx),
-                    "qcell": order.ravel().astype(np.int32),
-                    "probe": np.tile(np.arange(1, npx + 1, dtype=np.int32), n),
-                    "v": pdf["v"].iloc[np.repeat(np.arange(n), npx)].to_numpy(),
-                }
-            )
-
-    # one assignment pass serves both roles: probe rank 1 is the
-    # index-cell assignment, ranks 1..nprobe are the query probes
-    q = e.mapInPandas(assign_probes, probe_schema).persist()
+    e, q = _probe_assignments(spark, sf_dir, nprobe)
     idx = q.filter(F.col("probe") == 1).select("qcell", "vec_id", "v")
     # per-cell block counts for BOTH sides: O(nlist) driver rows each
     isizes = {

@@ -171,6 +171,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textstats.tokenize_with_vocab,
         textstats.TOKENIZE_WITH_VOCAB_SQL,
     ),
+    # the composed 100 TB ANN stack: IVF cells × PQ codes × ADC ×
+    # exact refine — rows-only (data-derived quantization)
+    "knn_join_ivfpq": (similarity.knn_join_ivfpq, None),
 }
 
 

