@@ -282,20 +282,59 @@ PQ_M = 8  # subspaces (64-dim vectors → 8 dims each)
 PQ_NCODES = 256  # 8-bit codes per subspace → 8 bytes per vector
 
 
-def _pq_codebooks(e: DataFrame, m: int, ncodes: int, sample_cap: int = 4096):
+def _pq_codebooks(
+    e: DataFrame, m: int, ncodes: int, sample_cap: int = 4096, sample=None
+):
     """Train PQ sub-codebooks on a deterministic sample of L2-normalized
     vectors: split the dimension into ``m`` contiguous subspaces, plain
     Lloyd k-means (``_lloyd``) per subspace. Returns an (m, ncodes_j,
     sub_dim) list — O(m·ncodes·dim/m) = O(ncodes·dim) floats, broadcastable
-    at any corpus size (the faiss train-on-sample split)."""
+    at any corpus size (the faiss train-on-sample split). Pass a
+    precomputed ``_sample_normalized`` matrix as ``sample`` to share the
+    sampling pass with the IVF quantizer."""
     import numpy as np
 
-    x = _sample_normalized(e, sample_cap)
+    x = _sample_normalized(e, sample_cap) if sample is None else sample
     splits = np.array_split(np.arange(x.shape[1]), m)
     return (
         [_lloyd(x[:, idx], ncodes) for idx in splits],
         [list(map(int, idx)) for idx in splits],
     )
+
+
+def _pq_encoder(bc, passthrough: tuple[str, ...] = ()):
+    """The PQ encoding pass shared by ``topk_pq`` and
+    ``knn_join_ivfpq``: one Arrow-batched map over (vec_id, v) rows —
+    per subspace, assign each L2-normalized row's subvector to its
+    nearest codebook centroid via the ‖x‖²+‖c‖²−2x·c matmul argmin.
+    ``bc`` broadcasts (codebooks, subspace column indices);
+    ``passthrough`` columns are carried beside (vec_id, codes)."""
+    import numpy as np
+    import pandas as pd
+
+    def encode(batches):
+        bks, spl = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            x = x / np.where(xn == 0, 1.0, xn)
+            codes = np.empty((len(x), len(bks)), dtype=np.int32)
+            for j, (c, idx) in enumerate(zip(bks, spl)):
+                sub = x[:, idx]
+                d2 = (
+                    (sub * sub).sum(1, keepdims=True)
+                    + (c * c).sum(1)[None, :]
+                    - 2.0 * (sub @ c.T)
+                )
+                codes[:, j] = d2.argmin(1)
+            out = {c: pdf[c] for c in passthrough}
+            out["vec_id"] = pdf["vec_id"]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return encode
 
 
 def topk_pq(
@@ -343,27 +382,7 @@ def topk_pq(
     bc = spark.sparkContext.broadcast((books, splits))
 
     code_schema = "vec_id long, codes array<int>"
-
-    def encode(batches):
-        bks, spl = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            xn = np.linalg.norm(x, axis=1, keepdims=True)
-            x = x / np.where(xn == 0, 1.0, xn)
-            codes = np.empty((len(x), len(bks)), dtype=np.int32)
-            for j, (c, idx) in enumerate(zip(bks, spl)):
-                sub = x[:, idx]
-                d2 = (
-                    (sub * sub).sum(1, keepdims=True)
-                    + (c * c).sum(1)[None, :]
-                    - 2.0 * (sub @ c.T)
-                )
-                codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
-
-    codes_df = e.mapInPandas(encode, code_schema)
+    codes_df = e.mapInPandas(_pq_encoder(bc), code_schema)
 
     q_rows = e.filter(F.col("vec_id").isin(list(query_ids))).collect()
     luts = {}
@@ -492,96 +511,23 @@ def knn_join_ivfpq(
     import numpy as np
     import pandas as pd
 
-    e, q = _probe_assignments(spark, sf_dir, nprobe)
-    books, splits = _pq_codebooks(e, m, ncodes)
-    width = max(b.shape[0] for b in books)
-    bcb = spark.sparkContext.broadcast((books, splits, width))
+    e, q, sample = _probe_assignments(spark, sf_dir, nprobe)
+    books, splits = _pq_codebooks(e, m, ncodes, sample=sample)
+    bcb = spark.sparkContext.broadcast((books, splits))
     sl = shortlist if shortlist is not None else 4 * k
 
     idx_raw = q.filter(F.col("probe") == 1).select("qcell", "vec_id", "v")
 
     code_schema = "qcell int, vec_id long, codes array<int>"
-
-    def encode(batches):
-        bks, spl, _w = bcb.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            xn = np.linalg.norm(x, axis=1, keepdims=True)
-            x = x / np.where(xn == 0, 1.0, xn)
-            codes = np.empty((len(x), len(bks)), dtype=np.int32)
-            for j, (c, idxs) in enumerate(zip(bks, spl)):
-                sub = x[:, idxs]
-                d2 = (
-                    (sub * sub).sum(1, keepdims=True)
-                    + (c * c).sum(1)[None, :]
-                    - 2.0 * (sub @ c.T)
-                )
-                codes[:, j] = d2.argmin(1)
-            yield pd.DataFrame(
-                {"qcell": pdf["qcell"], "vec_id": pdf["vec_id"], "codes": list(codes)}
-            )
-
-    codes_df = idx_raw.mapInPandas(encode, code_schema)
-
-    # block grid exactly as knn_join_ivf: O(nlist) sizing collects
-    isizes = {
-        r["qcell"]: max(1, -(-r["n"] // block_rows))
-        for r in idx_raw.groupBy("qcell").agg(F.count("*").alias("n")).collect()
-    }
-    qsizes = {
-        r["qcell"]: max(1, -(-r["n"] // block_rows))
-        for r in q.groupBy("qcell").agg(F.count("*").alias("n")).collect()
-    }
-    grid = spark.createDataFrame(
-        [
-            (cell, qb, ib)
-            for cell, inb in isizes.items()
-            for qb in range(qsizes.get(cell, 0))
-            for ib in range(inb)
-        ],
-        "cell int, qb int, ib int",
-    )
-    inb_map = F.create_map(*[F.lit(x) for kv in isizes.items() for x in kv])
-    qnb_map = F.create_map(*[F.lit(x) for kv in qsizes.items() for x in kv])
-    q_side = (
-        q.withColumn("qblk", F.pmod(F.col("vec_id"), qnb_map[F.col("qcell")]).cast("int"))
-        .alias("qa")
-        .join(
-            F.broadcast(grid.alias("gq")),
-            (F.col("qa.qcell") == F.col("gq.cell")) & (F.col("qa.qblk") == F.col("gq.qb")),
-        )
-        .select(
-            F.col("gq.cell").alias("cell"),
-            F.col("gq.qb").alias("qb"),
-            F.col("gq.ib").alias("ib"),
-            F.col("qa.vec_id").alias("vec_id"),
-            F.col("qa.v").alias("v"),
-        )
-    )
-    i_side = (
-        codes_df.withColumn(
-            "iblk", F.pmod(F.col("vec_id"), inb_map[F.col("qcell")]).cast("int")
-        )
-        .alias("ia")
-        .join(
-            F.broadcast(grid.alias("gi")),
-            (F.col("ia.qcell") == F.col("gi.cell")) & (F.col("ia.iblk") == F.col("gi.ib")),
-        )
-        .select(
-            F.col("gi.cell").alias("cell"),
-            F.col("gi.qb").alias("qb"),
-            F.col("gi.ib").alias("ib"),
-            F.col("ia.vec_id").alias("vec_id"),
-            F.col("ia.codes").alias("codes"),
-        )
+    codes_df = idx_raw.mapInPandas(_pq_encoder(bcb, ("qcell",)), code_schema)
+    q_side, i_side = _block_grid(
+        spark, q, codes_df, block_rows, "codes", count_src=idx_raw
     )
 
     cand_schema = "vec_id long, neighbor_id long, adc double"
 
     def adc_block(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        bks, spl, w = bcb.value
+        bks, spl = bcb.value
         if left.empty or right.empty:
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "adc"])
         q_ids = left["vec_id"].to_numpy(np.int64)
@@ -759,7 +705,9 @@ def _lloyd(x, k: int, iters: int = 12, spherical: bool = False, init: str = "uni
     return c
 
 
-def _kmeans_cells(e: DataFrame, nlist: int, sample_cap: int = 4096, iters: int = 8):
+def _kmeans_cells(
+    e: DataFrame, nlist: int, sample_cap: int = 4096, iters: int = 8, sample=None
+):
     """Learn an IVF coarse quantizer: spherical k-means
     (``_lloyd(spherical=True, init="first")``) over the shared
     deterministic sample (``_sample_normalized``), driver-side numpy.
@@ -772,7 +720,7 @@ def _kmeans_cells(e: DataFrame, nlist: int, sample_cap: int = 4096, iters: int =
     size. At 100 TB this is exactly the faiss-style train-on-sample /
     assign-distributed split.
     """
-    x = _sample_normalized(e, sample_cap)
+    x = _sample_normalized(e, sample_cap) if sample is None else sample
     return _lloyd(x, nlist, iters=iters, spherical=True, init="first")
 
 
@@ -780,10 +728,12 @@ def _probe_assignments(spark: SparkSession, sf_dir: str, nprobe: int):
     """Shared IVF front half: learn cells (``_kmeans_cells``), then
     ONE Arrow-batched assignment pass over the corpus emitting every
     vector's ``nprobe`` nearest cells — probe rank 1 doubles as the
-    index-cell assignment. Returns ``(e, q)``, both persisted
-    (callers release via ``materialize_and_release``): ``e`` is the
-    raw (vec_id, v) corpus, ``q`` the (vec_id, qcell, probe, v)
-    assignment frame."""
+    index-cell assignment. Returns ``(e, q, sample)`` with ``e`` and
+    ``q`` persisted (callers release via ``materialize_and_release``):
+    ``e`` is the raw (vec_id, v) corpus, ``q`` the (vec_id, qcell,
+    probe, v) assignment frame, and ``sample`` the normalized training
+    matrix (so a PQ consumer can train codebooks without a second
+    sampling pass over the corpus)."""
     import math
 
     import numpy as np
@@ -794,7 +744,8 @@ def _probe_assignments(spark: SparkSession, sf_dir: str, nprobe: int):
     ).persist()
     n_vecs = e.count()  # sizes nlist; also materializes the cache
     nlist = max(1, int(math.isqrt(n_vecs)))  # faiss rule of thumb
-    cmat = _kmeans_cells(e, nlist)
+    sample = _sample_normalized(e)
+    cmat = _kmeans_cells(e, nlist, sample=sample)
     npr = min(nprobe, len(cmat))
     bc = spark.sparkContext.broadcast((cmat, npr))
 
@@ -823,7 +774,83 @@ def _probe_assignments(spark: SparkSession, sf_dir: str, nprobe: int):
             )
 
     q = e.mapInPandas(assign_probes, probe_schema).persist()
-    return e, q
+    return e, q, sample
+
+
+def _block_grid(
+    spark: SparkSession,
+    q: DataFrame,
+    idx: DataFrame,
+    block_rows: int,
+    payload: str,
+    count_src: DataFrame | None = None,
+):
+    """The (cell × query-block × index-block) grid shared by
+    ``knn_join_ivf`` and ``knn_join_ivfpq``: count per-cell rows on
+    both sides (O(nlist) driver rows each), enumerate every
+    (cell, qb, ib) block pair, and replicate each side's rows onto its
+    grid slots via a broadcast join — block ids are computable
+    JVM-side as ``pmod(vec_id, blocks(cell))``, so no extra shuffle is
+    introduced beyond the cogroup's own. ``payload`` names the index
+    side's value column (raw vectors for knn_join_ivf, PQ codes for
+    knn_join_ivfpq). Executor memory per cogroup task stays bounded by
+    two ≤``block_rows``-row blocks regardless of cell skew.
+    ``count_src``: row-identical stand-in for the sizing count when
+    ``idx`` has a derivation pass (PQ encode) not worth running just
+    to count rows per cell."""
+    isizes = {
+        r["qcell"]: max(1, -(-r["n"] // block_rows))
+        for r in (count_src if count_src is not None else idx)
+        .groupBy("qcell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    qsizes = {
+        r["qcell"]: max(1, -(-r["n"] // block_rows))
+        for r in q.groupBy("qcell").agg(F.count("*").alias("n")).collect()
+    }
+    grid = spark.createDataFrame(
+        [
+            (cell, qb, ib)
+            for cell, inb in isizes.items()
+            for qb in range(qsizes.get(cell, 0))
+            for ib in range(inb)
+        ],
+        "cell int, qb int, ib int",
+    )
+    inb_map = F.create_map(*[F.lit(x) for kv in isizes.items() for x in kv])
+    qnb_map = F.create_map(*[F.lit(x) for kv in qsizes.items() for x in kv])
+    q_side = (
+        q.withColumn("qblk", F.pmod(F.col("vec_id"), qnb_map[F.col("qcell")]).cast("int"))
+        .alias("qa")
+        .join(
+            F.broadcast(grid.alias("gq")),
+            (F.col("qa.qcell") == F.col("gq.cell")) & (F.col("qa.qblk") == F.col("gq.qb")),
+        )
+        .select(
+            F.col("gq.cell").alias("cell"),
+            F.col("gq.qb").alias("qb"),
+            F.col("gq.ib").alias("ib"),
+            F.col("qa.vec_id").alias("vec_id"),
+            F.col("qa.v").alias("v"),
+        )
+    )
+    i_side = (
+        idx.withColumn("iblk", F.pmod(F.col("vec_id"), inb_map[F.col("qcell")]).cast("int"))
+        .alias("ia")
+        .join(
+            F.broadcast(grid.alias("gi")),
+            (F.col("ia.qcell") == F.col("gi.cell")) & (F.col("ia.iblk") == F.col("gi.ib")),
+        )
+        .select(
+            F.col("gi.cell").alias("cell"),
+            F.col("gi.qb").alias("qb"),
+            F.col("gi.ib").alias("ib"),
+            F.col("ia.vec_id").alias("vec_id"),
+            F.col(f"ia.{payload}").alias(payload),
+        )
+    )
+    return q_side, i_side
 
 
 def knn_join_ivf(
@@ -870,59 +897,9 @@ def knn_join_ivf(
     """
     import pandas as pd
 
-    e, q = _probe_assignments(spark, sf_dir, nprobe)
+    e, q, _ = _probe_assignments(spark, sf_dir, nprobe)
     idx = q.filter(F.col("probe") == 1).select("qcell", "vec_id", "v")
-    # per-cell block counts for BOTH sides: O(nlist) driver rows each
-    isizes = {
-        r["qcell"]: max(1, -(-r["n"] // block_rows))
-        for r in idx.groupBy("qcell").agg(F.count("*").alias("n")).collect()
-    }
-    qsizes = {
-        r["qcell"]: max(1, -(-r["n"] // block_rows))
-        for r in q.groupBy("qcell").agg(F.count("*").alias("n")).collect()
-    }
-    grid = spark.createDataFrame(
-        [
-            (cell, qb, ib)
-            for cell, inb in isizes.items()
-            for qb in range(qsizes.get(cell, 0))
-            for ib in range(inb)
-        ],
-        "cell int, qb int, ib int",
-    )
-    # block ids must be computable JVM-side: pmod(vec_id, blocks(cell))
-    inb_map = F.create_map(*[F.lit(x) for kv in isizes.items() for x in kv])
-    qnb_map = F.create_map(*[F.lit(x) for kv in qsizes.items() for x in kv])
-    q_side = (
-        q.withColumn("qblk", F.pmod(F.col("vec_id"), qnb_map[F.col("qcell")]).cast("int"))
-        .alias("qa")
-        .join(
-            F.broadcast(grid.alias("gq")),
-            (F.col("qa.qcell") == F.col("gq.cell")) & (F.col("qa.qblk") == F.col("gq.qb")),
-        )
-        .select(
-            F.col("gq.cell").alias("cell"),
-            F.col("gq.qb").alias("qb"),
-            F.col("gq.ib").alias("ib"),
-            F.col("qa.vec_id").alias("vec_id"),
-            F.col("qa.v").alias("v"),
-        )
-    )
-    i_side = (
-        idx.withColumn("iblk", F.pmod(F.col("vec_id"), inb_map[F.col("qcell")]).cast("int"))
-        .alias("ia")
-        .join(
-            F.broadcast(grid.alias("gi")),
-            (F.col("ia.qcell") == F.col("gi.cell")) & (F.col("ia.iblk") == F.col("gi.ib")),
-        )
-        .select(
-            F.col("gi.cell").alias("cell"),
-            F.col("gi.qb").alias("qb"),
-            F.col("gi.ib").alias("ib"),
-            F.col("ia.vec_id").alias("vec_id"),
-            F.col("ia.v").alias("v"),
-        )
-    )
+    q_side, i_side = _block_grid(spark, q, idx, block_rows, "v")
 
     cand_schema = "vec_id long, neighbor_id long, cosine double"
 

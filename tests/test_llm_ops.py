@@ -371,8 +371,13 @@ def test_knn_join_ivfpq_tracks_raw_vector_join(spark, sf_dir):
     pq = {(r["vec_id"], r["neighbor_id"]): r["cosine"] for r in pq_df.collect()}
     overlap = len(ivf.keys() & pq.keys()) / len(ivf)
     assert overlap >= 0.95, f"PQ-vs-raw pair agreement {overlap:.3f}"
+    # the two paths compute cosine differently (BLAS matmul on
+    # pre-normalized rows vs Spark's sequential fold on raw vectors)
+    # and each rounds to 6 decimals independently — a true value near
+    # a 0.5e-6 rounding midpoint can legitimately land one quantum
+    # apart, so compare at the rounding quantum, not exact equality
     for key in ivf.keys() & pq.keys():
-        assert abs(ivf[key] - pq[key]) < 1e-9
+        assert abs(ivf[key] - pq[key]) <= 1.000001e-6
     per_q = pq_df.groupBy("vec_id").agg(
         F.count("*").alias("n"),
         F.max("rank").alias("mr"),

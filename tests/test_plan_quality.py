@@ -139,6 +139,7 @@ def test_no_plan_cache_leaks_after_pair_operators(spark, sf_dir):
         dedup.substring_dup_spans,
         similarity.embedding_near_dup,
         similarity.knn_join_ivf,
+        similarity.knn_join_ivfpq,
         textstats.vocab_top_tokens,
         incr.incremental_daily_metrics,
     ):
