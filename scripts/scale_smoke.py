@@ -12,7 +12,10 @@ scale ~linearly; candidate joins must track true-duplicate counts,
 never corpus².
 
 Usage: python scripts/scale_smoke.py [R ...]   (default: 1 10)
-Prints one JSON line per R with per-op wall seconds.
+       SMOKE_OPS=op1,op2 python scripts/scale_smoke.py 10 30
+Prints one JSON line per R with per-op wall seconds. SMOKE_OPS
+restricts the sweep to the named registry entries (re-smoking one
+operator without paying for the other 25).
 """
 
 from __future__ import annotations
@@ -54,7 +57,13 @@ DOC_OPS = [
     "repetition_stats",
     "decontaminate",
 ]
-EMB_OPS = ["similarity_topk", "similarity_topk_ivf", "similarity_topk_pq", "knn_join_ivf"]
+EMB_OPS = [
+    "similarity_topk",
+    "similarity_topk_ivf",
+    "similarity_topk_pq",
+    "knn_join_ivf",
+    "knn_join_ivfpq",
+]
 QUADRATIC_EMB_OPS = ["embedding_near_dup", "dedup_semantic"]  # run only at R <= 10
 
 
@@ -123,6 +132,9 @@ def main() -> None:
         rows: dict[str, int] = {}
         errors: dict[str, str] = {}
         ops = DOC_OPS + EMB_OPS + (QUADRATIC_EMB_OPS if r <= 10 else [])
+        only = os.environ.get("SMOKE_OPS")
+        if only:
+            ops = [o for o in ops if o in only.split(",")]
         for name in ops:
             t0 = time.perf_counter()
             try:
