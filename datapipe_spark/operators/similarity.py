@@ -607,11 +607,19 @@ def semantic_dedup_clusters(
     pair SQL is deterministic exact cosine and the closure replays as
     a recursive CTE.
     """
-    from datapipe_spark.operators.dedup import connected_components
-
     pairs = embedding_near_dup(spark, sf_dir, threshold=threshold).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
+    return _assign_clusters(spark, sf_dir, pairs)
+
+
+def _assign_clusters(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """Shared back half of the semantic dedups: near-dup edges →
+    connected components → one row per corpus vector with canonical
+    id, cluster size, and the keep/drop flag (singletons filled by
+    left join)."""
+    from datapipe_spark.operators.dedup import connected_components
+
     comp = connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), F.col("canonical_id")
     )
@@ -626,6 +634,36 @@ def semantic_dedup_clusters(
         "cluster_size",
         (F.col("vec_id") != F.col("canonical_id")).alias("is_duplicate"),
     )
+
+
+def semantic_dedup_clusters_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    k: int = KNN_JOIN_K,
+    nprobe: int = KNN_NPROBE,
+) -> DataFrame:
+    """The 100 TB scale path for semantic dedup (SemDeDup-style):
+    near-dup edges come from the ANN all-pairs kNN join
+    (``knn_join_ivf`` — nprobe·Σ|cell|·|queries| flops via learned IVF
+    cells) thresholded at ``threshold``, instead of the exact variant's
+    N² block-matrix pass; the connected-components → canonical
+    assignment back half is shared (``_assign_clusters``).
+
+    Edge-truncation note: kNN keeps each vector's ``k`` STRONGEST
+    neighbors, so a vector with more than ``k`` neighbors above
+    ``threshold`` contributes only its top-``k`` edges — connectivity
+    (what clustering needs) survives far longer than the full edge
+    list, since dense near-dup groups are exactly where redundant
+    edges abound. Rows-only check (ANN recall is data-derived);
+    cluster agreement vs the exact variant is property-tested.
+    """
+    pairs = (
+        knn_join_ivf(spark, sf_dir, k=k, nprobe=nprobe)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("vec_id").alias("doc_a"), F.col("neighbor_id").alias("doc_b"))
+    )
+    return _assign_clusters(spark, sf_dir, pairs)
 
 
 SEMANTIC_DEDUP_CLUSTERS_SQL = f"""

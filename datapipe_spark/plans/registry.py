@@ -174,6 +174,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the composed 100 TB ANN stack: IVF cells × PQ codes × ADC ×
     # exact refine — rows-only (data-derived quantization)
     "knn_join_ivfpq": (similarity.knn_join_ivfpq, None),
+    # SemDeDup-style scale path: ANN kNN edges → connected components
+    # — rows-only (ANN recall is data-derived); cluster agreement vs
+    # the exact dedup_semantic is property-tested
+    "dedup_semantic_ann": (similarity.semantic_dedup_clusters_ann, None),
 }
 
 

@@ -423,6 +423,36 @@ def test_semantic_dedup_covers_every_vector(spark, sf_dir):
         )
 
 
+def test_semantic_dedup_ann_refines_exact_clusters(spark, sf_dir):
+    """The ANN (SemDeDup-style) variant's edges are kNN pairs with
+    EXACT cosine ≥ threshold, i.e. a subset of the exact variant's
+    pair set — so its clustering must be a refinement of the exact
+    clustering: every ANN cluster sits inside one exact cluster, every
+    ANN-flagged duplicate is an exact-flagged duplicate, and (since
+    near-dup groups are edge-dense, truncation to top-k rarely cuts
+    connectivity) it must recover most exact duplicates."""
+    from datapipe_spark.operators.similarity import (
+        semantic_dedup_clusters,
+        semantic_dedup_clusters_ann,
+    )
+
+    exact = {r["vec_id"]: r for r in semantic_dedup_clusters(spark, sf_dir).collect()}
+    ann_df = semantic_dedup_clusters_ann(spark, sf_dir)
+    ann = {r["vec_id"]: r for r in ann_df.collect()}
+    assert set(ann) == set(exact)  # one row per corpus vector
+    for v, r in ann.items():
+        assert r["canonical_id"] <= v  # min-label canonical
+        # refinement: an ANN cluster never spans two exact clusters
+        assert (
+            exact[r["canonical_id"]]["canonical_id"] == exact[v]["canonical_id"]
+        ), f"ANN cluster of {v} bridges exact clusters"
+        if r["is_duplicate"]:
+            assert exact[v]["is_duplicate"]
+    exact_dups = sum(1 for r in exact.values() if r["is_duplicate"])
+    ann_dups = sum(1 for r in ann.values() if r["is_duplicate"])
+    assert ann_dups >= 0.75 * exact_dups, f"{ann_dups}/{exact_dups} duplicates recovered"
+
+
 def test_knn_join_multiprobe_recall(spark, sf_dir):
     """Two recall properties of the learned-quantizer multi-probe IVF:
     (1) strong pairs — the exact embedding_near_dup truth (cos ≥ 0.4;

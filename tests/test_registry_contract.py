@@ -50,5 +50,6 @@ def test_tail_rows_only_entries_are_the_documented_ones():
         "funnel_daily_approx",
         "knn_join_ivf",
         "knn_join_ivfpq",
+        "dedup_semantic_ann",
         "lineage_orders_raw",
     }
