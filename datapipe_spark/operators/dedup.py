@@ -317,6 +317,14 @@ def _collapse_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def _rep_docs(docs, mem):
+    """Filter ``docs`` to one representative row per distinct content
+    (the min-id member of each verbatim-copy group in ``mem``)."""
+    return docs.join(
+        mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"), "doc_id"
+    )
+
+
 def _expand_rep_pairs(
     rep_pairs: DataFrame, mem: DataFrame, score_col: str, exact_score: F.Column
 ) -> DataFrame:
@@ -365,9 +373,7 @@ def minhash_rep_candidates(
     directly testable: a 10k-copy mega-cluster must contribute one row
     to the band join, keeping this frame small."""
     mem = _collapse_exact(docs).persist()
-    reps = docs.join(
-        mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"), "doc_id"
-    )
+    reps = _rep_docs(docs, mem)
     sigs = minhash_signatures(reps, hash=hash).persist()
     # band rows carry ONLY (doc_id, band key): the 8× explode shuffles
     # the band key, not the shingle arrays
@@ -558,36 +564,28 @@ def simhash_dedup(
     return simhash_dedup_frame(d, max_hamming=max_hamming, hash=hash)
 
 
-SIMHASH_BUCKET_CAP = 256  # band-bucket width guard threshold
-# (oracle-scale max observed width: 14 at sf0.01, 82 at sf0.1 — the
-# guard stays inactive there, so the DuckDB replay needs no guard arm)
+def _rep_fingerprints(d: DataFrame, hash: str = "md5"):
+    """Verbatim-collapse + per-representative simhash fingerprints.
+    Returns ``(mem, sh)``: ``mem`` the persisted text-copy membership
+    (caller releases), ``sh`` the lazy (doc_id, simhash) frame over
+    text representatives.
 
-
-def simhash_dedup_frame(
-    d: DataFrame, max_hamming: int = 7, hash: str = "md5",
-    bucket_cap: int = SIMHASH_BUCKET_CAP,
-) -> DataFrame:
-    """SimHash near-dup pairs over any ``(doc_id, text)`` frame — see
-    ``simhash_dedup`` for semantics and scale notes.
-
-    **Band-bucket width guard** (the corpus-density hazard): 8 bands
-    over 60/64 bits leave only 7-8 bits per band — ~181/256 buckets —
-    so candidate generation inside a band goes quadratic once the
-    corpus outgrows the keyspace (measured on a 10×-replicated sf0.1:
-    ~55M candidate pairs, 81 s; 30×: ~500M). Buckets wider than
-    ``bucket_cap`` are therefore split into ``ceil(width/cap)``
-    sub-buckets keyed by the ADJACENT band's value: any pair agreeing
-    on both bands lands in the same sub-bucket (and was a candidate
-    via the other band regardless), so the split only drops pairs
-    whose ONLY agreeing band is the over-cap one — under pathological
-    density those are overwhelmingly far pairs, and true near-dups
-    (Hamming ≤ 7 of 60) agree on most bands. The frequency pass is
-    one map-side-combined aggregate over (band, key) rows; sub-bucket
-    assignment is a broadcast join against the (rare) over-cap keys.
-    The guard never activates at oracle scale (max observed bucket at
-    sf0.1 is far below the cap — asserted in tests), so the DuckDB
-    replay needs no guard arm; recall under forced activation is
-    property-tested.
+    Fingerprint math: distinct-shingle bit votes in ONE shuffle —
+    explode → hash → branch-free LANE-PACKED bit sums (map-side
+    partial agg halves the shuffle). Three bit-counters share one
+    64-bit accumulator in 20-bit lanes (each lane counts set bits for
+    one simhash bit — sound for ≤ 2^20 ≈ 1M distinct shingles per
+    document, far above any real document), so 60/64 bits need 20/22
+    SUM columns instead of one per bit — 3× narrower
+    partial-agg/shuffle rows (local wall time is flat vs the
+    one-column-per-bit form — A/B'd within noise at sf0.1 — the win
+    is shuffle volume at scale). The ±1 vote per bit is recovered
+    arithmetically post-agg: vote_i > 0 ⟺ 2·count_i > n (strict
+    inequality preserved; ties pack 0, same as the ±1 formulation).
+    NOTE a per-document array-fold ("zero shuffle") formulation was
+    tried and rejected: Spark's higher-order array functions execute
+    interpreted (no whole-stage codegen), making the 64-counter fold
+    ~30× slower than these codegen'd aggregates.
     """
     n_bits = 60 if hash == "md5" else 64
     base = (
@@ -596,25 +594,7 @@ def simhash_dedup_frame(
         else "xxhash64(tok)"
     )
     mem = _collapse_exact(d).persist()
-    reps = d.join(
-        mem.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"), "doc_id"
-    )
-    # distinct-shingle bit votes in ONE shuffle: explode → hash →
-    # branch-free LANE-PACKED bit sums (map-side partial agg halves
-    # the shuffle). Three bit-counters share one 64-bit accumulator in
-    # 20-bit lanes (each lane counts set bits for one simhash bit —
-    # sound for ≤ 2^20 ≈ 1M distinct shingles per document, far above
-    # any real document), so 60/64 bits need 20/22 SUM columns instead
-    # of one per bit — 3× narrower partial-agg/shuffle rows (local
-    # wall time is flat vs the one-column-per-bit form — A/B'd within
-    # noise at sf0.1 — the win is shuffle volume at scale). The ±1
-    # vote per bit is recovered
-    # arithmetically post-agg: vote_i > 0 ⟺ 2·count_i > n (strict
-    # inequality preserved; ties pack 0, same as the ±1 formulation).
-    # NOTE a per-document array-fold ("zero shuffle") formulation was
-    # tried and rejected: Spark's higher-order array functions execute
-    # interpreted (no whole-stage codegen), making the 64-counter fold
-    # ~30× slower than these codegen'd aggregates.
+    reps = _rep_docs(d, mem)
     toks = (
         reps.withColumn("_sh", _shingles())
         .select("doc_id", F.explode("_sh").alias("tok"))
@@ -651,15 +631,129 @@ def simhash_dedup_frame(
         ),
         start=F.lit(0),
     )
-    # the per-doc simhash table feeds three consumers (band frequency
-    # pass + both sides of the candidate self-join): persist so the
-    # vote aggregation runs once
     sh = bit_sums.select(
         "doc_id",
         F.shiftleft(half(halfw).cast("long"), halfw)
         .bitwiseOR(half(0).cast("long"))
         .alias("simhash"),
-    ).persist()
+    )
+    return mem, sh
+
+
+def simhash_fingerprints_frame(d: DataFrame, hash: str = "md5") -> DataFrame:
+    """Per-document simhash fingerprint (doc_id, simhash) for any
+    (doc_id, text) frame — the signature front half of
+    ``simhash_dedup_frame`` projected back onto every member doc.
+    Diagnostic/test surface for the density premise of the
+    identical-fingerprint guard (near-verbatim clusters concentrate
+    onto few distinct fingerprints)."""
+    mem, sh = _rep_fingerprints(d, hash)
+    out = (
+        mem.select("doc_id", "rep_id")
+        .join(sh.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        .select("doc_id", "simhash")
+    )
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(out, mem)
+
+
+SIMHASH_BUCKET_CAP = 256  # band-bucket width guard threshold
+# (oracle-scale max observed width: 14 at sf0.01, 82 at sf0.1 — the
+# guard stays inactive there, so the DuckDB replay needs no guard arm)
+
+
+def simhash_dedup_frame(
+    d: DataFrame, max_hamming: int = 7, hash: str = "md5",
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
+) -> DataFrame:
+    """SimHash near-dup pairs over any ``(doc_id, text)`` frame — see
+    ``simhash_dedup`` for semantics and scale notes.
+
+    **Band-bucket width guards**, two complementary levels:
+
+    1. *Identical-fingerprint collapse*: documents whose fingerprints
+       coincide exactly (distinct texts after normalization /
+       templating whose edits never flip a vote majority) agree on
+       every band, so no band-keyed split can separate them. The band
+       join therefore runs over one representative per DISTINCT
+       fingerprint; identical-fingerprint members expand back
+       afterwards at Hamming 0. Output-identical (cross-pair Hamming
+       depends only on the fingerprints) and a fingerprint-identical
+       group of any size occupies one band-join row. (This alone does
+       NOT bound near-verbatim clusters: a single-token edit flips
+       ~1-3 low-margin bits even in long documents, so such clusters
+       scatter across many distinct fingerprints — that case is #3's.)
+    2. *Adjacent-band sub-split* (the keyspace-saturation hazard): 8
+       bands over 60/64 bits leave only 7-8 bits per band — ~181/256
+       buckets — so once the number of distinct fingerprints outgrows
+       the keyspace, unrelated docs pile into every bucket (measured
+       on a 10×-replicated sf0.1 pre-guard: ~55M candidate pairs,
+       81 s; 30×: ~500M). Buckets wider than ``bucket_cap`` are split
+       into ``ceil(width/cap)`` sub-buckets keyed by the ADJACENT
+       band's value — unrelated docs vary there (that is what makes
+       this hazard splittable, unlike #1), any pair agreeing on both
+       bands stays together, and the split only drops pairs whose
+       ONLY agreeing band is the over-cap one: under saturation those
+       are overwhelmingly far pairs. The frequency pass is one
+       map-side-combined aggregate over (band, key) rows; sub-bucket
+       assignment is a broadcast join against the (rare) over-cap
+       keys.
+
+    3. *Star fallback* (the dense-scattered hazard): a cluster of
+       DISTINCT fingerprints within small Hamming of one another
+       (short-doc boilerplate: every edit flips a few bits) agrees on
+       band AND adjacent band, so neither #1 nor #2 shrinks it — and
+       its true pair list is itself quadratic, so no candidate scheme
+       can bound the exact output. Sub-buckets still wider than the
+       cap therefore degrade to star candidates (member vs min-id
+       rep): O(width) candidates, true-Hamming verified, cluster
+       connectivity preserved for CC consumers; member–member pairs
+       surface only via other bands (documented approximation,
+       connectivity property-tested under forced activation).
+
+    No guard changes output at oracle scale (max observed bucket at
+    sf0.1 is far below the cap — asserted in tests; the fingerprint
+    collapse is output-identical at ANY scale), so the DuckDB replay
+    needs no guard arm; recall under forced sub-split activation is
+    property-tested.
+    """
+    n_bits = 60 if hash == "md5" else 64
+    mem, sh = _rep_fingerprints(d, hash)
+    # SECOND collapse level — identical FINGERPRINTS (the hole in a
+    # purely band-keyed guard): a near-verbatim mega-cluster (1-2-token
+    # edits, so NOT collapsed by _collapse_exact) agrees on the
+    # adjacent band too, so the sub-split below cannot separate it —
+    # but tiny edits almost never flip a vote majority, so such
+    # clusters overwhelmingly share the EXACT simhash. Group by the
+    # fingerprint value, band-join one representative per distinct
+    # fingerprint, and expand members back at the end —
+    # output-identical (identical simhash ⟹ Hamming 0 ⟹ always a
+    # pair, and cross-pair Hamming depends only on the fingerprints),
+    # while a fingerprint-identical cluster of any size occupies ONE
+    # band-join row. The sub-split then only has to handle buckets
+    # whose members' adjacent bands genuinely vary (keyspace
+    # saturation by unrelated docs), which is what it can split.
+    # Persisted: feeds the band pipeline AND the member expansion.
+    wsim = Window.partitionBy("simhash")
+    sh2 = sh.withColumn("rep2", F.min("doc_id").over(wsim)).persist()
+    sreps = sh2.filter(F.col("doc_id") == F.col("rep2")).select("doc_id", "simhash")
+    # combined doc-level membership keyed by the fingerprint: text-copy
+    # groups (mem) composed with fingerprint groups — same (doc_id,
+    # ghash, rep_id, gsz) shape _expand_rep_pairs consumes
+    wg = Window.partitionBy("ghash")
+    mem2 = (
+        mem.join(
+            sh2.select(F.col("doc_id").alias("rep_id"), "rep2", "simhash"), "rep_id"
+        )
+        .select(
+            "doc_id",
+            F.col("simhash").cast("string").alias("ghash"),
+            F.col("rep2").alias("rep_id"),
+        )
+        .withColumn("gsz", F.count("*").over(wg))
+        .persist()
+    )
     band_arr = F.array(
         *[
             F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
@@ -667,7 +761,7 @@ def simhash_dedup_frame(
         ]
     )
     bands0 = (
-        sh.withColumn("_vals", band_arr)
+        sreps.withColumn("_vals", band_arr)
         .select(
             "doc_id", "simhash", "_vals",
             F.posexplode("_vals").alias("band_id", "band_val"),
@@ -693,8 +787,50 @@ def simhash_dedup_frame(
         )
         .drop("_bc", "_adj")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # guard level 3 — sub-buckets STILL wider than the cap: a dense
+    # scattered cluster (distinct fingerprints within small Hamming of
+    # one another, e.g. short-doc boilerplate where each edit flips a
+    # few bits) agrees on the band AND the adjacent band, so the
+    # sub-split above leaves it whole. All-pairs there is quadratic,
+    # and the TRUE pair list of such a cluster is itself quadratic —
+    # no candidate scheme can bound it — so these buckets degrade to
+    # STAR candidates (every member vs the sub-bucket's min-id rep):
+    # O(width) candidates, true-Hamming verified, cluster
+    # CONNECTIVITY preserved for CC consumers (member–member pairs
+    # surface only via other bands — a documented approximation, like
+    # the sub-split's own drop set). Empty at oracle scale: the
+    # aggregate below runs over rows inside over-cap buckets only.
+    dense = (
+        bands.join(
+            F.broadcast(over_cap.select("band_id", "band_val")),
+            ["band_id", "band_val"],
+        )
+        .groupBy("band_id", "band_val", "sub")
+        .agg(
+            F.count("*").alias("_sw"),
+            F.min("doc_id").alias("_srep"),
+            F.min_by("simhash", "doc_id").alias("_ssim"),
+        )
+        .filter(F.col("_sw") > bucket_cap)
+    )
+    # persisted: BOTH sides of the candidate self-join plus the star
+    # arm read this frame, and its plan embeds the two guard
+    # aggregates (over_cap, dense) — uncached, each consumer would
+    # recompute the whole band pipeline (measured +8s at sf0.1)
+    marked = bands.join(
+        F.broadcast(dense), ["band_id", "band_val", "sub"], "left"
+    ).persist()
+    sparse = marked.filter(F.col("_sw").isNull())
+    star = (
+        marked.filter(F.col("_sw").isNotNull() & (F.col("doc_id") != F.col("_srep")))
+        .select(
+            F.col("_srep").alias("rep_a"),  # _srep = sub-bucket min id
+            F.col("doc_id").alias("rep_b"),
+            F.bit_count(F.col("simhash").bitwiseXOR(F.col("_ssim"))).alias("hamming"),
+        )
+    )
+    a = sparse.alias("a")
+    b = sparse.alias("b")
     rep_pairs = (
         a.join(
             b,
@@ -710,13 +846,14 @@ def simhash_dedup_frame(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
+        .unionByName(star)
         .dropDuplicates(["rep_a", "rep_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
     from datapipe_spark.util import materialize_and_release
 
     return materialize_and_release(
-        _expand_rep_pairs(rep_pairs, mem, "hamming", F.lit(0)), mem, sh
+        _expand_rep_pairs(rep_pairs, mem2, "hamming", F.lit(0)), mem, sh2, mem2, marked
     )
 
 
@@ -762,7 +899,12 @@ WHERE bit_count(xor(a.sim, b.sim)) <= 7
 """
 
 
-CC_DRIVER_MAX_EDGES = 2_000_000  # union-find cutover (~32 MB collect)
+# union-find cutover: collecting PySpark Rows costs ~100+ bytes/edge
+# (Row objects + the parent dict + the result list), so 500k edges ≈
+# low hundreds of MB of transient driver memory — comfortably inside a
+# default driver, an order of magnitude inside this repo's 12g one.
+# Bigger graphs take the distributed min-label loop.
+CC_DRIVER_MAX_EDGES = 500_000
 
 
 def connected_components(

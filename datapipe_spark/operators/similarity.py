@@ -156,10 +156,8 @@ def embedding_near_dup(
             return pd.DataFrame(columns=["vec_a", "vec_b", "cosine"])
         a_ids = left["vec_id"].to_numpy(dtype=np.int64)
         b_ids = right["vec_id"].to_numpy(dtype=np.int64)
-        a = np.stack(left["v"].to_numpy()).astype(np.float64)
-        b = np.stack(right["v"].to_numpy()).astype(np.float64)
-        a = a / np.linalg.norm(a, axis=1, keepdims=True)
-        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        a = _l2n(np.stack(left["v"].to_numpy()).astype(np.float64))
+        b = _l2n(np.stack(right["v"].to_numpy()).astype(np.float64))
         cos = np.round(a @ b.T, 6)
         # each unordered vector pair appears in exactly one block pair;
         # the id inequality both dedupes the diagonal block (bi == bj)
@@ -282,6 +280,16 @@ PQ_M = 8  # subspaces (64-dim vectors → 8 dims each)
 PQ_NCODES = 256  # 8-bit codes per subspace → 8 bytes per vector
 
 
+def _l2n(x):
+    """Row-L2-normalize a 2-D numpy array with a zero-row guard (zero
+    vectors stay zero instead of dividing to NaN) — the one
+    normalization used by every numpy path in this module."""
+    import numpy as np
+
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.where(xn == 0, 1.0, xn)
+
+
 def _pq_codebooks(
     e: DataFrame, m: int, ncodes: int, sample_cap: int = 4096, sample=None
 ):
@@ -317,9 +325,7 @@ def _pq_encoder(bc, passthrough: tuple[str, ...] = ()):
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            xn = np.linalg.norm(x, axis=1, keepdims=True)
-            x = x / np.where(xn == 0, 1.0, xn)
+            x = _l2n(np.stack(pdf["v"].to_numpy()).astype(np.float64))
             codes = np.empty((len(x), len(bks)), dtype=np.int32)
             for j, (c, idx) in enumerate(zip(bks, spl)):
                 sub = x[:, idx]
@@ -531,9 +537,7 @@ def knn_join_ivfpq(
         if left.empty or right.empty:
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "adc"])
         q_ids = left["vec_id"].to_numpy(np.int64)
-        x = np.stack(left["v"].to_numpy()).astype(np.float64)
-        xn = np.linalg.norm(x, axis=1, keepdims=True)
-        x = x / np.where(xn == 0, 1.0, xn)
+        x = _l2n(np.stack(left["v"].to_numpy()).astype(np.float64))
         i_ids = right["vec_id"].to_numpy(np.int64)
         codes = np.stack(right["codes"].to_numpy())
         score = np.zeros((len(q_ids), len(i_ids)))
@@ -708,9 +712,7 @@ def _sample_normalized(e: DataFrame, sample_cap: int = 4096):
         .collect()
     )
     rows.sort(key=lambda r: r["vec_id"])
-    x = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    xn = np.linalg.norm(x, axis=1, keepdims=True)
-    return x / np.where(xn == 0, 1.0, xn)
+    return _l2n(np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows]))
 
 
 def _lloyd(x, k: int, iters: int = 12, spherical: bool = False, init: str = "unique"):
@@ -737,8 +739,7 @@ def _lloyd(x, k: int, iters: int = 12, spherical: bool = False, init: str = "uni
         keep = counts > 0
         newc = newc[keep] / counts[keep][:, None]
         if spherical:
-            nn = np.linalg.norm(newc, axis=1, keepdims=True)
-            newc = newc / np.where(nn == 0, 1.0, nn)
+            newc = _l2n(newc)
         c = newc
     return c
 
@@ -794,9 +795,7 @@ def _probe_assignments(spark: SparkSession, sf_dir: str, nprobe: int):
         for pdf in batches:
             if pdf.empty:
                 continue
-            x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            xn = np.linalg.norm(x, axis=1, keepdims=True)
-            x = x / np.where(xn == 0, 1.0, xn)
+            x = _l2n(np.stack(pdf["v"].to_numpy()).astype(np.float64))
             s = x @ cm.T
             # deterministic (cosine desc, cell asc) probe order
             cells = np.arange(len(cm), dtype=np.int64)
@@ -948,10 +947,8 @@ def knn_join_ivf(
             return pd.DataFrame(columns=["vec_id", "neighbor_id", "cosine"])
         a_ids = left["vec_id"].to_numpy(dtype=np.int64)
         b_ids = right["vec_id"].to_numpy(dtype=np.int64)
-        a = np.stack(left["v"].to_numpy()).astype(np.float64)
-        b = np.stack(right["v"].to_numpy()).astype(np.float64)
-        a = a / np.linalg.norm(a, axis=1, keepdims=True)
-        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        a = _l2n(np.stack(left["v"].to_numpy()).astype(np.float64))
+        b = _l2n(np.stack(right["v"].to_numpy()).astype(np.float64))
         cos = np.round(a @ b.T, 6)
         cos[a_ids[:, None] == b_ids[None, :]] = -np.inf
         kk = min(k, cos.shape[1])

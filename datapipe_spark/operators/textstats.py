@@ -202,35 +202,44 @@ def lang_id_ngram_frame(d: DataFrame) -> DataFrame:
     # them into strings pyspark's hint parser rejects
     def _predict(texts):
         langs, cmat = bc.value
-        n = len(texts)
-        if n == 0:
-            return pd.Series([], dtype="object")
-        bufs = [
-            np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8)
-            for t in texts
-        ]
-        lens = np.array([len(b) for b in bufs], dtype=np.int64)
-        starts = np.cumsum(lens) - lens
-        total = np.concatenate(bufs) if lens.sum() else np.zeros(0, np.uint8)
-        # trigram codes at every in-doc position, batch-wide: one
-        # vectorized pass over the concatenated bytes, boundary
-        # positions excluded by construction of the gather index
-        nval = np.maximum(lens - 2, 0)
-        doc_of = np.repeat(np.arange(n), nval)
-        local = np.arange(nval.sum()) - np.repeat(np.cumsum(nval) - nval, nval)
-        pos = local + np.repeat(starts, nval)
-        codes = (
-            (total[pos].astype(np.int64) << 16)
-            | (total[pos + 1].astype(np.int64) << 8)
-            | total[pos + 2].astype(np.int64)
-        ) % LANG_ID_DIM
-        x = np.bincount(
-            doc_of * LANG_ID_DIM + codes, minlength=n * LANG_ID_DIM
-        ).reshape(n, LANG_ID_DIM).astype(np.float64)
-        xn = np.linalg.norm(x, axis=1, keepdims=True)
-        x /= np.where(xn == 0, 1.0, xn)
-        best = np.argmax(x @ cmat.T, axis=1)  # first max = sorted-lang tie-break
-        return pd.Series([langs[i] for i in best])
+        # row-chunked: the DENSE doc×dim count matrix (and its int64
+        # bincount intermediate) is the only batch-size amplification
+        # here — at Arrow's default 10k-row batches it would transiently
+        # hold ~330 MB×2 per task. 1024-row chunks bound it at ~33 MB×2
+        # per task at no asymptotic cost; everything else stays
+        # batch-vectorized.
+        CHUNK = 1024
+        out: list[str] = []
+        for lo in range(0, len(texts), CHUNK):
+            sub = texts.iloc[lo : lo + CHUNK]
+            n = len(sub)
+            bufs = [
+                np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8)
+                for t in sub
+            ]
+            lens = np.array([len(b) for b in bufs], dtype=np.int64)
+            starts = np.cumsum(lens) - lens
+            total = np.concatenate(bufs) if lens.sum() else np.zeros(0, np.uint8)
+            # trigram codes at every in-doc position, chunk-wide: one
+            # vectorized pass over the concatenated bytes, boundary
+            # positions excluded by construction of the gather index
+            nval = np.maximum(lens - 2, 0)
+            doc_of = np.repeat(np.arange(n), nval)
+            local = np.arange(nval.sum()) - np.repeat(np.cumsum(nval) - nval, nval)
+            pos = local + np.repeat(starts, nval)
+            codes = (
+                (total[pos].astype(np.int64) << 16)
+                | (total[pos + 1].astype(np.int64) << 8)
+                | total[pos + 2].astype(np.int64)
+            ) % LANG_ID_DIM
+            x = np.bincount(
+                doc_of * LANG_ID_DIM + codes, minlength=n * LANG_ID_DIM
+            ).reshape(n, LANG_ID_DIM).astype(np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            x /= np.where(xn == 0, 1.0, xn)
+            best = np.argmax(x @ cmat.T, axis=1)  # first max = tie-break
+            out.extend(langs[i] for i in best)
+        return pd.Series(out, dtype="object")
 
     predict = F.pandas_udf(_predict, "string")
     return d.select(
@@ -381,25 +390,19 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> 
     head is deterministic and oracle-checkable.
     """
     d = load_table(spark, sf_dir, "documents")
-    counts = (
-        d.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count("*").alias("n"))
-        # consumed by the grand total AND the top-k head: persist so
-        # the corpus-sized explode+shuffle really runs once (the
-        # docstring's claim) — without it the eager total recomputes
-        # the whole scan for the lazy head
-        .persist()
-    )
+    counts, head = _vocab_head(d, k)
+    # consumed by the grand total AND the top-k head: persist so the
+    # corpus-sized explode+shuffle really runs once (the docstring's
+    # claim) — without it the eager total recomputes the whole scan
+    # for the lazy head (plan-matching cache lookup covers `head`)
+    counts.persist()
     total = counts.agg(F.sum("n")).first()[0]
-    head = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     from datapipe_spark.util import materialize_and_release
 
     return materialize_and_release(
         head.select(
-            F.row_number().over(w).alias("rank"),
+            "rank",
             "token",
             "n",
             (F.col("n") / F.lit(total)).alias("corpus_frac"),
@@ -410,6 +413,29 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) -> 
         ),
         counts,
     )
+
+
+def _vocab_head(d: DataFrame, k: int):
+    """Shared tokenizer-vocabulary head: corpus whitespace-token counts
+    (the one corpus-sized shuffle) and the deterministic
+    (count DESC, token ASC) top-k with rank. The SINGLE definition of
+    the rank ↔ vocab_id contract that ``vocab_top_tokens`` publishes
+    and ``tokenize_with_vocab`` encodes against — a tie-break or
+    k-default change here moves both in lockstep. Returns
+    ``(counts, head)``; ``head`` carries (token, n, rank)."""
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    head = (
+        counts.orderBy(F.col("n").desc(), F.col("token"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return counts, head
 
 
 VOCAB_TOP_TOKENS_SQL = f"""
@@ -445,18 +471,8 @@ def tokenize_with_vocab(spark: SparkSession, sf_dir: str, k: int = VOCAB_TOP_K) 
     DuckDB oracle replays it value-for-value.
     """
     d = load_table(spark, sf_dir, "documents")
-    counts = (
-        d.select(F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count("*").alias("n"))
-    )
-    wv = Window.orderBy(F.col("n").desc(), F.col("token"))
-    vocab = (
-        counts.orderBy(F.col("n").desc(), F.col("token"))
-        .limit(k)
-        .select("token", F.row_number().over(wv).alias("vocab_id"))
-    )
+    _counts, head = _vocab_head(d, k)
+    vocab = head.select("token", F.col("rank").alias("vocab_id"))
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     ).filter(F.col("token") != "")

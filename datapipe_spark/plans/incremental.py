@@ -68,17 +68,22 @@ def high_watermark(spark: SparkSession, base: str):
         return None
 
 
+PARTITION_UNIT = "year"  # single default for the serving table's grain:
+# partition_start and apply_increment MUST agree on it — dynamic
+# partition overwrite only replaces same-valued partitions, so a
+# mixed-grain table would silently duplicate rows (see guard below)
 PARTITION_FMT = {"year": "yyyy", "month": "yyyy-MM"}
+_PART_LEN = {"year": 4, "month": 7}  # len("2024") / len("2024-03")
 
 
-def partition_start(wm, unit: str = "year"):
+def partition_start(wm, unit: str = PARTITION_UNIT):
     """First date of the partition containing the watermark — the
     straddling-partition recompute boundary."""
     return wm.replace(month=1, day=1) if unit == "year" else wm.replace(day=1)
 
 
 def apply_increment(
-    spark: SparkSession, orders_chunk: DataFrame, base: str, unit: str = "year"
+    spark: SparkSession, orders_chunk: DataFrame, base: str, unit: str = PARTITION_UNIT
 ) -> None:
     """Merge one chunk of new orders into the serving table.
 
@@ -87,6 +92,22 @@ def apply_increment(
     like the dbt ``is_incremental()`` guard).
     """
     state_p, table_p = _state_path(base), _table_path(base)
+    # mixed-grain guard: an increment written at a different unit than
+    # the table's existing partitions would DUPLICATE rows (dynamic
+    # overwrite replaces order_part=2024-03, leaving order_part=2024
+    # intact with the same dates inside) — refuse loudly instead
+    if os.path.isdir(table_p):
+        bad = [
+            d
+            for d in os.listdir(table_p)
+            if d.startswith("order_part=")
+            and len(d.split("=", 1)[1]) != _PART_LEN[unit]
+        ]
+        if bad:
+            raise ValueError(
+                f"serving-table partition grain mismatch: unit={unit!r} "
+                f"but existing partitions include {sorted(bad)[:3]}"
+            )
 
     chunk_first = orders_chunk.groupBy("o_custkey").agg(
         F.min("order_date").alias("first_order_date")

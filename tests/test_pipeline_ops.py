@@ -39,6 +39,23 @@ def test_incremental_is_idempotent_per_chunk(spark, sf_dir):
     assert _rows(spark.read.parquet(inc._table_path(base))) == first
 
 
+def test_incremental_refuses_mixed_partition_grain(spark, sf_dir):
+    """Dynamic partition overwrite replaces only same-VALUED
+    partitions, so applying an increment at a different unit than the
+    table's existing grain would silently duplicate every re-derived
+    date (order_part=2024 coexisting with order_part=2024-03). The
+    guard must refuse instead."""
+    import pytest
+
+    base = fresh_dir("test_incr_grain")
+    o = marts._orders_base(spark, sf_dir)
+    inc.apply_increment(spark, o, base, unit="year")
+    with pytest.raises(ValueError, match="grain mismatch"):
+        inc.apply_increment(spark, o, base, unit="month")
+    # same unit still fine (idempotent re-apply)
+    inc.apply_increment(spark, o, base, unit="year")
+
+
 def test_archive_hour_granularity_layout_and_pruning(spark, sf_dir):
     """S5 hour-level hive layout on a bounded slice + S6: partition
     predicates must prune at plan level, not post-scan."""
