@@ -785,7 +785,10 @@ def simhash_dedup_frame(
             .otherwise(F.lit(0))
             .cast("long"),
         )
-        .drop("_bc", "_adj")
+        # keep _bc: the dense aggregate below reuses it as the
+        # "inside an over-cap bucket" marker instead of re-joining
+        # over_cap a second time
+        .drop("_adj")
     )
     # guard level 3 — sub-buckets STILL wider than the cap: a dense
     # scattered cluster (distinct fingerprints within small Hamming of
@@ -801,10 +804,7 @@ def simhash_dedup_frame(
     # the sub-split's own drop set). Empty at oracle scale: the
     # aggregate below runs over rows inside over-cap buckets only.
     dense = (
-        bands.join(
-            F.broadcast(over_cap.select("band_id", "band_val")),
-            ["band_id", "band_val"],
-        )
+        bands.filter(F.col("_bc").isNotNull())  # only over-cap buckets
         .groupBy("band_id", "band_val", "sub")
         .agg(
             F.count("*").alias("_sw"),

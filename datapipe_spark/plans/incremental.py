@@ -73,7 +73,7 @@ PARTITION_UNIT = "year"  # single default for the serving table's grain:
 # partition overwrite only replaces same-valued partitions, so a
 # mixed-grain table would silently duplicate rows (see guard below)
 PARTITION_FMT = {"year": "yyyy", "month": "yyyy-MM"}
-_PART_LEN = {"year": 4, "month": 7}  # len("2024") / len("2024-03")
+_PART_RE = {"year": r"\d{4}", "month": r"\d{4}-\d{2}"}
 
 
 def partition_start(wm, unit: str = PARTITION_UNIT):
@@ -97,11 +97,17 @@ def apply_increment(
     # overwrite replaces order_part=2024-03, leaving order_part=2024
     # intact with the same dates inside) — refuse loudly instead
     if os.path.isdir(table_p):
+        import re
+
         bad = [
             d
             for d in os.listdir(table_p)
             if d.startswith("order_part=")
-            and len(d.split("=", 1)[1]) != _PART_LEN[unit]
+            # the hive null partition (a NULL order_date) is not a
+            # grain signal — only a value matching the OTHER unit's
+            # shape (or garbage) indicates a mixed-grain table
+            and d.split("=", 1)[1] != "__HIVE_DEFAULT_PARTITION__"
+            and not re.fullmatch(_PART_RE[unit], d.split("=", 1)[1])
         ]
         if bad:
             raise ValueError(

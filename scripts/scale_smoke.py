@@ -63,6 +63,7 @@ EMB_OPS = [
     "similarity_topk_pq",
     "knn_join_ivf",
     "knn_join_ivfpq",
+    "dedup_semantic_ann",
 ]
 QUADRATIC_EMB_OPS = ["embedding_near_dup", "dedup_semantic"]  # run only at R <= 10
 
@@ -135,6 +136,15 @@ def main() -> None:
         only = os.environ.get("SMOKE_OPS")
         if only:
             ops = [o for o in ops if o in only.split(",")]
+            if not ops:
+                # a typo, or a quadratic-tier op requested at r > 10 —
+                # don't print a success-looking empty JSON line
+                print(
+                    f"SMOKE_OPS={only!r} matches no runnable op at r={r} "
+                    f"(quadratic-tier ops run only at r <= 10)",
+                    file=sys.stderr,
+                )
+                continue
         for name in ops:
             t0 = time.perf_counter()
             try:

@@ -863,7 +863,10 @@ def test_simhash_star_fallback_bounds_dense_scattered_cluster(spark):
     survives (multi-band stars give every member several chances to
     attach) — measured 84% of the rep's unguarded component on this
     adversarial corpus, asserted ≥70%."""
-    from datapipe_spark.operators.dedup import simhash_dedup_frame
+    from datapipe_spark.operators.dedup import (
+        simhash_dedup_frame,
+        simhash_fingerprints_frame,
+    )
 
     n = 1200
     boiler = ("all work and no play makes jack a dull boy " * 4).strip()
@@ -875,6 +878,12 @@ def test_simhash_star_fallback_bounds_dense_scattered_cluster(spark):
             f"(w, i) -> IF(i = pmod(id, {L}), concat('edit', id), w)))"
         ).alias("text"),
     )
+    # premise check: this cluster really is the SCATTERED case (each
+    # edit flips a few low-margin bits of the short doc's fingerprint),
+    # so the identical-fingerprint collapse (guard #1) cannot shrink it
+    # and the star fallback is what carries the bound here
+    n_fp = simhash_fingerprints_frame(docs).select("simhash").distinct().count()
+    assert n_fp > n // 2, f"expected scattered fingerprints, got {n_fp} distinct"
     ung = {
         (r["doc_a"], r["doc_b"])
         for r in simhash_dedup_frame(docs, bucket_cap=10**9).collect()
