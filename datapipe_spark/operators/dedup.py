@@ -1093,7 +1093,9 @@ FROM comp c JOIN sizes s USING (canonical_id)
 DUP_SPAN_K = 8  # minimum verbatim run, in tokens
 
 
-def substring_dup_spans(spark: SparkSession, sf_dir: str, k: int = DUP_SPAN_K) -> DataFrame:
+def substring_dup_spans(
+    spark: SparkSession, sf_dir: str, k: int = DUP_SPAN_K, hash: str = "md5"
+) -> DataFrame:
     """Verbatim substring dedup: maximal token spans that appear
     word-for-word in ≥ 2 documents (the substring-granular complement
     to the document-level dedups — boilerplate, license headers, and
@@ -1117,22 +1119,29 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str, k: int = DUP_SPAN_K) -
     join.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return substring_dup_spans_frame(d, k)
+    return substring_dup_spans_frame(d, k, hash=hash)
 
 
-def substring_dup_spans_frame(d: DataFrame, k: int = DUP_SPAN_K) -> DataFrame:
+def substring_dup_spans_frame(
+    d: DataFrame, k: int = DUP_SPAN_K, hash: str = "md5"
+) -> DataFrame:
     """Span detection over any (doc_id, text) frame — see
     ``substring_dup_spans`` for semantics and scale notes."""
     # materialize the word array once per row: a `split(text)` inside
     # the transform lambda would re-split per element — O(words²)/doc.
-    # Grams are md5 digests parsed to 60-bit ints (the same portable
-    # parse as minhash): the frequency filter and join then shuffle
-    # 8-byte keys instead of 32-char strings, and DuckDB reproduces
-    # the value bit-for-bit. Collisions: |grams|²/2⁶⁰ ≈ 0.
-    grams = F.expr(
-        f"transform(sequence(1, size(_w) - {k} + 1), "
-        f"i -> cast(conv(substring(md5(concat_ws(' ', slice(_w, i, {k}))), 1, 15), 16, 10) as bigint))"
+    # hash="md5" (default): digests parsed to 60-bit ints (the same
+    # portable parse as minhash) — the frequency filter and join
+    # shuffle 8-byte keys instead of 32-char strings, and DuckDB
+    # reproduces the value bit-for-bit. hash="xxhash64": one cheap
+    # 64-bit hash per gram — the 100 TB path (~2× less hash CPU).
+    # Output (span POSITIONS, not hashes) is identical under either
+    # family absent collisions (|grams|²/2⁶⁰ ≈ 0) — parity-tested.
+    gram_one = (
+        f"cast(conv(substring(md5(concat_ws(' ', slice(_w, i, {k}))), 1, 15), 16, 10) as bigint)"
+        if hash == "md5"
+        else f"xxhash64(concat_ws(' ', slice(_w, i, {k})))"
     )
+    grams = F.expr(f"transform(sequence(1, size(_w) - {k} + 1), i -> {gram_one})")
     occ = (
         d.withColumn("_w", F.split("text", " "))
         .filter(F.size("_w") >= k)

@@ -798,6 +798,21 @@ def test_simhash_xxhash64_packing_and_recall(spark, sf_dir):
     assert toks.filter(F.col("h") < 0).count() > 0  # raw hashes span the sign bit
 
 
+def test_substring_spans_xxhash64_scale_path(spark, sf_dir):
+    """The xxhash64 gram family is the documented 100 TB path for span
+    dedup. Because the operator's output is span POSITIONS (grams are
+    internal join keys only), the two hash families must produce
+    IDENTICAL results absent collisions (|grams|²/2⁶⁰ ≈ 0)."""
+    md5_rows = {
+        tuple(r) for r in dedup.substring_dup_spans(spark, sf_dir).collect()
+    }
+    xx_rows = {
+        tuple(r)
+        for r in dedup.substring_dup_spans(spark, sf_dir, hash="xxhash64").collect()
+    }
+    assert md5_rows == xx_rows
+
+
 def test_winnow_xxhash64_scale_path(spark, sf_dir):
     """The 64-bit winnowing variant must produce non-empty fingerprint
     sets with the same per-doc cardinality shape as md5 (window-min
