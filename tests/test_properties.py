@@ -308,3 +308,46 @@ def test_avro_codec_roundtrip_random_records(rec, sid):
     got_sid, got = decode_record(encode_record(rec, _AVRO_TEST_SCHEMA, sid), _AVRO_TEST_SCHEMA)
     assert got_sid == sid
     assert got == rec
+
+
+# --- simhash band-guard property ---------------------------------------------
+
+_GUARD_VOCAB = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "mu", "nu",
+]
+
+_guard_corpora = st.lists(
+    st.lists(st.sampled_from(_GUARD_VOCAB), min_size=3, max_size=16).map(" ".join),
+    min_size=4,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_guard_corpora, cap=st.sampled_from([1, 2, 4, 8]))
+def test_simhash_guard_output_is_always_true_pair_subset(spark_prop, texts, cap):
+    """For ANY corpus and ANY bucket cap, the three guard levels
+    (fingerprint collapse, adjacent-band sub-split, star fallback) may
+    only REMOVE true pairs — never invent one, never corrupt a
+    Hamming value. The tiny vocabulary forces heavy fingerprint
+    collisions (level 1 active) and caps 1-8 force the sub-split and
+    star levels, so every guard arm executes."""
+    from datapipe_spark.operators.dedup import simhash_dedup_frame
+
+    docs = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ung = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_dedup_frame(docs, bucket_cap=10**9).collect()
+    }
+    forced = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_dedup_frame(docs, bucket_cap=cap).collect()
+    }
+    assert set(forced) <= set(ung)
+    for (a, b), h in forced.items():
+        assert a < b
+        assert 0 <= h <= 7
+        assert ung[(a, b)] == h
