@@ -34,6 +34,22 @@ _B = [(69069 * (i + 7) + 1) % _P for i in range(_N_PERM)]
 JACCARD_THRESHOLD = 0.8
 
 
+def _hash_expr(inner: str, hash: str) -> str:
+    """SQL fragment hashing ``inner`` under one of the two hash
+    families every dedup operator offers — THE single definition:
+    ``md5`` = portable 60-bit parse of the first 15 digest hex chars
+    (bit-identical in DuckDB, oracle-checkable), ``xxhash64`` = one
+    cheap 64-bit hash (the 100 TB path). Unknown names are an error,
+    not a silent fallback."""
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash family {hash!r}; use 'md5' or 'xxhash64'")
+    return (
+        f"cast(conv(substring(md5({inner}), 1, 15), 16, 10) as bigint)"
+        if hash == "md5"
+        else f"xxhash64({inner})"
+    )
+
+
 def _shingles(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles, JVM-side.
 
@@ -266,11 +282,7 @@ def minhash_signatures(docs: DataFrame, hash: str = "md5") -> DataFrame:
     ``hash="xxhash64"`` is the cheaper engine-specific variant for the
     100 TB path (one 64-bit hash vs md5's 128-bit + hex parse).
     """
-    base = (
-        f"pmod(cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint), {_P}L)"
-        if hash == "md5"
-        else f"pmod(xxhash64(s), {_P}L)"
-    )
+    base = f"pmod({_hash_expr('s', hash)}, {_P}L)"
     sig = F.array(
         *[
             F.expr(
@@ -587,12 +599,8 @@ def _rep_fingerprints(d: DataFrame, hash: str = "md5"):
     interpreted (no whole-stage codegen), making the 64-counter fold
     ~30× slower than these codegen'd aggregates.
     """
+    base = _hash_expr("tok", hash)
     n_bits = 60 if hash == "md5" else 64
-    base = (
-        "cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"
-        if hash == "md5"
-        else "xxhash64(tok)"
-    )
     mem = _collapse_exact(d).persist()
     reps = _rep_docs(d, mem)
     toks = (
@@ -1136,11 +1144,7 @@ def substring_dup_spans_frame(
     # 64-bit hash per gram — the 100 TB path (~2× less hash CPU).
     # Output (span POSITIONS, not hashes) is identical under either
     # family absent collisions (|grams|²/2⁶⁰ ≈ 0) — parity-tested.
-    gram_one = (
-        f"cast(conv(substring(md5(concat_ws(' ', slice(_w, i, {k}))), 1, 15), 16, 10) as bigint)"
-        if hash == "md5"
-        else f"xxhash64(concat_ws(' ', slice(_w, i, {k})))"
-    )
+    gram_one = _hash_expr(f"concat_ws(' ', slice(_w, i, {k}))", hash)
     grams = F.expr(f"transform(sequence(1, size(_w) - {k} + 1), i -> {gram_one})")
     occ = (
         d.withColumn("_w", F.split("text", " "))

@@ -266,7 +266,9 @@ def winnow_fingerprints(
     column, driver-canonicalization-safe) plus its size.
     """
     d = load_table(spark, sf_dir, "documents")
-    gram_fn = "md5" if hash == "md5" else "xxhash64"
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash family {hash!r}; use 'md5' or 'xxhash64'")
+    gram_fn = hash
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split(text,' '))-{k}+1, 1)), "
         f"i -> {gram_fn}(concat_ws(' ', slice(split(text,' '), i, {k}))))"

@@ -128,23 +128,24 @@ def main() -> None:
     spark = get_spark("scale-smoke")
     qs = registry.queries()
     for r in rs:
-        sf_dir = build_scaled(spark, r)
-        timings: dict[str, float] = {}
-        rows: dict[str, int] = {}
-        errors: dict[str, str] = {}
+        # resolve the op list BEFORE paying for the replica-corpus
+        # build: a SMOKE_OPS typo (or a quadratic-tier op at r > 10)
+        # must fail in milliseconds, not after minutes of Spark writes
         ops = DOC_OPS + EMB_OPS + (QUADRATIC_EMB_OPS if r <= 10 else [])
         only = os.environ.get("SMOKE_OPS")
         if only:
             ops = [o for o in ops if o in only.split(",")]
             if not ops:
-                # a typo, or a quadratic-tier op requested at r > 10 —
-                # don't print a success-looking empty JSON line
                 print(
                     f"SMOKE_OPS={only!r} matches no runnable op at r={r} "
                     f"(quadratic-tier ops run only at r <= 10)",
                     file=sys.stderr,
                 )
                 continue
+        sf_dir = build_scaled(spark, r)
+        timings: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        errors: dict[str, str] = {}
         for name in ops:
             t0 = time.perf_counter()
             try:
