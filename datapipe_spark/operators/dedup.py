@@ -70,22 +70,30 @@ def _shingles(text_col: str = "text", n: int = 3) -> F.Column:
 
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup decision per document: canonical = min doc_id within
-    identical-content group (hash-groupBy semantics via window).
+    identical-content group (hash-groupBy semantics).
 
-    The window partitions on the 128-bit md5 content hash, not the raw
-    text: the shuffle key is 32 bytes instead of the whole document
-    (at 100 TB the difference is shuffling hashes vs. shuffling the
-    corpus). Group membership is identical — md5 collisions are
-    negligible at any corpus size that fits a cluster.
+    Groups on the 128-bit md5 content hash, not the raw text: the
+    shuffle key is 32 bytes instead of the whole document (at 100 TB
+    the difference is shuffling hashes vs. shuffling the corpus).
+    Group membership is identical — md5 collisions are negligible at
+    any corpus size that fits a cluster. groupBy + join-back rather
+    than a window over the hash (the SCALING.md skew swap): the
+    aggregate is map-side combinable at any skew, and AQE's skew-join
+    split can cut a 10⁸-copy boilerplate group across tasks where a
+    window would land it in one.
     """
-    d = load_table(spark, sf_dir, "documents").withColumn("content_hash", F.md5("text"))
-    w = Window.partitionBy("content_hash")
-    return d.select(
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    groups = d.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return d.join(groups, "content_hash").select(
         "doc_id",
         "content_hash",
-        F.min("doc_id").over(w).alias("canonical_id"),
-        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
-        F.count("*").over(w).alias("group_size"),
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        "group_size",
     )
 
 
@@ -320,13 +328,20 @@ def _collapse_exact(docs: DataFrame) -> DataFrame:
     join. One shuffle on the content hash (uniform by construction —
     md5 keys cannot skew).
     """
-    w = Window.partitionBy("ghash")
-    return (
-        docs.filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", F.md5("text").alias("ghash"))
-        .withColumn("rep_id", F.min("doc_id").over(w))
-        .withColumn("gsz", F.count("*").over(w))
+    base = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.md5("text").alias("ghash")
     )
+    # groupBy + join-back, NOT a window over ghash (the r4 SCALING.md
+    # skew hazard): a window lands a 10⁸-copy boilerplate group in ONE
+    # window task; the aggregate is map-side combinable at any skew and
+    # AQE's skew-join split can cut the join-back's mega group across
+    # tasks. Same output (equivalence-tested vs the window form); the
+    # base frame is consumed twice (agg + probe) — two linear scans
+    # instead of one single-task sort at the skew ceiling.
+    groups = base.groupBy("ghash").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("gsz")
+    )
+    return base.join(groups, "ghash").select("doc_id", "ghash", "rep_id", "gsz")
 
 
 def _rep_docs(docs, mem):
@@ -338,7 +353,11 @@ def _rep_docs(docs, mem):
 
 
 def _expand_rep_pairs(
-    rep_pairs: DataFrame, mem: DataFrame, score_col: str, exact_score: F.Column
+    rep_pairs: DataFrame,
+    mem: DataFrame,
+    score_col: str,
+    exact_score: F.Column,
+    key_col: str = "ghash",
 ) -> DataFrame:
     """Project verified representative-level pairs back onto members
     and add the known within-group pairs.
@@ -348,6 +367,9 @@ def _expand_rep_pairs(
     texts ⟹ identical shingle sets / simhash). Within-group: all
     ``gsz·(gsz-1)/2`` ordered pairs at ``exact_score``. Both are
     output-sized joins — no candidate blow-up, no verification cost.
+    ``key_col`` names the membership group key: ``ghash`` (md5 content
+    hash) for text-copy groups, ``gkey`` (stringified fingerprint) for
+    simhash fingerprint groups.
     """
     ma = mem.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("_da"))
     mb = mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("_db"))
@@ -361,10 +383,10 @@ def _expand_rep_pairs(
         )
     )
     grp = mem.filter(F.col("gsz") > 1)
-    g1 = grp.select("ghash", F.col("doc_id").alias("_da"))
-    g2 = grp.select("ghash", F.col("doc_id").alias("_db"))
+    g1 = grp.select(key_col, F.col("doc_id").alias("_da"))
+    g2 = grp.select(key_col, F.col("doc_id").alias("_db"))
     within = (
-        g1.join(g2, "ghash")
+        g1.join(g2, key_col)
         .filter(F.col("_da") < F.col("_db"))
         .select(
             F.col("_da").alias("doc_a"),
@@ -725,9 +747,69 @@ def simhash_dedup_frame(
     collapse is output-identical at ANY scale), so the DuckDB replay
     needs no guard arm; recall under forced sub-split activation is
     property-tested.
+
+    **Activation probe (r5)**: the guard stack (fingerprint collapse,
+    over-cap broadcast join, dense aggregate, star arm, extra persist)
+    costs real constant factor even when every guard is inactive —
+    which is the common case (max observed band bucket at sf0.1: 82 vs
+    cap 256). One cheap map-side-combined aggregate over the
+    ``(band, key)`` rows of the text-representative fingerprints
+    computes the max bucket width first; when it is ≤ ``bucket_cap``,
+    guard levels 1–3 are provably no-ops — level 2/3 filters are empty
+    by definition, and level 1 only re-groups rows that the ≤-cap
+    band join already handles — so the simple pre-guard plan runs
+    instead. Output is identical by construction (the fingerprint
+    collapse never changes output; the sub-split/star only fire above
+    the cap); equality is locked by the unchanged CORRECTNESS hash and
+    the guard-inactive test.
     """
     n_bits = 60 if hash == "md5" else 64
     mem, sh = _rep_fingerprints(d, hash)
+    # persisted: the activation probe consumes the fingerprints once,
+    # and whichever plan wins consumes them again
+    sh = sh.persist()
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in _band_layout(n_bits)
+        ]
+    )
+    rep_bands = sh.select(
+        "doc_id", "simhash", F.posexplode(band_arr).alias("band_id", "band_val")
+    )
+    from datapipe_spark.util import materialize_and_release
+
+    max_width = (
+        rep_bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("_bc"))
+        .agg(F.max("_bc"))
+        .first()[0]
+    )
+    if max_width is None or max_width <= bucket_cap:
+        # fast path: no bucket can exceed the cap, so band-join the
+        # text representatives directly (the pre-guard plan)
+        a = rep_bands.alias("a")
+        b = rep_bands.alias("b")
+        rep_pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("rep_a"),
+                F.col("b.doc_id").alias("rep_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .dropDuplicates(["rep_a", "rep_b"])
+            .filter(F.col("hamming") <= max_hamming)
+        )
+        return materialize_and_release(
+            _expand_rep_pairs(rep_pairs, mem, "hamming", F.lit(0)), mem, sh
+        )
     # SECOND collapse level — identical FINGERPRINTS (the hole in a
     # purely band-keyed guard): a near-verbatim mega-cluster (1-2-token
     # edits, so NOT collapsed by _collapse_exact) agrees on the
@@ -742,32 +824,28 @@ def simhash_dedup_frame(
     # band-join row. The sub-split then only has to handle buckets
     # whose members' adjacent bands genuinely vary (keyspace
     # saturation by unrelated docs), which is what it can split.
-    # Persisted: feeds the band pipeline AND the member expansion.
-    wsim = Window.partitionBy("simhash")
-    sh2 = sh.withColumn("rep2", F.min("doc_id").over(wsim)).persist()
+    # groupBy + join-back, not a window over simhash (the SCALING.md
+    # skew swap): sh is persisted, so both sides of the join re-read
+    # the cached fingerprints, and AQE can split a mega-fingerprint
+    # group that a window would land in one task.
+    g2 = sh.groupBy("simhash").agg(F.min("doc_id").alias("rep2"))
+    sh2 = sh.join(g2, "simhash").persist()
     sreps = sh2.filter(F.col("doc_id") == F.col("rep2")).select("doc_id", "simhash")
     # combined doc-level membership keyed by the fingerprint: text-copy
     # groups (mem) composed with fingerprint groups — same (doc_id,
-    # ghash, rep_id, gsz) shape _expand_rep_pairs consumes
-    wg = Window.partitionBy("ghash")
-    mem2 = (
-        mem.join(
-            sh2.select(F.col("doc_id").alias("rep_id"), "rep2", "simhash"), "rep_id"
-        )
-        .select(
-            "doc_id",
-            F.col("simhash").cast("string").alias("ghash"),
-            F.col("rep2").alias("rep_id"),
-        )
-        .withColumn("gsz", F.count("*").over(wg))
-        .persist()
+    # key, rep_id, gsz) shape _expand_rep_pairs consumes, keyed by the
+    # neutral name ``gkey`` (the stringified fingerprint — NOT the md5
+    # content hash that ``ghash`` names elsewhere). Group sizes via
+    # groupBy + join-back for the same skew reason as above.
+    mem2_base = mem.join(
+        sh2.select(F.col("doc_id").alias("rep_id"), "rep2", "simhash"), "rep_id"
+    ).select(
+        "doc_id",
+        F.col("simhash").cast("string").alias("gkey"),
+        F.col("rep2").alias("rep_id"),
     )
-    band_arr = F.array(
-        *[
-            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
-            for off, w in _band_layout(n_bits)
-        ]
-    )
+    gsizes = mem2_base.groupBy("gkey").agg(F.count("*").alias("gsz"))
+    mem2 = mem2_base.join(gsizes, "gkey").persist()
     bands0 = (
         sreps.withColumn("_vals", band_arr)
         .select(
@@ -858,10 +936,9 @@ def simhash_dedup_frame(
         .dropDuplicates(["rep_a", "rep_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
-    from datapipe_spark.util import materialize_and_release
-
     return materialize_and_release(
-        _expand_rep_pairs(rep_pairs, mem2, "hamming", F.lit(0)), mem, sh2, mem2, marked
+        _expand_rep_pairs(rep_pairs, mem2, "hamming", F.lit(0), key_col="gkey"),
+        mem, sh, sh2, mem2, marked,
     )
 
 

@@ -76,9 +76,18 @@ PARTITION_FMT = {"year": "yyyy", "month": "yyyy-MM"}
 _PART_RE = {"year": r"\d{4}", "month": r"\d{4}-\d{2}"}
 
 
+def _check_unit(unit: str) -> None:
+    if unit not in PARTITION_FMT:
+        raise ValueError(
+            f"unsupported partition unit {unit!r}: expected one of "
+            f"{sorted(PARTITION_FMT)}"
+        )
+
+
 def partition_start(wm, unit: str = PARTITION_UNIT):
     """First date of the partition containing the watermark — the
     straddling-partition recompute boundary."""
+    _check_unit(unit)
     return wm.replace(month=1, day=1) if unit == "year" else wm.replace(day=1)
 
 
@@ -91,6 +100,7 @@ def apply_increment(
     high-watermark (the caller filters with ``high_watermark``, exactly
     like the dbt ``is_incremental()`` guard).
     """
+    _check_unit(unit)
     state_p, table_p = _state_path(base), _table_path(base)
     # mixed-grain guard: an increment written at a different unit than
     # the table's existing partitions would DUPLICATE rows (dynamic
@@ -137,8 +147,20 @@ def apply_increment(
     # the upstream state-merge aggregation into the single writer task
     # (measured ~0.5 s/increment at sf0.1); repartition keeps the agg
     # parallel and shuffles only the small result to one writer.
+    # r5 (round-3 ask): the state commit and the serving write are
+    # independent consumers of the persisted merge — submit the state
+    # write from a helper thread so it overlaps the (bigger) serving
+    # aggregation instead of serializing ~0.5 s in front of it. The
+    # rename below still happens only after BOTH finish, so the
+    # durability order (state swap after a complete serving write) is
+    # unchanged.
     tmp = state_p + "_next"
-    merged_state.repartition(1).write.mode("overwrite").parquet(tmp)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    state_fut = pool.submit(
+        lambda: merged_state.repartition(1).write.mode("overwrite").parquet(tmp)
+    )
 
     enriched = orders_chunk.join(merged_state, "o_custkey")
     is_new = F.col("first_order_date") == F.col("order_date")
@@ -179,20 +201,24 @@ def apply_increment(
         ratio(F.col("new_customers"), F.col("unique_customers")).alias("acquisition_rate"),
         ratio(F.col("completed_orders"), F.col("total_orders")).alias("completion_rate"),
     )
-    (
-        # the daily mart is O(dates) rows — one writer task emits one
-        # file per partition (dynamic overwrite sorts by partition key
-        # internally), avoiding a per-partition task fleet for a few
-        # KB each (repartition(partition_key) benched 0.6 s/increment
-        # slower at sf0.1). A cluster deployment with a fact-sized
-        # result re-sizes this to `repartition(n, partition_key)` so
-        # each partition still lands in O(1) files.
-        result.repartition(1)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("order_part")
-        .parquet(table_p)
-    )
+    try:
+        (
+            # the daily mart is O(dates) rows — one writer task emits one
+            # file per partition (dynamic overwrite sorts by partition key
+            # internally), avoiding a per-partition task fleet for a few
+            # KB each (repartition(partition_key) benched 0.6 s/increment
+            # slower at sf0.1). A cluster deployment with a fact-sized
+            # result re-sizes this to `repartition(n, partition_key)` so
+            # each partition still lands in O(1) files.
+            result.repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("order_part")
+            .parquet(table_p)
+        )
+        state_fut.result()  # surface any state-write failure before the swap
+    finally:
+        pool.shutdown(wait=True)
 
     import shutil
 

@@ -134,7 +134,15 @@ def main() -> None:
         ops = DOC_OPS + EMB_OPS + (QUADRATIC_EMB_OPS if r <= 10 else [])
         only = os.environ.get("SMOKE_OPS")
         if only:
-            ops = [o for o in ops if o in only.split(",")]
+            wanted = [s.strip() for s in only.split(",") if s.strip()]
+            for name in wanted:
+                if name not in ops:
+                    print(
+                        f"SMOKE_OPS entry {name!r} matches no runnable op at "
+                        f"r={r} (typo, or quadratic-tier at r > 10) — skipped",
+                        file=sys.stderr,
+                    )
+            ops = [o for o in ops if o in wanted]
             if not ops:
                 print(
                     f"SMOKE_OPS={only!r} matches no runnable op at r={r} "

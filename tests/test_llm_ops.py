@@ -947,6 +947,66 @@ def test_simhash_guard_inactive_at_oracle_scale(spark, sf_dir):
     assert default == unguarded
 
 
+def test_collapse_exact_equals_window_form(spark, sf_dir):
+    """The r5 skew swap (groupBy-min/size + join-back) must reproduce
+    the window-over-ghash form row for row — same membership, same
+    representatives, same group sizes — including on a corpus with a
+    planted mega-group (the skew case the swap exists for)."""
+    from pyspark.sql import Window
+
+    from datapipe_spark.operators.dedup import _collapse_exact
+    from datapipe_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant a verbatim mega-group on top of the natural corpus
+    boiler = spark.range(2000).select(
+        (F.col("id") + 10**6).alias("doc_id"),
+        F.lit("all rights reserved by the license header corp").alias("text"),
+    )
+    d = d.unionByName(boiler)
+    w = Window.partitionBy("ghash")
+    window_form = (
+        d.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.md5("text").alias("ghash"))
+        .withColumn("rep_id", F.min("doc_id").over(w))
+        .withColumn("gsz", F.count("*").over(w))
+    )
+    got = {tuple(r) for r in _collapse_exact(d).collect()}
+    want = {
+        tuple(r)
+        for r in window_form.select("doc_id", "ghash", "rep_id", "gsz").collect()
+    }
+    assert got == want
+
+
+def test_simhash_guard_rep2_groupby_equals_window_form(spark):
+    """The guard path's fingerprint-collapse (rep2) swap: groupBy-min +
+    join-back over simhash must equal the window-over-simhash form on
+    a corpus that activates the guard (forced tiny cap)."""
+    from pyspark.sql import Window
+
+    from datapipe_spark.operators.dedup import _rep_fingerprints
+
+    rows = [(i, f"common boilerplate sentence shared by every doc {i % 3}")
+            for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    mem, sh = _rep_fingerprints(d)
+    sh = sh.persist()
+    g2 = sh.groupBy("simhash").agg(F.min("doc_id").alias("rep2"))
+    swapped = {tuple(r) for r in sh.join(g2, "simhash")
+               .select("doc_id", "simhash", "rep2").collect()}
+    wsim = Window.partitionBy("simhash")
+    window_form = {
+        tuple(r)
+        for r in sh.withColumn("rep2", F.min("doc_id").over(wsim))
+        .select("doc_id", "simhash", "rep2")
+        .collect()
+    }
+    assert swapped == window_form
+    sh.unpersist()
+    mem.unpersist()
+
+
 def test_ppjoin_freq_order_prunes_boilerplate_candidates(spark):
     """Canonical PPJoin token order (global df asc) must shrink the
     candidate set on a boilerplate-heavy corpus — hot shingles sort to
