@@ -103,6 +103,50 @@ def main() -> None:
             else (dedup_times[m // 2 - 1] + dedup_times[m // 2]) / 2
         )
     ingest_rate = round(n_events / median_t, 1) if n_events and dedup_times else None
+    # ANN recall@k vs the brute-force anchor (untimed, outside the
+    # suite wall): the quantized operators are rows-only in the
+    # correctness gate, so a quantizer change that silently degrades
+    # recall would otherwise only be caught by fixed-threshold tests —
+    # tracking the numbers per-round makes the drift visible by
+    # artifact diff.
+    ann_recall: dict[str, float] = {}
+    try:
+        from datapipe_spark.operators import similarity as sim
+
+        def _pairs(df, qcol, ncol):
+            return {(r[qcol], r[ncol]) for r in df.collect()}
+
+        bf = _pairs(
+            sim.topk_bruteforce(spark, sf_dir), "query_id", "neighbor_id"
+        )
+        for name, fn in (
+            ("similarity_topk_ivf", sim.topk_ivf),
+            ("similarity_topk_pq", sim.topk_pq),
+        ):
+            got = _pairs(fn(spark, sf_dir), "query_id", "neighbor_id")
+            ann_recall[name] = round(len(bf & got) / len(bf), 4) if bf else None
+        # kNN-join recall on a sampled query set (brute force over the
+        # full corpus for |sample| queries is one broadcast join)
+        qids = tuple(range(50))
+        bfj = _pairs(
+            sim.topk_bruteforce(
+                spark, sf_dir, k=sim.KNN_JOIN_K, query_ids=qids
+            ),
+            "query_id",
+            "neighbor_id",
+        )
+        for name, fn in (
+            ("knn_join_ivf", sim.knn_join_ivf),
+            ("knn_join_ivfpq", sim.knn_join_ivfpq),
+        ):
+            got = _pairs(
+                fn(spark, sf_dir).filter(F.col("vec_id").isin(list(qids))),
+                "vec_id",
+                "neighbor_id",
+            )
+            ann_recall[name] = round(len(bfj & got) / len(bfj), 4) if bfj else None
+    except Exception as exc:  # noqa: BLE001 — recall is telemetry, not a gate
+        print(f"ann recall sweep failed (continuing): {exc!r}", file=sys.stderr)
     out = {
         "metric": "suite_wall_seconds",
         "value": total,
@@ -113,6 +157,7 @@ def main() -> None:
         "cpus": int(cpus),
         "n_queries": len(timings),
         "stream_ingest_events_per_sec": ingest_rate,
+        "ann_recall": ann_recall,
     }
     if errors:
         out["errors"] = errors

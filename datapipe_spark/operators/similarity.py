@@ -208,66 +208,57 @@ WHERE ROUND(
 """
 
 
-def _centroids(e: DataFrame) -> DataFrame:
-    """Per-label centroid via positional explode + re-assemble (keeps
-    averaging distributed; no driver math)."""
-    dims = (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
-    )
-    return (
-        dims.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("_pc"))
-        .select("label", F.expr("transform(_pc, p -> p.cx)").alias("cv"))
-    )
-
-
 def topk_ivf(
     spark: SparkSession,
     sf_dir: str,
     k: int = DEFAULT_K,
     nprobe: int = 3,
     query_ids: tuple[int, ...] = DEFAULT_QUERY_IDS,
+    nlist: int | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse-quantize the corpus by ``label`` (the
-    testdata's cluster id stands in for learned k-means cells), probe
-    only the nprobe nearest centroids per query, exact cosine within
-    probed cells.
+    """IVF ANN with a **learned** coarse quantizer: sample-trained
+    spherical k-means cells (``_probe_assignments`` — the same front
+    half as ``knn_join_ivf``), multi-probe queries against the
+    ``nprobe`` nearest centroids, exact cosine within probed cells.
+
+    r5: upgraded from label-bucketed cells — the testdata ``label``
+    column is geometry-random (within-label mean cosine ≈ cross-label)
+    so probing label cells could not concentrate neighbors; bench's
+    ``ann_recall`` telemetry measured recall@10 = 0.36 at sf0.1 with
+    label cells (nprobe 3 of 50) vs 0.80 with learned cells probing a
+    SMALLER fraction (nprobe 3 of √N ≈ 70 cells).
 
     With nprobe ≥ nlist this equals brute force exactly
-    (property-tested); at scale the corpus is partitioned by cell so a
-    probe touches nprobe/nlist of the data.
+    (property-tested with a pinned ``nlist``); at scale the corpus is
+    partitioned by learned cell so a probe touches ~nprobe/nlist of
+    the data, and cell assignment is one Arrow-batched matmul pass.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _as_double("embedding").alias("v")
+    e, q, _ = _probe_assignments(spark, sf_dir, nprobe, nlist=nlist)
+    # each vector is INDEXED in its nearest cell (probe rank 1)...
+    idx = q.filter(F.col("probe") == 1).select("qcell", "vec_id", "v")
+    # ...and the few query vectors SEARCH their nprobe nearest cells
+    probes = q.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"), "qcell", F.col("v").alias("qv")
     )
-    cents = _centroids(e)
-    q = e.filter(F.col("vec_id").isin(list(query_ids))).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("cent_cos").desc(), F.col("label")
-    )
-    probes = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cent_cos", _cosine("qv", "cv"))
-        .withColumn("probe_rank", F.row_number().over(w_probe))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("query_id", "qv", "label")
-    )
-    scored = probes.join(e, "label").filter(F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(_cosine("qv", "v"), 6).alias("cosine"),
+    scored = (
+        F.broadcast(probes)
+        .join(idx, "qcell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine("qv", "v"), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(out, e, q)
 
 
 KNN_JOIN_K = 5
@@ -763,7 +754,9 @@ def _kmeans_cells(
     return _lloyd(x, nlist, iters=iters, spherical=True, init="first")
 
 
-def _probe_assignments(spark: SparkSession, sf_dir: str, nprobe: int):
+def _probe_assignments(
+    spark: SparkSession, sf_dir: str, nprobe: int, nlist: int | None = None
+):
     """Shared IVF front half: learn cells (``_kmeans_cells``), then
     ONE Arrow-batched assignment pass over the corpus emitting every
     vector's ``nprobe`` nearest cells — probe rank 1 doubles as the
@@ -772,7 +765,9 @@ def _probe_assignments(spark: SparkSession, sf_dir: str, nprobe: int):
     ``e`` is the raw (vec_id, v) corpus, ``q`` the (vec_id, qcell,
     probe, v) assignment frame, and ``sample`` the normalized training
     matrix (so a PQ consumer can train codebooks without a second
-    sampling pass over the corpus)."""
+    sampling pass over the corpus). ``nlist=None`` applies the faiss
+    ``√N`` rule; an explicit value pins the cell count (the
+    full-probe-equals-bruteforce property tests need a known nlist)."""
     import math
 
     import numpy as np
@@ -782,7 +777,8 @@ def _probe_assignments(spark: SparkSession, sf_dir: str, nprobe: int):
         "vec_id", _as_double("embedding").alias("v")
     ).persist()
     n_vecs = e.count()  # sizes nlist; also materializes the cache
-    nlist = max(1, int(math.isqrt(n_vecs)))  # faiss rule of thumb
+    if nlist is None:
+        nlist = max(1, int(math.isqrt(n_vecs)))  # faiss rule of thumb
     sample = _sample_normalized(e)
     cmat = _kmeans_cells(e, nlist, sample=sample)
     npr = min(nprobe, len(cmat))

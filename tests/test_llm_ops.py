@@ -87,7 +87,8 @@ def test_simhash_finds_planted_near_dups(spark, sf_dir):
 
 
 def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
-    """nprobe = nlist ⇒ IVF must equal brute force exactly."""
+    """nprobe = nlist ⇒ IVF must equal brute force exactly (nlist
+    pinned so the probe count provably covers every learned cell)."""
     nlist = 10
     bf = {
         (r["query_id"], r["rank"]): r["neighbor_id"]
@@ -95,7 +96,7 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     }
     ivf = {
         (r["query_id"], r["rank"]): r["neighbor_id"]
-        for r in similarity.topk_ivf(spark, sf_dir, nprobe=nlist).collect()
+        for r in similarity.topk_ivf(spark, sf_dir, nprobe=nlist, nlist=nlist).collect()
     }
     assert bf == ivf
 
