@@ -53,9 +53,19 @@ def _version_dir(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"v{version:05d}")
 
 
-def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "overwrite") -> int:
+def commit_snapshot(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | None = None,
+) -> int:
     """Commit a new snapshot; ``mode='append'`` unions the previous
-    snapshot's rows (copy-on-write append). Returns the new version."""
+    snapshot's rows (copy-on-write append). ``partition_by`` lays the
+    snapshot out hive-partitioned (the reference partitions its
+    Iceberg events table by ``(date, hour)`` —
+    .devcontainer/test_spark.py:60-68) so partition-pruned reads work
+    against the stand-in exactly as against Iceberg metadata. Returns
+    the new version."""
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     prev = current_version(table_dir)
     version = (prev or 0) + 1
@@ -64,12 +74,16 @@ def commit_snapshot(df: DataFrame, table_dir: str, mode: str = "overwrite") -> i
         prev_df = df.sparkSession.read.parquet(_version_dir(table_dir, prev))
         data = prev_df.unionByName(df)
     staged = _version_dir(table_dir, version)
-    data.write.mode("overwrite").parquet(staged)
+    writer = data.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
     n = df.sparkSession.read.parquet(staged).count()
     with open(os.path.join(_meta_dir(table_dir), f"v{version:05d}.json"), "w") as f:
         json.dump(
             {"version": version, "parent": prev, "committed_at": time.time(),
-             "row_count": n, "mode": mode},
+             "row_count": n, "mode": mode,
+             "partition_by": list(partition_by or [])},
             f,
         )
     tmp = _pointer(table_dir) + ".tmp"

@@ -353,6 +353,47 @@ def test_snapshot_commit_time_travel_history_expire(spark):
     assert [h["version"] for h in snap.history(table)] == [2, 3]
 
 
+def test_snapshot_partitioned_append_and_partition_filter(spark):
+    """The reference's last uncovered Iceberg integration check
+    (.devcontainer/test_spark.py:104-126): append to a (date, hour)-
+    partitioned events table, then a partition-predicate count must
+    return exactly the matching rows AND prune partitions at the scan
+    (Iceberg does it from table metadata; the stand-in from the hive
+    layout — both surface as PartitionFilters)."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_part")
+    base = spark.createDataFrame(
+        [
+            ("evt_001", "user_001", "page_view", "2024-01-01", 10),
+            ("evt_002", "user_001", "click", "2024-01-01", 10),
+            ("evt_003", "user_002", "purchase", "2024-01-01", 11),
+            ("evt_004", "user_002", "page_view", "2024-01-01", 12),
+        ],
+        "event_id string, user_id string, event_type string, event_date string, hour int",
+    )
+    v1 = snap.commit_snapshot(base, table, partition_by=("event_date", "hour"))
+    appended = spark.createDataFrame(
+        [("evt_005", "user_003", "search", "2024-01-02", 9)],
+        "event_id string, user_id string, event_type string, event_date string, hour int",
+    )
+    v2 = snap.commit_snapshot(
+        appended, table, mode="append", partition_by=("event_date", "hour")
+    )
+    assert (v1, v2) == (1, 2)
+    latest = snap.read_snapshot(spark, table)
+    assert latest.count() == 5
+    filtered = latest.filter(
+        (F.col("event_date") == "2024-01-01") & (F.col("hour") == 10)
+    )
+    assert {r["event_id"] for r in filtered.collect()} == {"evt_001", "evt_002"}
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters: [", 1)
+    assert len(seg) == 2 and seg[1].splitlines()[0].rstrip("]").strip(), plan
+    # time travel still sees the pre-append partition set
+    assert snap.read_snapshot(spark, table, version=1).count() == 4
+
+
 def test_multi_table_changelog_topology(spark, sf_dir):
     from datapipe_spark.sources.cdc import CDC_TABLES, synth_changelog_multi
 
