@@ -41,8 +41,12 @@ GAP_MINUTES = 30
 # Micro-batches are small by construction (one drop ≈ one Kafka poll),
 # so wide shuffles just add task overhead; the stateful operators also
 # allocate one state store per shuffle partition per batch. The
-# production cluster would size this to the state volume.
-STREAM_SHUFFLE_PARTITIONS = 8
+# production cluster would size this to the state volume. r5 A/B on
+# the 32-core box, all 8 streaming queries back-to-back (sf0.1):
+# 4→35.3s, 8→30.0s, 16→36.5s, 32→41.1s — 8 confirmed the plateau
+# (fewer starves replay parallelism, more multiplies state stores);
+# env override for re-measurement.
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
 
 
 @contextmanager
