@@ -511,7 +511,12 @@ def knn_join_ivfpq(
     e, q, sample = _probe_assignments(spark, sf_dir, nprobe)
     books, splits = _pq_codebooks(e, m, ncodes, sample=sample)
     bcb = spark.sparkContext.broadcast((books, splits))
-    sl = shortlist if shortlist is not None else 4 * k
+    # default shortlist 8·k: bench ann_recall A/B at sf0.1 measured
+    # 4·k → 0.69, 8·k → 0.81, 16·k → 0.82 against the brute anchor —
+    # 8·k sits at the IVF probe ceiling (knn_join_ivf = 0.82 at the
+    # same nprobe, i.e. the PQ shortlist loss is recovered) while the
+    # exact-refine join stays O(N·shortlist) rows.
+    sl = shortlist if shortlist is not None else 8 * k
 
     idx_raw = q.filter(F.col("probe") == 1).select("qcell", "vec_id", "v")
 
