@@ -220,3 +220,53 @@ def test_scrub_ops_prune_unused_columns(spark, sf_dir):
     read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "lang" not in read_schema and "source" not in read_schema
     assert "doc_id" in read_schema and "text" in read_schema
+
+
+def test_bucketed_join_elides_both_exchanges(spark, sf_dir):
+    """Storage bucketing (the 100 TB repeat-join strategy): orders and
+    lineitem bucketed on the order key must equi-join bucket-to-bucket
+    — SortMergeJoin with NO Exchange on either side — and survive an
+    orderkey-grouped aggregation on the join result without any new
+    shuffle (the bucketing satisfies the groupBy's distribution too)."""
+    from datapipe_spark.sources import bucketing as bk
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    try:
+        t_orders = bk.write_bucketed(
+            orders, "orders_bkt", ("o_orderkey",), num_buckets=8,
+            sort_cols=("o_orderkey",),
+        )
+        t_line = bk.write_bucketed(
+            lineitem, "lineitem_bkt", ("l_orderkey",), num_buckets=8,
+            sort_cols=("l_orderkey",),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(t_orders).join(
+                spark.table(t_line),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = _plan(spark, joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+            # bucketing also covers the downstream per-key aggregation
+            agg = joined.groupBy("o_orderkey").agg(
+                F.sum("l_quantity").alias("qty")
+            )
+            agg_plan = _plan(spark, agg)
+            assert "Exchange" not in agg_plan, agg_plan
+            # and the answer matches the unbucketed join
+            n = joined.count()
+            assert n == orders.join(
+                lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        bk.drop_bucket_db(spark)
