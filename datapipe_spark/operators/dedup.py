@@ -107,6 +107,55 @@ FROM documents
 """
 
 
+def dedup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication profile — the source-weighting signal a
+    curation pipeline reads before mixing (a source whose duplicate
+    ratio explodes gets down-weighted or re-crawled; pairs with
+    ``corpus_mix_domains``).
+
+    Two-level aggregate, both map-side combinable: (source, md5) copy
+    counts, then per-source rollup of docs / distinct contents / dup
+    ratio / widest verbatim group. Shuffles 32-byte hashes, never
+    text; no windows — skew-immune at any copy count (same design as
+    the r5 ``_collapse_exact`` swap).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5("text").alias("h")
+    )
+    per = d.groupBy("source", "h").agg(F.count("*").alias("copies"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("copies").alias("n_docs"),
+            F.count("*").alias("distinct_contents"),
+            (F.sum("copies") - F.count("*")).alias("duplicate_docs"),
+            F.round(
+                (F.sum("copies") - F.count("*")).cast("double") / F.sum("copies"), 6
+            ).alias("dup_ratio"),
+            F.max("copies").alias("max_group_size"),
+        )
+        .select(
+            "source", "n_docs", "distinct_contents", "duplicate_docs",
+            "dup_ratio", "max_group_size",
+        )
+    )
+
+
+DEDUP_STATS_BY_SOURCE_SQL = """
+WITH g AS (
+  SELECT source, md5(text) AS h, COUNT(*) AS copies
+  FROM documents GROUP BY source, md5(text)
+)
+SELECT source,
+       CAST(SUM(copies) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS distinct_contents,
+       CAST(SUM(copies) - COUNT(*) AS BIGINT) AS duplicate_docs,
+       ROUND(CAST(SUM(copies) - COUNT(*) AS DOUBLE) / SUM(copies), 6) AS dup_ratio,
+       CAST(MAX(copies) AS BIGINT) AS max_group_size
+FROM g GROUP BY source
+"""
+
+
 _LEN_BAND = 16  # near-dups differ by a few tokens, not rewrites: tight band
 
 

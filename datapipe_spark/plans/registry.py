@@ -178,6 +178,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # — rows-only (ANN recall is data-derived); cluster agreement vs
     # the exact dedup_semantic is property-tested
     "dedup_semantic_ann": (similarity.semantic_dedup_clusters_ann, None),
+    "dedup_stats_by_source": (dedup.dedup_stats_by_source, dedup.DEDUP_STATS_BY_SOURCE_SQL),
 }
 
 

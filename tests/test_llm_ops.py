@@ -13,6 +13,7 @@ ORACLE_CASES = [
     (scrub.pii_scrub, scrub.PII_SCRUB_SQL),
     (scrub.repetition_stats, scrub.REPETITION_STATS_SQL),
     (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    (dedup.dedup_stats_by_source, dedup.DEDUP_STATS_BY_SOURCE_SQL),
     (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),

@@ -56,6 +56,22 @@ def test_incremental_refuses_mixed_partition_grain(spark, sf_dir):
     inc.apply_increment(spark, o, base, unit="year")
 
 
+def test_incremental_rejects_unknown_partition_unit(spark, sf_dir):
+    """An unsupported unit must fail with a descriptive ValueError at
+    the top of apply_increment/partition_start, not a bare KeyError
+    from the partition-regex table mid-guard."""
+    import datetime
+
+    import pytest
+
+    base = fresh_dir("test_incr_unit")
+    o = marts._orders_base(spark, sf_dir)
+    with pytest.raises(ValueError, match="unsupported partition unit"):
+        inc.apply_increment(spark, o, base, unit="day")
+    with pytest.raises(ValueError, match="unsupported partition unit"):
+        inc.partition_start(datetime.date(2024, 3, 15), unit="day")
+
+
 def test_archive_hour_granularity_layout_and_pruning(spark, sf_dir):
     """S5 hour-level hive layout on a bounded slice + S6: partition
     predicates must prune at plan level, not post-scan."""
