@@ -371,6 +371,139 @@ FROM f
 """
 
 
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM score per document — the perplexity-proxy
+    filter (the cheap stand-in for a KenLM pass: documents whose
+    tokens are improbable under the corpus' own unigram distribution
+    are boilerplate/noise outliers in either direction).
+
+    Model = MLE unigram over the whole corpus (every token is in its
+    own training set, so probabilities never need smoothing). Score =
+    mean token log-prob; ``perplexity`` = exp(−score).
+
+    Scale shape: per-(doc, token) counts FIRST (one map-side-combined
+    shuffle), then one vocabulary-keyed join of those compressed
+    counts (never the raw token stream) against the O(vocab) count
+    table, then a per-doc rollup. No windows, no driver state; the
+    1-row corpus total rides a broadcast cross join.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
+    counts = dt.groupBy("tok").agg(F.sum("k").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    lp = F.log(F.col("c").cast("double")) - F.log(F.col("t").cast("double"))
+    return (
+        dt.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            (F.sum(F.col("k") * lp) / F.sum("k")).alias("_alp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("_alp", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("_alp")), 6).alias("perplexity"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SCORE_SQL = """
+WITH dt AS (
+  SELECT doc_id, tok, COUNT(*) AS k
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), c AS (
+  SELECT tok, SUM(k) AS c FROM dt GROUP BY tok
+), tot AS (
+  SELECT SUM(c) AS t FROM c
+)
+SELECT dt.doc_id,
+       CAST(SUM(dt.k) AS BIGINT) AS n_tokens,
+       ROUND(SUM(dt.k * (ln(CAST(c.c AS DOUBLE)) - ln(CAST(tot.t AS DOUBLE))))
+             / SUM(dt.k), 6) AS avg_logprob,
+       ROUND(EXP(-(SUM(dt.k * (ln(CAST(c.c AS DOUBLE)) - ln(CAST(tot.t AS DOUBLE))))
+             / SUM(dt.k))), 6) AS perplexity
+FROM dt JOIN c USING (tok) CROSS JOIN tot
+GROUP BY dt.doc_id
+"""
+
+
+# Gopher-style rule battery (Rae et al. 2021 §A1.1 heuristics, adapted
+# to the single-line testdata): each rule is an independent boolean so
+# filter-rate dashboards can attribute drops per rule; keep = AND.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8  # words containing >= 1 letter
+GOPHER_MIN_DISTINCT_STOP = 2  # distinct stopwords present
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery: per-document boolean flags for the
+    classic pre-training heuristics (word-count window, mean word
+    length window, alpha-word fraction, stopword evidence) plus the
+    conjunctive keep decision. Map-only column algebra — one scan,
+    flags attributable per rule.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_len = (F.length("text") - n_words + 1).cast("double") / n_words
+    n_alpha = F.size(F.expr("filter(split(text, ' '), x -> x rlike '[A-Za-z]')"))
+    alpha_frac = n_alpha.cast("double") / n_words
+    n_distinct_stop = F.size(
+        F.array_distinct(F.expr(f"filter(split(text, ' '), w -> w IN ({_STOP_SQL}))"))
+    )
+    f_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_mean = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    f_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    f_stop = n_distinct_stop >= GOPHER_MIN_DISTINCT_STOP
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_distinct_stop.alias("n_distinct_stopwords"),
+        f_words.alias("pass_word_count"),
+        f_mean.alias("pass_mean_word_len"),
+        f_alpha.alias("pass_alpha_frac"),
+        f_stop.alias("pass_stopwords"),
+        (f_words & f_mean & f_alpha & f_stop).alias("keep"),
+    )
+
+
+GOPHER_QUALITY_FLAGS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    CAST(len(text) - len(w) + 1 AS DOUBLE) / len(w) AS mean_word_len,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / len(w) AS alpha_word_frac,
+    len(list_distinct(list_filter(w, x -> x IN ({_STOP_SQL}))))
+      AS n_distinct_stopwords
+  FROM t
+)
+SELECT doc_id, n_words,
+  ROUND(mean_word_len, 6) AS mean_word_len,
+  ROUND(alpha_word_frac, 6) AS alpha_word_frac,
+  n_distinct_stopwords,
+  n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS pass_word_count,
+  mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+    AS pass_mean_word_len,
+  alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC} AS pass_alpha_frac,
+  n_distinct_stopwords >= {GOPHER_MIN_DISTINCT_STOP} AS pass_stopwords,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+    AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+    AND alpha_word_frac >= {GOPHER_MIN_ALPHA_FRAC}
+    AND n_distinct_stopwords >= {GOPHER_MIN_DISTINCT_STOP} AS keep
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary builder (tokenizer-training primitive)
 # ---------------------------------------------------------------------------

@@ -179,6 +179,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the exact dedup_semantic is property-tested
     "dedup_semantic_ann": (similarity.semantic_dedup_clusters_ann, None),
     "dedup_stats_by_source": (dedup.dedup_stats_by_source, dedup.DEDUP_STATS_BY_SOURCE_SQL),
+    "unigram_logprob_score": (
+        textstats.unigram_logprob_score,
+        textstats.UNIGRAM_LOGPROB_SCORE_SQL,
+    ),
+    "gopher_quality_flags": (
+        textstats.gopher_quality_flags,
+        textstats.GOPHER_QUALITY_FLAGS_SQL,
+    ),
 }
 
 

@@ -18,6 +18,8 @@ ORACLE_CASES = [
     (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     (textstats.text_stats, textstats.TEXT_STATS_SQL),
+    (textstats.unigram_logprob_score, textstats.UNIGRAM_LOGPROB_SCORE_SQL),
+    (textstats.gopher_quality_flags, textstats.GOPHER_QUALITY_FLAGS_SQL),
     (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),
     (decontam.decontaminate, decontam.DECONTAMINATE_SQL),
     (decontam.corpus_sample_stratified, decontam.CORPUS_SAMPLE_STRATIFIED_SQL),
