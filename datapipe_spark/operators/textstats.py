@@ -504,6 +504,75 @@ FROM m
 """
 
 
+FEATURE_HASH_DIM = 64  # hashed BoW dims (matches the embeddings table)
+
+
+def featurize_documents(
+    spark: SparkSession, sf_dir: str, dim: int = FEATURE_HASH_DIM, hash: str = "md5"
+) -> DataFrame:
+    """Feature-hashed bag-of-words document vectors — the text →
+    vector bridge that feeds the similarity/ANN stack when no neural
+    encoder is in the loop (Weinberger et al.'s signed hashing trick:
+    token → bucket by hash, ±1 sign from an independent hash bit to
+    unbias collisions, L2-normalized).
+
+    Output is LONG form ``(doc_id, dim, weight)`` over non-zero dims —
+    sparse by construction, plain-row (oracle- and driver-friendly),
+    and one ``groupBy(doc_id).collect_list`` away from the dense
+    ``array<float>`` the ANN operators consume. Scale shape: explode →
+    one map-side-combined (doc, dim) aggregate → per-doc norm join;
+    no windows, no driver state, shuffles carry (id, dim, count) rows
+    only. ``hash="md5"`` is the portable oracle family;
+    ``hash="xxhash64"`` the cheap 100 TB path (same contract as every
+    dedup operator).
+    """
+    from datapipe_spark.operators.dedup import _hash_expr
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = F.expr(_hash_expr("tok", hash))
+    # bucket from the low bits, sign from an independent high bit
+    # (bit 58 — inside the 60-bit md5 parse, positive under both
+    # engines' arithmetic)
+    sgn = F.when(F.shiftright(h, 58).bitwiseAND(F.lit(1)) == 1, -1).otherwise(1)
+    per = (
+        toks.select("doc_id", F.pmod(h, F.lit(dim)).alias("dim"), sgn.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("v"))
+        .filter(F.col("v") != 0)
+    )
+    norms = per.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("_n")
+    )
+    return (
+        per.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(F.col("v") / F.col("_n"), 6).alias("weight"),
+        )
+    )
+
+
+FEATURIZE_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+), per AS (
+  SELECT doc_id, h % {FEATURE_HASH_DIM} AS dim,
+         SUM(CASE WHEN (h >> 58) & 1 = 1 THEN -1 ELSE 1 END) AS v
+  FROM toks GROUP BY doc_id, h % {FEATURE_HASH_DIM}
+  HAVING SUM(CASE WHEN (h >> 58) & 1 = 1 THEN -1 ELSE 1 END) <> 0
+), norms AS (
+  SELECT doc_id, SQRT(SUM(CAST(v * v AS DOUBLE))) AS n FROM per GROUP BY doc_id
+)
+SELECT per.doc_id, CAST(per.dim AS INT) AS dim,
+       ROUND(CAST(per.v AS DOUBLE) / norms.n, 6) AS weight
+FROM per JOIN norms USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary builder (tokenizer-training primitive)
 # ---------------------------------------------------------------------------

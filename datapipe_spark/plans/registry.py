@@ -187,6 +187,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textstats.gopher_quality_flags,
         textstats.GOPHER_QUALITY_FLAGS_SQL,
     ),
+    "featurize_documents": (
+        textstats.featurize_documents,
+        textstats.FEATURIZE_DOCUMENTS_SQL,
+    ),
 }
 
 

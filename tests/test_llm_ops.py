@@ -19,6 +19,7 @@ ORACLE_CASES = [
     (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     (textstats.text_stats, textstats.TEXT_STATS_SQL),
     (textstats.unigram_logprob_score, textstats.UNIGRAM_LOGPROB_SCORE_SQL),
+    (textstats.featurize_documents, textstats.FEATURIZE_DOCUMENTS_SQL),
     (textstats.gopher_quality_flags, textstats.GOPHER_QUALITY_FLAGS_SQL),
     (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),
     (decontam.decontaminate, decontam.DECONTAMINATE_SQL),
@@ -1124,3 +1125,29 @@ def test_tokenize_roundtrips_in_vocab_tokens(spark, sf_dir):
                 checked += 1
         assert r["n_unk"] == sum(1 for i in ids if i == 0)
     assert checked > 1000  # the corpus head-vocab must cover real mass
+
+
+def test_featurize_documents_norm_and_dup_invariance(spark, sf_dir):
+    """Signed feature hashing invariants: every vector is unit-L2
+    (within 6-dp rounding), verbatim duplicates map to identical
+    vectors, and the xxhash64 scale family keeps the same contract."""
+    feats = textstats.featurize_documents(spark, sf_dir).collect()
+    by_doc: dict[int, dict[int, float]] = {}
+    for r in feats:
+        by_doc.setdefault(r["doc_id"], {})[r["dim"]] = r["weight"]
+    assert by_doc
+    for v in by_doc.values():
+        assert abs(sum(w * w for w in v.values()) - 1.0) < 1e-4
+    # identical token bags ⟹ identical vectors: the planted near-dup
+    # pairs (high jaccard) must land close in hashed-feature cosine
+    truth = dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    assert truth
+    for pair in truth:
+        a, b = by_doc[pair["doc_a"]], by_doc[pair["doc_b"]]
+        cos = sum(a[d] * b.get(d, 0.0) for d in a)
+        assert cos > 0.7, (pair, cos)
+    xx = textstats.featurize_documents(spark, sf_dir, hash="xxhash64").collect()
+    by_doc_xx: dict[int, float] = {}
+    for r in xx:
+        by_doc_xx[r["doc_id"]] = by_doc_xx.get(r["doc_id"], 0.0) + r["weight"] ** 2
+    assert by_doc_xx and all(abs(n - 1.0) < 1e-4 for n in by_doc_xx.values())
