@@ -123,21 +123,14 @@ def dedup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.md5("text").alias("h")
     )
     per = d.groupBy("source", "h").agg(F.count("*").alias("copies"))
-    return (
-        per.groupBy("source")
-        .agg(
-            F.sum("copies").alias("n_docs"),
-            F.count("*").alias("distinct_contents"),
-            (F.sum("copies") - F.count("*")).alias("duplicate_docs"),
-            F.round(
-                (F.sum("copies") - F.count("*")).cast("double") / F.sum("copies"), 6
-            ).alias("dup_ratio"),
-            F.max("copies").alias("max_group_size"),
-        )
-        .select(
-            "source", "n_docs", "distinct_contents", "duplicate_docs",
-            "dup_ratio", "max_group_size",
-        )
+    return per.groupBy("source").agg(
+        F.sum("copies").alias("n_docs"),
+        F.count("*").alias("distinct_contents"),
+        (F.sum("copies") - F.count("*")).alias("duplicate_docs"),
+        F.round(
+            (F.sum("copies") - F.count("*")).cast("double") / F.sum("copies"), 6
+        ).alias("dup_ratio"),
+        F.max("copies").alias("max_group_size"),
     )
 
 

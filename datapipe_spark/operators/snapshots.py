@@ -71,7 +71,7 @@ def commit_snapshot(
     version = (prev or 0) + 1
     data = df
     if mode == "append" and prev is not None:
-        prev_df = df.sparkSession.read.parquet(_version_dir(table_dir, prev))
+        prev_df = read_snapshot(df.sparkSession, table_dir, version=prev)
         data = prev_df.unionByName(df)
     staged = _version_dir(table_dir, version)
     writer = data.write.mode("overwrite")
@@ -83,7 +83,14 @@ def commit_snapshot(
         json.dump(
             {"version": version, "parent": prev, "committed_at": time.time(),
              "row_count": n, "mode": mode,
-             "partition_by": list(partition_by or [])},
+             "partition_by": list(partition_by or []),
+             # committed schema, pinned: hive partition directories
+             # erase the partition columns' types, and Spark's
+             # partition type INFERENCE on read would coerce them
+             # (string '2024-01-01' comes back as DATE) — readers
+             # apply this schema instead, so read_snapshot always
+             # returns exactly what was committed, at every version
+             "schema": json.loads(data.schema.json())},
             f,
         )
     tmp = _pointer(table_dir) + ".tmp"
@@ -96,11 +103,24 @@ def commit_snapshot(
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
-    """Read the latest snapshot, or time-travel to ``version``."""
+    """Read the latest snapshot, or time-travel to ``version`` —
+    under the schema pinned at commit time (see ``commit_snapshot``),
+    so partitioned snapshots round-trip their exact column types."""
     v = version if version is not None else current_version(table_dir)
     if v is None:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    return spark.read.parquet(_version_dir(table_dir, v))
+    reader = spark.read
+    meta_path = os.path.join(_meta_dir(table_dir), f"v{v:05d}.json")
+    try:
+        with open(meta_path) as f:
+            schema_json = json.load(f).get("schema")
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schema_json))
+    except FileNotFoundError:
+        pass  # pre-r5 snapshot without pinned schema: infer as before
+    return reader.parquet(_version_dir(table_dir, v))
 
 
 def history(table_dir: str) -> list[dict]:

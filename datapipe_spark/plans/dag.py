@@ -43,13 +43,13 @@ def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
 
     # 1. data_quality_check. In the reference's Airflow graph the gate
     # task runs strictly before the batch job because a failure stops
-    # *deployment*; here every stage writes to a scratch serving dir
-    # and the gate is a violation REPORT (the testdata always carries
-    # planted violations — the run proceeds and reports them), so the
-    # gate count has no data edge to the marts either. r5: submit it
-    # through the same pool as the marts instead of serializing ~1.5 s
-    # of quality scan in front of them; its result is still collected
-    # into the report before anything returns.
+    # *deployment*. r5: the gate COMPUTES concurrently with the marts
+    # (it has no data edge to them — ~1.5 s of quality scan no longer
+    # serializes in front of the pool), but deployment order is kept
+    # by writing every mart to a staging dir and only RENAMING into
+    # out_dir after the whole pool — gate included — succeeded: a
+    # gate/mart failure leaves out_dir without a single overwritten
+    # table, exactly the fail-fast contract the sequential DAG had.
 
     def _run_gate(_item=None) -> tuple:
         return "rule_violations", q.rule_violations(spark, sf_dir).count()
@@ -62,6 +62,8 @@ def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
     # has no data edge to the mart writes either — submit all six
     # from one pool and let the scheduler interleave their jobs (the
     # same parallelism Airflow gets from independent tasks).
+    staging = os.path.join(out_dir, "_staging")
+
     def _run_mart(item: tuple) -> tuple:
         name, fn = item
         df = fn(spark, sf_dir)
@@ -70,8 +72,9 @@ def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
         # coalesce here collapses each mart's final aggregation into
         # the 8 writer tasks (benched ~1.3 s slower per mart at sf0.1);
         # the extra shuffle moves only the small serving rows.
-        df.repartition(8).write.mode("overwrite").parquet(os.path.join(out_dir, name))
-        return name, spark.read.parquet(os.path.join(out_dir, name)).count()
+        path = os.path.join(staging, name)
+        df.repartition(8).write.mode("overwrite").parquet(path)
+        return name, spark.read.parquet(path).count()
 
     def _run_recon(_item=None) -> tuple:
         return "reconciliation", q.reconciliation(spark, sf_dir).count()
@@ -81,7 +84,21 @@ def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
         futs = [pool.submit(_run_gate)]
         futs += [pool.submit(_run_mart, it) for it in stages]
         futs.append(pool.submit(_run_recon))
-        counts.update(dict(f.result() for f in futs))
+        try:
+            counts.update(dict(f.result() for f in futs))
+        except Exception:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+    # publish: everything (gate included) succeeded — same-fs renames
+    import shutil
+
+    for name in _MART_STAGES:
+        dst = os.path.join(out_dir, name)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(os.path.join(staging, name), dst)
+    shutil.rmtree(staging, ignore_errors=True)
     # report order matches the reference DAG: gate first, recon last
     order = ["rule_violations", *_MART_STAGES, "reconciliation"]
     return {k: counts[k] for k in order}

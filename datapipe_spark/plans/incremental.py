@@ -158,50 +158,52 @@ def apply_increment(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
-    state_fut = pool.submit(
-        lambda: merged_state.repartition(1).write.mode("overwrite").parquet(tmp)
-    )
-
-    enriched = orders_chunk.join(merged_state, "o_custkey")
-    is_new = F.col("first_order_date") == F.col("order_date")
-    # two-level aggregation (same shape as the full-recompute mart):
-    # pre-aggregate per (date, customer) so the distinct customer
-    # counts become plain counts — no Expand fan-out over the chunk
-    per_cust = enriched.groupBy("order_date", "o_custkey").agg(
-        F.count("*").alias("_n"),
-        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("_f"),
-        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("_o"),
-        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("_p"),
-        F.sum("amount").alias("_amt"),
-        F.first(is_new).alias("_is_new"),
-    )
-    daily = per_cust.groupBy("order_date").agg(
-        F.sum("_n").alias("total_orders"),
-        F.sum("_f").alias("completed_orders"),
-        F.sum("_o").alias("open_orders"),
-        F.sum("_p").alias("partial_orders"),
-        F.count("*").alias("unique_customers"),
-        F.count(F.when(F.col("_is_new"), 1)).alias("new_customers"),
-        F.sum("_amt").alias("_rev"),
-        F.sum(F.when(F.col("_is_new"), F.col("_amt")).otherwise(_zero_money())).alias("_new_rev"),
-    )
-    result = daily.select(
-        F.date_format("order_date", PARTITION_FMT[unit]).alias("order_part"),
-        "order_date",
-        "total_orders",
-        "completed_orders",
-        "open_orders",
-        "partial_orders",
-        "unique_customers",
-        "new_customers",
-        (F.col("unique_customers") - F.col("new_customers")).alias("returning_customers"),
-        F.col("_rev").cast("double").alias("total_revenue"),
-        F.col("_new_rev").cast("double").alias("new_customer_revenue"),
-        (F.col("_rev").cast("double") / F.col("total_orders")).alias("avg_order_value"),
-        ratio(F.col("new_customers"), F.col("unique_customers")).alias("acquisition_rate"),
-        ratio(F.col("completed_orders"), F.col("total_orders")).alias("completion_rate"),
-    )
+    state_fut = None
     try:
+        state_fut = pool.submit(
+            lambda: merged_state.repartition(1).write.mode("overwrite").parquet(tmp)
+        )
+        enriched = orders_chunk.join(merged_state, "o_custkey")
+        is_new = F.col("first_order_date") == F.col("order_date")
+        # two-level aggregation (same shape as the full-recompute mart):
+        # pre-aggregate per (date, customer) so the distinct customer
+        # counts become plain counts — no Expand fan-out over the chunk
+        per_cust = enriched.groupBy("order_date", "o_custkey").agg(
+            F.count("*").alias("_n"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("_f"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("_o"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("_p"),
+            F.sum("amount").alias("_amt"),
+            F.first(is_new).alias("_is_new"),
+        )
+        daily = per_cust.groupBy("order_date").agg(
+            F.sum("_n").alias("total_orders"),
+            F.sum("_f").alias("completed_orders"),
+            F.sum("_o").alias("open_orders"),
+            F.sum("_p").alias("partial_orders"),
+            F.count("*").alias("unique_customers"),
+            F.count(F.when(F.col("_is_new"), 1)).alias("new_customers"),
+            F.sum("_amt").alias("_rev"),
+            F.sum(
+                F.when(F.col("_is_new"), F.col("_amt")).otherwise(_zero_money())
+            ).alias("_new_rev"),
+        )
+        result = daily.select(
+            F.date_format("order_date", PARTITION_FMT[unit]).alias("order_part"),
+            "order_date",
+            "total_orders",
+            "completed_orders",
+            "open_orders",
+            "partial_orders",
+            "unique_customers",
+            "new_customers",
+            (F.col("unique_customers") - F.col("new_customers")).alias("returning_customers"),
+            F.col("_rev").cast("double").alias("total_revenue"),
+            F.col("_new_rev").cast("double").alias("new_customer_revenue"),
+            (F.col("_rev").cast("double") / F.col("total_orders")).alias("avg_order_value"),
+            ratio(F.col("new_customers"), F.col("unique_customers")).alias("acquisition_rate"),
+            ratio(F.col("completed_orders"), F.col("total_orders")).alias("completion_rate"),
+        )
         (
             # the daily mart is O(dates) rows — one writer task emits one
             # file per partition (dynamic overwrite sorts by partition key
@@ -218,16 +220,18 @@ def apply_increment(
         )
         state_fut.result()  # surface any state-write failure before the swap
     finally:
-        pool.shutdown(wait=True)
+        # runs on EVERY exit — including an AnalysisException while the
+        # serving plan is still being built: join the state thread (so
+        # its write cannot race the cleanup below) and release the
+        # cache (the round-2 plan-cache-leak class)
+        if state_fut is not None:
+            pool.shutdown(wait=True)
+        merged_state.unpersist()
 
     import shutil
 
     shutil.rmtree(state_p, ignore_errors=True)
     os.rename(tmp, state_p)
-    # both consumers (commit + serving write) have executed: release
-    # the state cache so it cannot leak into the session (the round-2
-    # plan-cache-leak class)
-    merged_state.unpersist()
 
 
 def incremental_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

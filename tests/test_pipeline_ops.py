@@ -399,6 +399,10 @@ def test_snapshot_partitioned_append_and_partition_filter(spark):
     assert (v1, v2) == (1, 2)
     latest = snap.read_snapshot(spark, table)
     assert latest.count() == 5
+    # pinned commit schema: partition type inference must NOT coerce
+    # the string date to DATE or reorder columns across the round-trip
+    assert latest.dtypes == base.dtypes
+    assert snap.read_snapshot(spark, table, version=1).dtypes == base.dtypes
     filtered = latest.filter(
         (F.col("event_date") == "2024-01-01") & (F.col("hour") == 10)
     )
