@@ -19,6 +19,23 @@ def test_daily_batch_pipeline_composes(spark, sf_dir):
     assert counts["customer_metrics"] > 0
 
 
+def test_dag_failure_publishes_nothing(spark, tmp_path):
+    """Fail-fast deployment contract (staged publish): when any pooled
+    stage fails, out_dir must end up with NO mart tables and no staging
+    residue — the behavior the strictly-sequential reference DAG had."""
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "dagout")
+    with pytest.raises(Exception):
+        dag.daily_batch_pipeline(spark, str(tmp_path / "no_such_sf"), out)
+    assert not any(
+        os.path.isdir(os.path.join(out, n)) for n in dag._MART_STAGES
+    )
+    assert not os.path.isdir(os.path.join(out, "_staging"))
+
+
 def test_pipeline_summary_oracle(spark, sf_dir):
     compare_to_oracle(spark, dag.pipeline_summary, dag.PIPELINE_SUMMARY_SQL, sf_dir)
 
