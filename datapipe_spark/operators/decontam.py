@@ -279,3 +279,100 @@ SELECT r.doc_id, r.source, r.lang, r.n_chars, q.domain_weight, q.domain_quota
 FROM ranked r JOIN quotas q USING (source)
 WHERE r.rk <= q.domain_quota
 """
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation flow a training-data pipeline actually
+    runs, composed from this engine's own oracled stages:
+
+        quality gate (``corpus_quality_filter`` keep)
+        → exact dedup (canonical doc per verbatim group)
+        → benchmark decontamination (uncontaminated training docs)
+        → sequence packing (per-shard token-budget cumsum)
+
+    Output: the training-set manifest ``(doc_id, shard, n_tokens,
+    pack_id)`` over surviving documents. Every stage is a DataFrame →
+    DataFrame function, so the composition is ONE lazy plan — Catalyst
+    sees through the whole chain (the three keep-filters collapse into
+    joins over the same scan) and the only materialization is the
+    consumer's. Packing runs over the SURVIVORS (pack ids must be
+    dense over what ships, not over what was dropped), with the same
+    deterministic contiguous-fill rule as ``pack_token_budget``.
+
+    Scale: the gates are map-only or hash-keyed aggregates (no
+    windows); packing is one window cumsum per shard — shards sized so
+    each partition stays executor-sized at any corpus (see
+    ``pack_token_budget``).
+    """
+    from pyspark.sql.window import Window
+
+    from datapipe_spark.operators.dedup import exact_dedup
+    from datapipe_spark.operators.textstats import corpus_quality_filter
+
+    kept = corpus_quality_filter(spark, sf_dir).filter("keep").select("doc_id")
+    canon = exact_dedup(spark, sf_dir).filter("NOT is_duplicate").select("doc_id")
+    clean = decontaminate(spark, sf_dir).filter("NOT is_contaminated").select("doc_id")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    surv = (
+        d.join(kept, "doc_id")
+        .join(canon, "doc_id")
+        .join(clean, "doc_id")
+        .withColumn("shard", (F.col("doc_id") % _PACK_SHARDS).cast("int"))
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = surv.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("pack_id"),
+    )
+
+
+def _curation_pipeline_sql() -> str:
+    """Single-source composition: the oracle is built FROM the
+    component stages' own oracle SQL, so a stage fix propagates here
+    automatically (imports are local — textstats/dedup are peers)."""
+    from datapipe_spark.operators.dedup import EXACT_DEDUP_SQL
+    from datapipe_spark.operators.textstats import CORPUS_QUALITY_FILTER_SQL
+
+    return f"""
+WITH q AS ({CORPUS_QUALITY_FILTER_SQL}
+), kept AS (
+  SELECT doc_id FROM q WHERE keep
+), dd AS ({EXACT_DEDUP_SQL}
+), canon AS (
+  SELECT doc_id FROM dd WHERE NOT is_duplicate
+), dec AS ({DECONTAMINATE_SQL}
+), clean AS (
+  SELECT doc_id FROM dec WHERE NOT is_contaminated
+), surv AS (
+  SELECT d.doc_id,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         CAST(d.doc_id % {_PACK_SHARDS} AS INT) AS shard
+  FROM documents d
+  JOIN kept USING (doc_id)
+  JOIN canon USING (doc_id)
+  JOIN clean USING (doc_id)
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM surv
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(CAST(cb AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM cum
+"""
+
+
+CURATION_PIPELINE_SQL = _curation_pipeline_sql()

@@ -191,6 +191,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textstats.featurize_documents,
         textstats.FEATURIZE_DOCUMENTS_SQL,
     ),
+    "curation_pipeline": (decontam.curation_pipeline, decontam.CURATION_PIPELINE_SQL),
 }
 
 

@@ -26,6 +26,7 @@ ORACLE_CASES = [
     (decontam.corpus_sample_stratified, decontam.CORPUS_SAMPLE_STRATIFIED_SQL),
     (decontam.pack_token_budget, decontam.PACK_TOKEN_BUDGET_SQL),
     (decontam.corpus_mix_domains, decontam.CORPUS_MIX_DOMAINS_SQL),
+    (decontam.curation_pipeline, decontam.CURATION_PIPELINE_SQL),
 ]
 
 
