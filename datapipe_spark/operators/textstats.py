@@ -269,16 +269,21 @@ def winnow_fingerprints(
     if hash not in ("md5", "xxhash64"):
         raise ValueError(f"unknown hash family {hash!r}; use 'md5' or 'xxhash64'")
     gram_fn = hash
+    # _w materialized as a column first: split(text) INSIDE the lambda
+    # would re-split the document once per gram — O(words²) string
+    # work per doc, a real hazard at book-length documents (the same
+    # pattern substring_dup_spans eliminated in r5)
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text,' '))-{k}+1, 1)), "
-        f"i -> {gram_fn}(concat_ws(' ', slice(split(text,' '), i, {k}))))"
+        f"transform(sequence(1, greatest(size(_w)-{k}+1, 1)), "
+        f"i -> {gram_fn}(concat_ws(' ', slice(_w, i, {k}))))"
     )
     wins = F.expr(
         f"transform(sequence(1, greatest(size(_grams)-{window}+1, 1)), "
         f"i -> array_min(slice(_grams, i, {window})))"
     )
     return (
-        d.withColumn("_grams", grams)
+        d.withColumn("_w", F.split("text", " "))
+        .withColumn("_grams", grams)
         .withColumn("_fps", F.array_distinct(wins))
         .select(
             "doc_id",
