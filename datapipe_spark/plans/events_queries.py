@@ -342,3 +342,96 @@ def funnel_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("purchase"),
         F.approx_count_distinct("user_id").alias("approx_unique_users"),
     )
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase enriched with the same
+    user's latest preceding view/click — the **as-of join**, the
+    canonical temporal operator Spark's built-in joins lack (a naive
+    range join is O(purchases × touches) per user).
+
+    Spark-native scalable form: union both sides tagged, ONE window
+    per user ordered by (time, side, id), and `last(ignorenulls)`
+    carries the most recent touch forward onto each purchase row —
+    one shuffle on user_id total, O(n log n) per user, no pairwise
+    term. Touches are pre-deduped to one per (user, ts) (max
+    event_id) so the result is deterministic under timestamp ties in
+    BOTH engines; at equal timestamps the touch sorts before the
+    purchase, matching the oracle's ``t.ts <= p.ts``. Purchases with
+    no prior touch keep NULL attribution (left semantics).
+
+    Oracle: DuckDB's native ``ASOF LEFT JOIN`` — an independent
+    implementation of the operator, not a replay of this plan.
+    """
+    e = _events(spark, sf_dir)
+    touches = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("touch_event_id"),
+            F.max_by("event_type", "event_id").alias("touch_type"),
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            "touch_event_id",
+            "touch_type",
+            F.col("ts").alias("touch_ts"),
+            F.lit(0).alias("is_p"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("touch_event_id"),
+        F.lit(None).cast("string").alias("touch_type"),
+        F.lit(None).cast(e.schema["ts"].dataType).alias("touch_ts"),
+        F.lit(1).alias("is_p"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_p", "touch_event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = touches.unionByName(purchases)
+    out = (
+        rows.withColumn("a_eid", F.last("touch_event_id", ignorenulls=True).over(w))
+        .withColumn("a_type", F.last("touch_type", ignorenulls=True).over(w))
+        .withColumn("a_ts", F.last("touch_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+    )
+    secs = F.round(
+        (epoch_us(F.col("t")) - epoch_us(F.col("a_ts"))).cast("double") / 1e6, 6
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("ts"),
+        "value",
+        F.col("a_eid").alias("touch_event_id"),
+        F.col("a_type").alias("touch_type"),
+        F.col("a_ts").alias("touch_ts"),
+        secs.alias("secs_since_touch"),
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH touches AS (
+  SELECT user_id, ts,
+         MAX(event_id) AS touch_event_id,
+         arg_max(event_type, event_id) AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, ts
+), purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       t.touch_event_id, t.touch_type, t.ts AS touch_ts,
+       ROUND((epoch_us(p.ts) - epoch_us(t.ts)) / 1000000.0, 6) AS secs_since_touch
+FROM purchases p ASOF LEFT JOIN touches t
+  ON p.user_id = t.user_id AND t.ts <= p.ts
+"""

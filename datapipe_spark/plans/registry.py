@@ -192,6 +192,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textstats.FEATURIZE_DOCUMENTS_SQL,
     ),
     "curation_pipeline": (decontam.curation_pipeline, decontam.CURATION_PIPELINE_SQL),
+    "purchase_attribution": (ev.purchase_attribution, ev.PURCHASE_ATTRIBUTION_SQL),
 }
 
 

@@ -17,6 +17,7 @@ CASES = [
     (ev.sessionize, ev.SESSIONIZE_SQL),
     (ev.top_events_per_user, ev.TOP_EVENTS_PER_USER_SQL),
     (ev.purchases_filtered, ev.PURCHASES_FILTERED_SQL),
+    (ev.purchase_attribution, ev.PURCHASE_ATTRIBUTION_SQL),
     (q.rule_violations, q.RULE_VIOLATIONS_SQL),
     (
         q.daily_completeness_violations,
@@ -86,3 +87,34 @@ def test_single_event_session(spark):
     assert r[0]["session_duration_minutes"] == 0.0
     assert r[0]["converted_to_purchase"] is True
     assert abs(r[0]["total_spent"] - 5.0) < 1e-9
+
+
+def test_purchase_attribution_tie_and_no_touch(spark, tmp_path):
+    """The as-of join's subtle cases, pinned on a crafted stream: a
+    touch at the SAME timestamp as the purchase attributes (<= rule,
+    matching DuckDB ASOF), a purchase with no prior touch keeps NULL
+    attribution, and the latest touch wins over earlier ones."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0), 7, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 10, 0, 0), 7, "purchase", 9.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 9, 0, 0), 8, "purchase", 5.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 11, 0, 0), 7, "click", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 1, 12, 0, 0), 7, "purchase", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_id"]: r
+        for r in ev.purchase_attribution(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {2, 3, 5}
+    assert out[2]["touch_event_id"] == 1 and out[2]["secs_since_touch"] == 0.0
+    assert out[3]["touch_event_id"] is None
+    assert out[3]["secs_since_touch"] is None
+    assert out[5]["touch_event_id"] == 4 and out[5]["secs_since_touch"] == 3600.0
