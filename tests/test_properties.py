@@ -351,3 +351,60 @@ def test_simhash_guard_output_is_always_true_pair_subset(spark_prop, texts, cap)
         assert a < b
         assert 0 <= h <= 7
         assert ung[(a, b)] == h
+
+
+# --- as-of join property (vs DuckDB's native ASOF JOIN) ----------------------
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user
+        st.integers(min_value=0, max_value=20),  # ts offset (minutes) — ties likely
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=asof_events)
+def test_purchase_attribution_matches_duckdb_asof(spark_prop, evs, tmp_path_factory):
+    """The union-window as-of join must equal DuckDB's native ASOF
+    LEFT JOIN on arbitrary tie-heavy event streams — two independent
+    implementations of the temporal-join semantics."""
+    import duckdb
+
+    from datapipe_spark.plans.events_queries import (
+        PURCHASE_ATTRIBUTION_SQL,
+        purchase_attribution,
+    )
+
+    rows = [
+        (i, BASE_TS + datetime.timedelta(minutes=m), u, t, float(i), "{}")
+        for i, (u, m, t) in enumerate(evs, start=1)
+    ]
+    d = tmp_path_factory.mktemp("asof")
+    spark_prop.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {
+        (r["event_id"], r["touch_event_id"], r["secs_since_touch"])
+        for r in purchase_attribution(spark_prop, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet/*.parquet')"
+    )
+    want = {
+        (eid, tid, secs)
+        for eid, tid, secs in con.execute(
+            "SELECT event_id, touch_event_id, secs_since_touch FROM ("
+            + PURCHASE_ATTRIBUTION_SQL
+            + ")"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
