@@ -422,3 +422,49 @@ def test_multi_table_changelog_topology(spark, sf_dir):
     assert tables == set(CDC_TABLES)
     ops = {r["__op"] for r in cl.select("__op").distinct().collect()}
     assert ops == {"c", "u", "d"}
+
+
+def test_point_in_interval_join_equivalence_and_plan(spark):
+    """Bucketed range join must equal the naive cross-join filter for
+    inner AND left, and must plan as an equi-join (no nested loop)."""
+    import datetime as dt
+
+    from datapipe_spark.operators.rangejoin import point_in_interval_join
+
+    T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    pts = spark.createDataFrame(
+        [(1, T(0)), (1, T(5)), (1, T(61)), (2, T(5)), (2, T(200)), (1, T(119))],
+        "user_id long, ts timestamp_ntz",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, T(0), T(10), "a"),
+            (1, T(4), T(62), "b"),
+            (2, T(100), T(300), "c"),
+            (1, T(115), T(130), "d"),
+        ],
+        "user_id long, s timestamp_ntz, e timestamp_ntz, tag string",
+    )
+    naive = pts.crossJoin(ivs.select(F.col("user_id").alias("u2"), "s", "e", "tag")).filter(
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("ts") >= F.col("s"))
+        & (F.col("ts") <= F.col("e"))
+    )
+    want_inner = {(r["user_id"], r["ts"], r["tag"]) for r in naive.collect()}
+    for bucket in (60, 600, 7):  # correct at ANY bucket size
+        got = point_in_interval_join(
+            pts, ivs, "ts", "s", "e", bucket, extra_keys=("user_id",)
+        )
+        assert {(r["user_id"], r["ts"], r["tag"]) for r in got.collect()} == want_inner
+    left = point_in_interval_join(
+        pts, ivs, "ts", "s", "e", 60, extra_keys=("user_id",), how="left"
+    )
+    rows = left.collect()
+    # every point appears; unmatched points carry null interval columns
+    assert {(r["user_id"], r["ts"]) for r in rows} == {
+        (r["user_id"], r["ts"]) for r in pts.collect()
+    }
+    unmatched = [r for r in rows if r["tag"] is None]
+    assert {(r["user_id"], r["ts"]) for r in unmatched} == {(2, T(5))}
+    plan = left._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
