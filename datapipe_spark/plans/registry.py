@@ -193,6 +193,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "curation_pipeline": (decontam.curation_pipeline, decontam.CURATION_PIPELINE_SQL),
     "purchase_attribution": (ev.purchase_attribution, ev.PURCHASE_ATTRIBUTION_SQL),
+    "streaming_purchase_attribution": (
+        stream.streaming_purchase_attribution,
+        ev.PURCHASE_ATTRIBUTION_SQL,
+    ),
 }
 
 

@@ -233,6 +233,29 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     return _ntz(spark.read.parquet(sink))
 
 
+def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join's streaming form: per-user last-touch state via
+    ``applyInPandasWithState`` — each purchase is emitted the moment it
+    arrives, enriched with the latest preceding view/click. Must equal
+    the batch ``purchase_attribution`` AND its DuckDB ASOF oracle
+    (same shared drop replay + per-key order the session machine
+    relies on). State: one fixed-width tuple per user, never expires —
+    the production form would arm a TTL timeout to bound it."""
+    from datapipe_spark.streaming.sessions import apply_attribution_state
+
+    out = src.fresh_dir("attribution_state")
+    sink = os.path.join(out, "sink")
+
+    events = _events_stream(spark, sf_dir, sentinel=True)
+    attributed = apply_attribution_state(events)
+    with _stream_shuffle(spark):
+        _run(
+            attributed.writeStream.format("parquet").option("path", sink),
+            os.path.join(out, "cp"),
+        )
+    return _ntz(spark.read.parquet(sink))
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: streaming dedup on ``event_id`` over an input where every
     10th event is delivered twice (at-least-once upstream, S1/Kafka

@@ -171,3 +171,104 @@ def apply_session_state(
             else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming last-touch attribution (the as-of join, stateful form) --------
+
+ATTRIBUTION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("touch_event_id", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+        T.StructField("touch_ts", T.TimestampType()),
+        T.StructField("secs_since_touch", T.DoubleType()),
+    ]
+)
+
+# (touch_event_id, touch_type, touch_ts_us)
+ATTRIBUTION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("eid", T.LongType()),
+        T.StructField("ttype", T.StringType()),
+        T.StructField("t_us", T.LongType()),
+    ]
+)
+
+_ATTR_COLS = [f.name for f in ATTRIBUTION_OUTPUT_SCHEMA.fields]
+
+
+def make_attribution_fn():
+    """Per-user state machine for streaming last-touch attribution:
+    state = the latest view/click seen; each purchase emits
+    immediately, enriched with that state (or NULLs before any touch).
+
+    Equal-timestamp semantics match the batch as-of join
+    (``plans.events_queries.purchase_attribution``): within a batch
+    events sort by (ts, is_purchase, event_id), so at a tied timestamp
+    every touch precedes the purchase and the max-event_id touch wins —
+    the batch form's ``t.ts <= p.ts`` + per-(user, ts) dedup rule.
+    Cross-batch, the drop replay preserves per-user time order (the
+    same Kafka per-key guarantee sessionization relies on). State is
+    one fixed-width tuple per user, never closed — no sentinel or
+    timeout transition needed; flush rows are skipped.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        st = state.get if state.exists else None
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf[pdf["event_type"] != SENTINEL_TYPE]
+        if pdf.empty:
+            return
+        pdf = pdf.assign(_is_p=(pdf["event_type"] == "purchase").astype("int64"))
+        pdf = pdf.sort_values(["ts", "_is_p", "event_id"], kind="mergesort")
+        rows: list[dict] = []
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+        for eid, t_us, etype, value, is_p in zip(
+            pdf["event_id"], ts_us, pdf["event_type"], pdf["value"], pdf["_is_p"]
+        ):
+            if is_p:
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "user_id": user_id,
+                        "ts": pd.Timestamp(t_us, unit="us"),
+                        "value": value,
+                        "touch_event_id": st[0] if st else None,
+                        "touch_type": st[1] if st else None,
+                        "touch_ts": pd.Timestamp(st[2], unit="us") if st else None,
+                        "secs_since_touch": round((t_us - st[2]) / 1e6, 6)
+                        if st
+                        else None,
+                    }
+                )
+            elif etype in ("view", "click"):
+                st = (int(eid), etype, int(t_us))
+        if st is not None:
+            state.update(st)
+        if rows:
+            yield pd.DataFrame(rows, columns=_ATTR_COLS)
+
+    return fn
+
+
+def apply_attribution_state(events: DataFrame) -> DataFrame:
+    """Streaming as-of join (last-touch attribution) — append mode,
+    one fixed-width state tuple per user, shuffle on user_id only."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_attribution_fn(),
+            ATTRIBUTION_OUTPUT_SCHEMA,
+            ATTRIBUTION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

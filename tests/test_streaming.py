@@ -35,6 +35,17 @@ def test_streaming_stateful_sessionize_equals_batch(spark, sf_dir):
     assert _rows(got) == _rows(ev.sessionize(spark, sf_dir))
 
 
+def test_streaming_attribution_equals_batch_and_oracle(spark, sf_dir):
+    """The streaming as-of join (stateful last-touch attribution) must
+    equal the batch union-window form AND the DuckDB ASOF oracle —
+    incl. the timestamp-tie rule across micro-batch replay."""
+    got = jobs.streaming_purchase_attribution(spark, sf_dir)
+    assert _rows(got) == _rows(ev.purchase_attribution(spark, sf_dir))
+    compare_to_oracle(
+        spark, jobs.streaming_purchase_attribution, ev.PURCHASE_ATTRIBUTION_SQL, sf_dir
+    )
+
+
 def test_streaming_dedup_restores_exactly_once(spark, sf_dir):
     from datapipe_spark.sources.tables import load_table
 
