@@ -58,13 +58,13 @@ def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("created_at"),
     )
 
-    def version(df: DataFrame, op: str, v: int, ts_shift: str) -> DataFrame:
-        return df.select(
-            "id",
-            "user_id",
-            "status",
-            "total_amount",
-            "created_at",
+    def version(op: str, v: int, ts_shift: str, status: F.Column) -> F.Column:
+        return F.struct(
+            F.col("id"),
+            F.col("user_id"),
+            status.alias("status"),
+            F.col("total_amount"),
+            F.col("created_at"),
             F.lit(op).alias("__op"),
             (F.col("created_at") + F.expr(ts_shift) + F.expr("INTERVAL 1 MINUTE")).alias(
                 "__ts_ms"
@@ -73,15 +73,20 @@ def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") * 10 + v).alias("__source_lsn"),
         )
 
-    inserts = version(base, "c", 1, "INTERVAL 0 DAY")
-    updates = version(
-        base.filter(F.col("id") % 3 == 0).withColumn("status", F.lit("F")),
-        "u",
-        2,
-        "INTERVAL 1 DAY",
+    # ONE scan of orders, not a 3-branch union (each branch re-reads the
+    # table — 3× the IO at 100 TB): build the per-row version array and
+    # explode; inapplicable versions are null elements dropped after the
+    # explode. Output rows identical to the union form.
+    versions = F.array(
+        version("c", 1, "INTERVAL 0 DAY", F.col("status")),
+        F.when(F.col("id") % 3 == 0, version("u", 2, "INTERVAL 1 DAY", F.lit("F"))),
+        F.when(F.col("id") % 7 == 0, version("d", 3, "INTERVAL 2 DAY", F.col("status"))),
     )
-    deletes = version(base.filter(F.col("id") % 7 == 0), "d", 3, "INTERVAL 2 DAY")
-    return inserts.unionByName(updates).unionByName(deletes)
+    return (
+        base.select(F.explode(versions).alias("_r"))
+        .filter(F.col("_r").isNotNull())
+        .select("_r.*")
+    )
 
 
 # DuckDB-side reproduction of synth_changelog for oracle checks.
@@ -235,17 +240,29 @@ def synth_changelog_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     for topic, (tbl, key) in CDC_TABLES.items():
         base = load_table(spark, sf_dir, tbl).select(F.col(key).alias("id"))
 
-        def version(df: DataFrame, op: str, v: int) -> DataFrame:
-            return df.select(
-                F.lit(topic).alias("table_name"),
-                "id",
+        def version(op: str, v: int) -> F.Column:
+            return F.struct(
                 F.lit(op).alias("__op"),
                 (F.col("id") * 10 + v).alias("__source_lsn"),
             )
 
-        frames.append(version(base, "c", 1))
-        frames.append(version(base.filter(F.col("id") % 3 == 0), "u", 2))
-        frames.append(version(base.filter(F.col("id") % 7 == 0), "d", 3))
+        # one scan per table (see synth_changelog): explode the version
+        # array instead of unioning three scans of the same table
+        versions = F.array(
+            version("c", 1),
+            F.when(F.col("id") % 3 == 0, version("u", 2)),
+            F.when(F.col("id") % 7 == 0, version("d", 3)),
+        )
+        frames.append(
+            base.select("id", F.explode(versions).alias("_r"))
+            .filter(F.col("_r").isNotNull())
+            .select(
+                F.lit(topic).alias("table_name"),
+                "id",
+                F.col("_r.__op").alias("__op"),
+                F.col("_r.__source_lsn").alias("__source_lsn"),
+            )
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
