@@ -376,3 +376,116 @@ FROM cum
 
 
 CURATION_PIPELINE_SQL = _curation_pipeline_sql()
+
+
+def contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: per training document, the FRACTION of
+    its distinct word 5-grams shared with the benchmark slice (not
+    just the binary flag ``decontaminate`` emits) — the thresholdable
+    score production scrubs use (drop > 0.8, down-weight > 0.2, keep
+    the long tail).
+
+    Same broadcast-semi-join scale shape as ``decontaminate``; the
+    per-doc distinct-gram denominator rides the same explode.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles("text", _NGRAM).alias("grams")
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench_grams = d.filter(is_bench).select(F.explode("grams").alias("g")).distinct()
+    train = d.filter(~is_bench)
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )
+    return (
+        train.select("doc_id", F.size("grams").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination"),
+        )
+    )
+
+
+CONTAMINATION_SCORE_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= {_NGRAM} THEN
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+                     for i in range(1, len(w) - {_NGRAM - 2})])
+    ELSE [] END AS grams
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {_BENCH_MOD} = 0
+), train AS (
+  SELECT * FROM g WHERE doc_id % {_BENCH_MOD} <> 0
+), hits AS (
+  SELECT doc_id, COUNT(DISTINCT tg.gram) AS n
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM train) tg
+  JOIN bench USING (gram)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.grams) AS BIGINT) AS n_grams,
+  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared,
+  CASE WHEN len(t.grams) > 0
+       THEN CAST(COALESCE(h.n, 0) AS DOUBLE) / len(t.grams)
+       ELSE 0.0 END AS contamination
+FROM train t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# hash-bucket split quotas out of 100: [0,80) train / [80,90) val / rest test
+_SPLIT_TRAIN_LT = 80
+_SPLIT_VAL_LT = 90
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash-bucket each
+    document id into 100 buckets (md5-based — engine-portable and
+    stable across runs, unlike ``rand()``) and map bucket ranges to
+    splits. The manifest every training job consumes; re-running on
+    the same corpus reproduces it byte-for-byte, and membership never
+    depends on row order or partitioning.
+
+    Scale: map-only projection — no shuffle, no state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 100"
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        "lang",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < _SPLIT_TRAIN_LT, "train")
+        .when(bucket < _SPLIT_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+CORPUS_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, source, lang, CAST(bucket AS INT) AS bucket,
+       CASE WHEN bucket < {_SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {_SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""

@@ -721,3 +721,125 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids
 FROM ids GROUP BY doc_id
 """
+
+
+TFIDF_TOP_TERMS = 3  # terms reported per document
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_TERMS`` TF-IDF terms per document.
+
+    tf = in-document term count, idf = ln(N / df) over the corpus;
+    ties broken by term text so ranks are engine-deterministic.
+
+    Scale: two keyed aggregations (doc-term counts, then document
+    frequency — both map-side combinable) and one per-document top-k
+    window over ≤ |vocab(doc)| rows. The corpus size joins in as a
+    1-row broadcast anchor; no per-term state ever reaches the driver.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tfidf")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df)
+           AS tfidf
+  FROM tf JOIN df USING (term)
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_TERMS}
+"""
+
+
+CHUNK_WORDS = 64  # context-window chunk width (words)
+CHUNK_STRIDE = 48  # chunk start stride; overlap = CHUNK_WORDS - CHUNK_STRIDE
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into overlapping
+    ``CHUNK_WORDS``-word chunks starting every ``CHUNK_STRIDE`` words
+    (the pre-tokenization step that shapes long documents into model
+    context windows). Trailing starts whose remaining words are fully
+    covered by the previous chunk's overlap are dropped.
+
+    Scale: map-only — per-row ``sequence`` + ``explode`` over the
+    word array, no shuffle; chunk text is sliced from the one split()
+    array per row.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split("text", " ")
+    n = F.size(words)
+    overlap = CHUNK_WORDS - CHUNK_STRIDE
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE))
+    chunked = (
+        d.select("doc_id", words.alias("_w"), F.explode(starts).alias("start_word"))
+        .filter(
+            (F.col("start_word") == 0)
+            | (F.size("_w") - F.col("start_word") > overlap)
+        )
+        .select(
+            "doc_id",
+            (F.col("start_word") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.col("start_word").cast("int").alias("start_word"),
+            F.least(F.lit(CHUNK_WORDS), F.size("_w") - F.col("start_word"))
+            .cast("int")
+            .alias("n_chunk_words"),
+            F.array_join(
+                F.slice("_w", F.col("start_word") + 1, F.lit(CHUNK_WORDS)), " "
+            ).alias("chunk_text"),
+        )
+    )
+    return chunked
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), starts AS (
+  SELECT doc_id, words,
+         unnest(generate_series(0, len(words) - 1, {CHUNK_STRIDE})) AS start_word
+  FROM w
+)
+SELECT doc_id,
+  CAST(start_word / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+  CAST(start_word AS INT) AS start_word,
+  CAST(LEAST({CHUNK_WORDS}, len(words) - start_word) AS INT) AS n_chunk_words,
+  array_to_string(words[start_word + 1 : start_word + {CHUNK_WORDS}], ' ') AS chunk_text
+FROM starts
+WHERE start_word = 0 OR len(words) - start_word > {CHUNK_WORDS - CHUNK_STRIDE}
+"""

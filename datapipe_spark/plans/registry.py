@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipe_spark.operators import decontam, dedup, multimodal, scrub, similarity, textstats
+from datapipe_spark.plans import behavior
 from datapipe_spark.plans import cdc_queries as cdcq
 from datapipe_spark.plans import dag
 from datapipe_spark.plans import events_queries as ev
@@ -197,6 +198,24 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream.streaming_purchase_attribution,
         ev.PURCHASE_ATTRIBUTION_SQL,
     ),
+    # --- behavior analytics: ordered funnel / cohorts / transitions ---
+    "event_funnel_conversion": (
+        behavior.event_funnel_conversion,
+        behavior.EVENT_FUNNEL_CONVERSION_SQL,
+    ),
+    "user_retention_cohorts": (
+        behavior.user_retention_cohorts,
+        behavior.USER_RETENTION_COHORTS_SQL,
+    ),
+    "event_transitions": (behavior.event_transitions, behavior.EVENT_TRANSITIONS_SQL),
+    # --- training-corpus curation, round-5 batch 2 ---
+    "tfidf_top_terms": (textstats.tfidf_top_terms, textstats.TFIDF_TOP_TERMS_SQL),
+    "chunk_documents": (textstats.chunk_documents, textstats.CHUNK_DOCUMENTS_SQL),
+    "contamination_score": (
+        decontam.contamination_score,
+        decontam.CONTAMINATION_SCORE_SQL,
+    ),
+    "corpus_split": (decontam.corpus_split, decontam.CORPUS_SPLIT_SQL),
 }
 
 
