@@ -980,3 +980,54 @@ def knn_join_ivf(
         q,
         e,
     )
+
+
+def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector cosine to its own label's centroid — the class-
+    coherence / outlier score (the ranking SemDeDup-style pruning and
+    label-noise audits sort by: low cosine ⇒ the vector sits far from
+    its class's center).
+
+    Scale: the centroid state is |labels|×dim — computed with one
+    map-side-combinable aggregation over (label, dim) keys from a
+    posexplode (the per-element shuffle carries doubles, not text),
+    reassembled into |labels| rows, and broadcast back onto the
+    vectors for a map-only scoring pass (sequential-fold cosine,
+    ROUND 6 — the engine-parity convention).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    )
+    el = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = el.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    carr = cent.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").alias("cv")
+    )
+    return (
+        e.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine("v", "cv"), 6).alias("cos_centroid"),
+        )
+    )
+
+
+LABEL_CENTROID_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), el AS (
+  SELECT label, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM e
+), cent AS (
+  SELECT label, pos, AVG(x) AS c FROM el GROUP BY label, pos
+), carr AS (
+  SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label,
+  ROUND(
+    list_reduce([v[i] * cv[i] for i in range(1, len(v) + 1)], (x, y) -> x + y)
+    / (sqrt(list_reduce([v[i] * v[i] for i in range(1, len(v) + 1)], (x, y) -> x + y))
+       * sqrt(list_reduce([cv[i] * cv[i] for i in range(1, len(cv) + 1)], (x, y) -> x + y))),
+    6) AS cos_centroid
+FROM e JOIN carr USING (label)
+"""

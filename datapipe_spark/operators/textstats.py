@@ -750,9 +750,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            (
+            # ROUND 6 before ranking: Java vs C libm ln() can differ in
+            # the last ulp, which must not flip a near-tie rank between
+            # engines (the repo-wide float-parity convention)
+            F.round(
                 F.col("tf").cast("double")
-                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
             ).alias("tfidf"),
         )
     )
@@ -773,7 +777,8 @@ WITH terms AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY term
 ), scored AS (
   SELECT tf.doc_id, tf.term,
-         CAST(tf.tf AS DOUBLE) * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df)
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df.df), 6)
            AS tfidf
   FROM tf JOIN df USING (term)
 ), ranked AS (
@@ -842,4 +847,203 @@ SELECT doc_id,
   array_to_string(words[start_word + 1 : start_word + {CHUNK_WORDS}], ' ') AS chunk_text
 FROM starts
 WHERE start_word = 0 OR len(words) - start_word > {CHUNK_WORDS - CHUNK_STRIDE}
+"""
+
+
+# interpolation weights for the bigram LM: P = λ·P_bi + (1-λ)·P_uni
+_LM_LAMBDA = 0.75
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model score per document: for each
+    adjacent word pair, ``ln(λ·C(w1,w2)/C(w1) + (1-λ)·C(w2)/T)`` with
+    corpus-estimated counts; per-doc mean log-prob and perplexity —
+    the KenLM-style fluency filter one order above
+    ``unigram_logprob_score`` (catches shuffled-word salad a unigram
+    model scores as fluent). Documents need ≥ 2 words to score.
+
+    Scale: bigram pairs come from array slicing per row (no window, no
+    per-doc shuffle); corpus counts are two map-side-combinable
+    aggregations; the token total is a 1-row broadcast anchor. The
+    count joins shuffle on the word keys — Zipf skew on hot words is
+    AQE's standard skew-join case.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("_w")
+    )
+    pairs = (
+        d.filter(F.size("_w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_w, 1, size(_w) - 1), slice(_w, 2, size(_w) - 1),"
+                    " (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    toks = d.select(F.explode("_w").alias("tok"))
+    cu = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_bg"))
+    total = toks.agg(F.count("*").alias("t_total"))
+    cu1 = cu.select(F.col("tok").alias("w1"), F.col("n_tok").alias("n_w1"))
+    cu2 = cu.select(F.col("tok").alias("w2"), F.col("n_tok").alias("n_w2"))
+    lp = (
+        pairs.join(cb, ["w1", "w2"])
+        .join(cu1, "w1")
+        .join(cu2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(_LM_LAMBDA) * (F.col("n_bg").cast("double") / F.col("n_w1"))
+                + F.lit(1 - _LM_LAMBDA) * (F.col("n_w2").cast("double") / F.col("t_total"))
+            ).alias("lp"),
+        )
+    )
+    # ROUND 6 (repo float-parity convention): libm ln() ulp drift and
+    # engine-order double summation must not leak into the comparison
+    return lp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("perplexity"),
+    )
+
+
+BIGRAM_LM_SCORE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pairs AS (
+  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM w WHERE len(w) >= 2
+), toks AS (
+  SELECT unnest(w) AS tok FROM w
+), cu AS (
+  SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS n_bg FROM pairs GROUP BY w1, w2
+), t AS (
+  SELECT COUNT(*) AS t_total FROM toks
+), lp AS (
+  SELECT p.doc_id,
+    ln({_LM_LAMBDA} * (CAST(cb.n_bg AS DOUBLE) / cu1.n_tok)
+       + {1 - _LM_LAMBDA} * (CAST(cu2.n_tok AS DOUBLE) / t.t_total)) AS lp
+  FROM pairs p
+  JOIN cb USING (w1, w2)
+  JOIN cu cu1 ON cu1.tok = p.w1
+  JOIN cu cu2 ON cu2.tok = p.w2
+  CROSS JOIN t
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(lp), 6) AS avg_logprob, ROUND(exp(-AVG(lp)), 6) AS perplexity
+FROM lp GROUP BY doc_id
+"""
+
+
+CMS_DEPTH = 4  # count-min-sketch rows (independent hash functions)
+CMS_WIDTH = 8192  # counters per row
+CMS_TOP_K = 50  # heavy hitters reported
+
+
+def cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimate the corpus frequency of
+    the top-``CMS_TOP_K`` tokens from a fixed ``CMS_DEPTH×CMS_WIDTH``
+    sketch and report estimate vs truth.
+
+    The sketch is the 100 TB shape: counter state is O(D·W) regardless
+    of vocabulary size, built in ONE map-side-combinable aggregation
+    over (row, bucket) keys — where an exact per-token count would
+    shuffle the full vocabulary, the sketch shuffles at most D·W
+    cells. Estimates use deterministic md5-derived hash rows, so the
+    whole operator (sketch included) replays exactly in the DuckDB
+    oracle; CMS guarantees est ≥ truth (tested) with overflow bounded
+    by collisions.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+    def bucket(j: int) -> F.Column:
+        return F.expr(
+            f"cast(conv(substring(md5(concat(tok, '#', '{j}')), 1, 15), 16, 10) as bigint)"
+            f" % {CMS_WIDTH}"
+        )
+
+    rows = d.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("h"))
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", F.col("cell.j").alias("j"), F.col("cell.h").alias("h"))
+    cells = rows.groupBy("j", "h").agg(F.count("*").alias("c"))
+
+    truth = (
+        d.groupBy("tok")
+        .agg(F.count("*").alias("n_true"))
+        .orderBy(F.desc("n_true"), F.asc("tok"))
+        .limit(CMS_TOP_K)
+    )
+    probes = truth.select(
+        "tok",
+        "n_true",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("h"))
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("tok", "n_true", F.col("cell.j").alias("j"), F.col("cell.h").alias("h"))
+    return (
+        probes.join(cells, ["j", "h"])
+        .groupBy("tok", "n_true")
+        .agg(F.min("c").alias("n_est"))
+        .select(
+            "tok",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_est").cast("long").alias("n_est"),
+            (F.col("n_est") - F.col("n_true")).cast("long").alias("overcount"),
+        )
+    )
+
+
+CMS_TOP_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), t AS (
+  SELECT tok FROM toks WHERE tok <> ''
+), rows_ AS (
+  SELECT tok, unnest([{", ".join(str(j) for j in range(CMS_DEPTH))}]) AS j FROM t
+), hashed AS (
+  SELECT tok, j,
+    CAST(('0x' || substring(md5(tok || '#' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {CMS_WIDTH} AS h
+  FROM rows_
+), cells AS (
+  SELECT j, h, COUNT(*) AS c FROM hashed GROUP BY j, h
+), truth AS (
+  SELECT tok, COUNT(*) AS n_true FROM t GROUP BY tok
+  ORDER BY n_true DESC, tok LIMIT {CMS_TOP_K}
+), probes AS (
+  SELECT tok, n_true, unnest([{", ".join(str(j) for j in range(CMS_DEPTH))}]) AS j
+  FROM truth
+), probed AS (
+  SELECT p.tok, p.n_true, p.j,
+    CAST(('0x' || substring(md5(p.tok || '#' || CAST(p.j AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {CMS_WIDTH} AS h
+  FROM probes p
+)
+SELECT pr.tok, CAST(pr.n_true AS BIGINT) AS n_true,
+       CAST(MIN(c.c) AS BIGINT) AS n_est,
+       CAST(MIN(c.c) - pr.n_true AS BIGINT) AS overcount
+FROM probed pr JOIN cells c ON pr.j = c.j AND pr.h = c.h
+GROUP BY pr.tok, pr.n_true
 """

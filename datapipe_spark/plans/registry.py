@@ -216,6 +216,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         decontam.CONTAMINATION_SCORE_SQL,
     ),
     "corpus_split": (decontam.corpus_split, decontam.CORPUS_SPLIT_SQL),
+    "bigram_lm_score": (textstats.bigram_lm_score, textstats.BIGRAM_LM_SCORE_SQL),
+    "cms_top_tokens": (textstats.cms_top_tokens, textstats.CMS_TOP_TOKENS_SQL),
+    "label_centroid_outliers": (
+        similarity.label_centroid_outliers,
+        similarity.LABEL_CENTROID_OUTLIERS_SQL,
+    ),
 }
 
 

@@ -115,3 +115,41 @@ def test_contamination_score_consistent_with_flag(spark, sf_dir):
     # scores live in [0, 1]
     s = decontam.contamination_score(spark, sf_dir)
     assert s.filter((F.col("contamination") < 0) | (F.col("contamination") > 1)).count() == 0
+
+
+def test_round5_batch3_oracle(spark, sf_dir):
+    from datapipe_spark.operators import similarity
+
+    for fn, sql in [
+        (textstats.bigram_lm_score, textstats.BIGRAM_LM_SCORE_SQL),
+        (textstats.cms_top_tokens, textstats.CMS_TOP_TOKENS_SQL),
+        (similarity.label_centroid_outliers, similarity.LABEL_CENTROID_OUTLIERS_SQL),
+    ]:
+        compare_to_oracle(spark, fn, sql, sf_dir)
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    # the count-min guarantee: estimate >= truth, always
+    out = textstats.cms_top_tokens(spark, sf_dir)
+    assert out.count() > 0
+    assert out.filter(F.col("overcount") < 0).count() == 0
+
+
+def test_bigram_lm_covers_multiword_docs(spark, sf_dir):
+    from datapipe_spark.sources.tables import load_table
+
+    scored = textstats.bigram_lm_score(spark, sf_dir)
+    multi = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 2)
+        .count()
+    )
+    assert scored.count() == multi
+    assert scored.filter(F.col("perplexity") <= 0).count() == 0
+
+
+def test_centroid_cosine_bounds(spark, sf_dir):
+    from datapipe_spark.operators import similarity
+
+    out = similarity.label_centroid_outliers(spark, sf_dir)
+    assert out.filter((F.col("cos_centroid") < -1.000001) | (F.col("cos_centroid") > 1.000001)).count() == 0
