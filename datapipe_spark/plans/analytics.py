@@ -1,0 +1,199 @@
+"""Time-series and multidimensional analytics: moving windows, anomaly
+scores, pivots, rollups (SURVEY §2.4/§2.5 — the aggregate/window
+families — extended with the Spark operator surfaces the inventory
+had not yet exercised: RANGE window frames, ``pivot``, ``rollup`` /
+``grouping_id``).
+
+Engine-parity discipline: every score here is built from integer or
+DECIMAL window sums (exact, order-independent) with at most ONE
+double division/sqrt at the end — deterministic IEEE ops — so the
+oracle comparison is bit-strict without ROUND guards.
+
+Scale notes:
+- RANGE frames order within a partition; `daily_revenue_rolling`
+  windows over the *daily* rollup (≤ a few thousand rows per year at
+  any corpus size) — the raw-fact shuffle happens once in the keyed
+  pre-aggregation, never in the window.
+- ``pivot`` with an explicit value list is a single groupBy with
+  conditional aggregates — one pass, no distinct-value collect.
+- ``rollup`` computes all grouping sets in one shuffle via Expand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datapipe_spark.functions import money
+from datapipe_spark.sources.tables import load_table
+
+ROLLING_DAYS = 7  # trailing window width (days, inclusive of current)
+
+
+def daily_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a trailing 7-day moving sum/average
+    (RANGE frame over a day index, so calendar gaps shorten the
+    window instead of silently stretching it the way a ROWS frame
+    would).
+
+    Money stays DECIMAL(18,2) through every sum — the window sum is
+    exact and order-independent — and casts to double only in the
+    final projection (one deterministic division).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), money("o_totalprice").alias("rev")
+    )
+    daily = o.groupBy("day").agg(
+        F.sum("rev").alias("revenue"), F.count("*").alias("n_orders")
+    )
+    # RANGE frame needs a numeric ordering key: days since epoch.
+    # Unpartitioned window BY DESIGN: it runs over the daily rollup,
+    # whose row count is calendar-bounded (≤ 366/year at ANY corpus
+    # size) — the data-sized shuffle happened in the groupBy above.
+    w = (
+        Window.orderBy(F.datediff("day", F.lit("1970-01-01")))
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return daily.select(
+        "day",
+        F.col("revenue").cast("double").alias("revenue"),
+        "n_orders",
+        F.sum("revenue").over(w).cast("double").alias("rev_7d_sum"),
+        (
+            F.sum("revenue").over(w).cast("double")
+            / F.sum("n_orders").over(w).cast("double")
+        ).alias("rev_per_order_7d"),
+        F.count("*").over(w).cast("long").alias("days_in_window"),
+    )
+
+
+DAILY_REVENUE_ROLLING_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT day,
+  CAST(revenue AS DOUBLE) AS revenue,
+  n_orders,
+  CAST(SUM(revenue) OVER w AS DOUBLE) AS rev_7d_sum,
+  CAST(SUM(revenue) OVER w AS DOUBLE) / CAST(SUM(n_orders) OVER w AS DOUBLE)
+    AS rev_per_order_7d,
+  CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
+             RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING AND CURRENT ROW)
+"""
+
+ZSCORE_FLAG = 2.0  # |z| beyond this flags the day as anomalous
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) volume anomaly score: z-score of the
+    day's event count against that type's full-history mean/stddev
+    (population form, computed from exact integer window sums — no
+    engine stddev builtin, whose sample/population defaults and
+    summation order differ).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    sum_n = F.sum("n").over(w).cast("double")
+    sum_n2 = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    cnt = F.count("*").over(w).cast("double")
+    mean = sum_n / cnt
+    var = sum_n2 / cnt - mean * mean
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        mean.alias("mean_n"),
+        z.alias("zscore"),
+        (F.abs(z) > ZSCORE_FLAG).alias("is_anomaly"),
+    )
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), scored AS (
+  SELECT event_type, day, n,
+    CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS mean_n,
+    CAST(SUM(n * n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS m2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, day, n, mean_n,
+  CASE WHEN m2 - mean_n * mean_n > 0
+       THEN (n - mean_n) / sqrt(m2 - mean_n * mean_n)
+       ELSE 0.0 END AS zscore,
+  CASE WHEN m2 - mean_n * mean_n > 0
+       THEN abs((n - mean_n) / sqrt(m2 - mean_n * mean_n)) > {ZSCORE_FLAG}
+       ELSE FALSE END AS is_anomaly
+FROM scored
+"""
+
+# explicit pivot values: one-pass plan, no distinct-value collect; new
+# event types in future data fail loudly in tests rather than silently
+# growing the schema
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type (the
+    wide dashboard shape; Spark's ``pivot`` operator with an explicit
+    value list)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    wide = e.groupBy("day").pivot("event_type", list(EVENT_TYPES)).count()
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+EVENT_TYPE_DAILY_PIVOT_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+  {", ".join(f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
+FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+
+def orders_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts and revenue at every grain of
+    (status, priority) at once — Spark's ``rollup`` (one shuffle via
+    Expand, grouping sets identified by ``grouping_id``). The
+    subtotal/grand-total rows dashboards read without re-querying.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", money("o_totalprice").alias("rev")
+    )
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.grouping_id().cast("int").alias("grain"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "grain", "n_orders", "revenue")
+    )
+
+
+ORDERS_STATUS_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS grain,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""

@@ -13,7 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipe_spark.operators import decontam, dedup, multimodal, scrub, similarity, textstats
-from datapipe_spark.plans import behavior
+from datapipe_spark.plans import analytics, behavior
 from datapipe_spark.plans import cdc_queries as cdcq
 from datapipe_spark.plans import dag
 from datapipe_spark.plans import events_queries as ev
@@ -221,6 +221,24 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "label_centroid_outliers": (
         similarity.label_centroid_outliers,
         similarity.LABEL_CENTROID_OUTLIERS_SQL,
+    ),
+    # --- time-series / multidimensional analytics (RANGE frames,
+    # pivot, rollup — §2.4/§2.5 extended surfaces) ---
+    "daily_revenue_rolling": (
+        analytics.daily_revenue_rolling,
+        analytics.DAILY_REVENUE_ROLLING_SQL,
+    ),
+    "events_anomaly_zscore": (
+        analytics.events_anomaly_zscore,
+        analytics.EVENTS_ANOMALY_ZSCORE_SQL,
+    ),
+    "event_type_daily_pivot": (
+        analytics.event_type_daily_pivot,
+        analytics.EVENT_TYPE_DAILY_PIVOT_SQL,
+    ),
+    "orders_status_rollup": (
+        analytics.orders_status_rollup,
+        analytics.ORDERS_STATUS_ROLLUP_SQL,
     ),
 }
 

@@ -1,0 +1,76 @@
+"""Oracle parity + semantics for the time-series/multidimensional
+analytics family (RANGE-frame moving windows, z-score anomalies,
+pivot, rollup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapipe_spark.plans import analytics
+from tests.oracle import compare_to_oracle
+
+CASES = [
+    (analytics.daily_revenue_rolling, analytics.DAILY_REVENUE_ROLLING_SQL),
+    (analytics.events_anomaly_zscore, analytics.EVENTS_ANOMALY_ZSCORE_SQL),
+    (analytics.event_type_daily_pivot, analytics.EVENT_TYPE_DAILY_PIVOT_SQL),
+    (analytics.orders_status_rollup, analytics.ORDERS_STATUS_ROLLUP_SQL),
+]
+
+
+@pytest.mark.parametrize("fn,sql", CASES, ids=[c[0].__name__ for c in CASES])
+def test_matches_oracle(spark, sf_dir, fn, sql):
+    compare_to_oracle(spark, fn, sql, sf_dir)
+
+
+def test_rolling_window_bounds(spark, sf_dir):
+    out = analytics.daily_revenue_rolling(spark, sf_dir)
+    # the trailing window can never exceed its width or drop below 1 day
+    assert (
+        out.filter(
+            (F.col("days_in_window") < 1)
+            | (F.col("days_in_window") > analytics.ROLLING_DAYS)
+        ).count()
+        == 0
+    )
+    # a single-day window equals that day's revenue exactly
+    solo = out.filter(F.col("days_in_window") == 1)
+    assert solo.filter(F.col("rev_7d_sum") != F.col("revenue")).count() == 0
+
+
+def test_pivot_counts_reconcile_with_total(spark, sf_dir):
+    from datapipe_spark.sources.tables import load_table
+
+    wide = analytics.event_type_daily_pivot(spark, sf_dir)
+    total_wide = (
+        wide.select(
+            sum(
+                (F.col(f"n_{t}") for t in analytics.EVENT_TYPES),
+                start=F.lit(0),
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    total = load_table(spark, sf_dir, "events").count()
+    # explicit pivot values must cover every type in the data
+    assert total_wide == total
+
+
+def test_rollup_grand_total(spark, sf_dir):
+    from datapipe_spark.sources.tables import load_table
+
+    out = analytics.orders_status_rollup(spark, sf_dir)
+    grand = out.filter(F.col("grain") == 3).collect()
+    assert len(grand) == 1
+    assert grand[0].n_orders == load_table(spark, sf_dir, "orders").count()
+    # each grain's order count re-adds to the grand total
+    for g in (0, 1):
+        s = out.filter(F.col("grain") == g).agg(F.sum("n_orders")).first()[0]
+        assert s == grand[0].n_orders
+
+
+def test_zscore_zero_variance_guard(spark, sf_dir):
+    out = analytics.events_anomaly_zscore(spark, sf_dir)
+    # finite scores only; zero-variance partitions must emit z=0
+    assert out.filter(F.isnan("zscore") | F.col("zscore").isNull()).count() == 0
