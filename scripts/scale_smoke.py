@@ -56,6 +56,13 @@ DOC_OPS = [
     "pii_scrub",
     "repetition_stats",
     "decontaminate",
+    # round-5 additions
+    "tfidf_top_terms",
+    "chunk_documents",
+    "contamination_score",
+    "corpus_split",
+    "bigram_lm_score",
+    "cms_top_tokens",
 ]
 EMB_OPS = [
     "similarity_topk",
@@ -64,6 +71,7 @@ EMB_OPS = [
     "knn_join_ivf",
     "knn_join_ivfpq",
     "dedup_semantic_ann",
+    "label_centroid_outliers",
 ]
 QUADRATIC_EMB_OPS = ["embedding_near_dup", "dedup_semantic"]  # run only at R <= 10
 
