@@ -270,3 +270,42 @@ def test_bucketed_join_elides_both_exchanges(spark, sf_dir):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         bk.drop_bucket_db(spark)
+
+
+def test_round5_map_only_ops_have_no_exchange(spark, sf_dir):
+    """chunk_documents / corpus_split are map-only by design: any
+    Exchange in their plans means a scale-sized shuffle snuck in."""
+    from datapipe_spark.operators import decontam, textstats
+
+    for fn in (textstats.chunk_documents, decontam.corpus_split):
+        plan = _plan(spark, fn(spark, sf_dir))
+        assert "Exchange" not in plan, fn.__name__
+
+
+def test_round5_anchor_joins_broadcast(spark, sf_dir):
+    """The 1-row corpus anchors (tfidf N, bigram token total) and the
+    |labels|-row centroid table must broadcast, never shuffle the
+    big side."""
+    from datapipe_spark.operators import similarity, textstats
+
+    for fn in (
+        textstats.tfidf_top_terms,
+        textstats.bigram_lm_score,
+        similarity.label_centroid_outliers,
+    ):
+        plan = _plan(spark, fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, fn.__name__
+        # the anchor cross-join must never degrade to a cartesian shuffle
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_funnel_scan_prunes_to_needed_columns(spark, sf_dir):
+    """The ordered funnel reads (ts, user_id, event_type) only —
+    value/props must be pruned at the scan."""
+    from datapipe_spark.plans import behavior
+
+    plan = _plan(spark, behavior.event_funnel_conversion(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans
+    for line in scans:
+        assert "props" not in line and "value" not in line
