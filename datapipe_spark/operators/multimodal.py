@@ -212,3 +212,67 @@ SELECT doc_id, 'text/plain' AS media_type, CAST(n AS BIGINT) AS byte_len,
        {", ".join(_chunk_avg_sql(i) for i in range(FEATURE_DIM))}
 FROM t
 """
+
+
+FRAME_BYTES = 64  # stand-in frame width (bytes)
+FRAME_EVERY = 4  # keep every 4th frame
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked frame sampling: the ``sample_frames`` plumbing
+    (binary payload → Arrow batch → per-frame Python slicing) with an
+    md5 content digest per sampled frame, so the WHOLE mapInPandas
+    path — batch iteration, byte slicing, per-frame hashing, typed
+    row emission — replays bit-for-bit in the DuckDB oracle (payload
+    text is ASCII, asserted in tests, so byte slices equal character
+    slices). A real video codec swaps into the same signature; the
+    manifest schema (doc_id, frame_idx, frame_len, digest) is what a
+    downstream decode stage consumes.
+
+    Map-only at any scale: partitioning preserved, output rows ∝
+    payload bytes / (FRAME_BYTES·FRAME_EVERY).
+    """
+    import hashlib
+
+    media = with_binary_payload(spark, sf_dir).select("doc_id", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, digs = [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(buf)
+                for fi in range(0, -(-len(b) // FRAME_BYTES), FRAME_EVERY):
+                    frame = b[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    lens.append(len(frame))
+                    digs.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_len": lens,
+                    "frame_md5": digs,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "doc_id long, frame_idx int, frame_len int, frame_md5 string"
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, len(text) AS n FROM documents
+), starts AS (
+  SELECT doc_id, text, n,
+         unnest(generate_series(0, CAST(ceil(CAST(n AS DOUBLE) / {FRAME_BYTES}) AS INT) - 1,
+                                {FRAME_EVERY})) AS frame_idx
+  FROM d
+)
+SELECT doc_id,
+  CAST(frame_idx AS INT) AS frame_idx,
+  CAST(LEAST({FRAME_BYTES}, n - frame_idx * {FRAME_BYTES}) AS INT) AS frame_len,
+  md5(substring(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM starts
+"""

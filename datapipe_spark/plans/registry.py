@@ -240,6 +240,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         analytics.orders_status_rollup,
         analytics.ORDERS_STATUS_ROLLUP_SQL,
     ),
+    "multimodal_frame_sample": (
+        multimodal.multimodal_frame_sample,
+        multimodal.MULTIMODAL_FRAME_SAMPLE_SQL,
+    ),
 }
 
 

@@ -1152,3 +1152,28 @@ def test_featurize_documents_norm_and_dup_invariance(spark, sf_dir):
     for r in xx:
         by_doc_xx[r["doc_id"]] = by_doc_xx.get(r["doc_id"], 0.0) + r["weight"] ** 2
     assert by_doc_xx and all(abs(n - 1.0) < 1e-4 for n in by_doc_xx.values())
+
+
+def test_multimodal_frame_sample_oracle_and_consistency(spark, sf_dir):
+    """The oracled frame manifest must agree with the crc-based
+    sample_frames plumbing on (doc_id, frame_idx, frame_len)."""
+    from tests.oracle import compare_to_oracle
+
+    compare_to_oracle(
+        spark,
+        multimodal.multimodal_frame_sample,
+        multimodal.MULTIMODAL_FRAME_SAMPLE_SQL,
+        sf_dir,
+    )
+    media = multimodal.with_binary_payload(spark, sf_dir).select("doc_id", "content")
+    a = {
+        (r.doc_id, r.frame_idx, r.frame_len)
+        for r in multimodal.multimodal_frame_sample(spark, sf_dir).collect()
+    }
+    b = {
+        (r.doc_id, r.frame_idx, r.frame_len)
+        for r in multimodal.sample_frames(
+            media, multimodal.FRAME_BYTES, multimodal.FRAME_EVERY
+        ).collect()
+    }
+    assert a == b
