@@ -44,6 +44,13 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select(
         F.to_date("ts").alias("day"), "user_id", "event_type", "ts"
     )
+    return event_funnel_frame(e)
+
+
+def event_funnel_frame(e: DataFrame) -> DataFrame:
+    """Ordered-funnel core over any (day, user_id, event_type, ts)
+    frame — factored out so the property test can drive it with
+    arbitrary event streams (brute-force model equivalence)."""
     fv = (
         e.filter(F.col("event_type") == "view")
         .groupBy("day", "user_id")

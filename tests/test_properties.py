@@ -408,3 +408,61 @@ def test_purchase_attribution_matches_duckdb_asof(spark_prop, evs, tmp_path_fact
     }
     con.close()
     assert got == want
+
+
+# --- ordered-funnel property -------------------------------------------------
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # user
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(min_value=0, max_value=3600),  # seconds offset
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(evs=funnel_events)
+def test_ordered_funnel_matches_brute_force(spark_prop, evs):
+    """event_funnel_frame must equal the obvious per-user model:
+    first view; first click strictly after it; first purchase strictly
+    after that click — including tie handling (equal timestamps never
+    advance the funnel)."""
+    from datapipe_spark.plans.behavior import event_funnel_frame
+
+    day = datetime.date(2024, 1, 1)
+    rows = [
+        (day, user, typ, BASE_TS + datetime.timedelta(seconds=s))
+        for user, typ, s in evs
+    ]
+    # brute-force model
+    per_user: dict[int, list] = {}
+    for _, user, typ, ts in rows:
+        per_user.setdefault(user, []).append((ts, typ))
+    viewers = clickers = purchasers = 0
+    for user, seq in per_user.items():
+        views = sorted(ts for ts, t in seq if t == "view")
+        if not views:
+            continue
+        viewers += 1
+        fv = views[0]
+        clicks = sorted(ts for ts, t in seq if t == "click" and ts > fv)
+        if not clicks:
+            continue
+        clickers += 1
+        fc = clicks[0]
+        if any(t == "purchase" and ts > fc for ts, t in seq):
+            purchasers += 1
+
+    if not rows:
+        return
+    df = spark_prop.createDataFrame(rows, "day date, user_id long, event_type string, ts timestamp")
+    out = event_funnel_frame(df).collect()
+    if viewers == 0:
+        assert out == []
+        return
+    assert len(out) == 1
+    r = out[0]
+    assert (r.viewers, r.clickers, r.purchasers) == (viewers, clickers, purchasers)
