@@ -244,6 +244,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.multimodal_frame_sample,
         multimodal.MULTIMODAL_FRAME_SAMPLE_SQL,
     ),
+    "streaming_event_transitions": (
+        stream.streaming_event_transitions,
+        behavior.EVENT_TRANSITIONS_SQL,
+    ),
 }
 
 

@@ -256,6 +256,42 @@ def streaming_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return _ntz(spark.read.parquet(sink))
 
 
+def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of ``behavior.event_transitions``: per-user
+    last-event state emits one (from → to) adjacency per arriving
+    event; the sink aggregates to the transition matrix. In-batch
+    (ts, event_id) sort + the replay's per-user order reproduce the
+    batch window's LEAD order, so counts and probabilities equal the
+    batch form and its oracle. The aggregation runs over the sink's
+    adjacency rows — output-sized, |event_types|² groups."""
+    from pyspark.sql.window import Window
+
+    from datapipe_spark.streaming.sessions import apply_transition_state
+
+    out = src.fresh_dir("transition_state")
+    sink = os.path.join(out, "sink")
+
+    events = _events_stream(spark, sf_dir, sentinel=True)
+    pairs = apply_transition_state(events)
+    with _stream_shuffle(spark):
+        _run(
+            pairs.writeStream.format("parquet").option("path", sink),
+            os.path.join(out, "cp"),
+        )
+    counts = (
+        spark.read.parquet(sink)
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_from)).alias("p"),
+    )
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: streaming dedup on ``event_id`` over an input where every
     10th event is delivered twice (at-least-once upstream, S1/Kafka

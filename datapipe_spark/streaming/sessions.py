@@ -272,3 +272,70 @@ def apply_attribution_state(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRANSITION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def make_transition_fn():
+    """Per-user state machine for streaming event-type transitions:
+    state = the last event seen; each arriving event emits one
+    (from_type → to_type) adjacency row (nothing for the user's first
+    event). In-batch sort (ts, event_id) + the replay's per-user
+    cross-batch order reproduce the batch window's LEAD order exactly,
+    so the aggregated stream equals ``plans.behavior.event_transitions``
+    and its oracle. State is one fixed-width tuple per user.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else None
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        pdf = pdf[pdf["event_type"] != SENTINEL_TYPE]
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = pdf["ts"].astype("int64") // 1000
+        froms: list[str] = []
+        tos: list[str] = []
+        for eid, t_us, etype in zip(pdf["event_id"], ts_us, pdf["event_type"]):
+            if st is not None:
+                froms.append(st[2])
+                tos.append(etype)
+            st = (int(t_us), int(eid), etype)
+        state.update(st)
+        if froms:
+            yield pd.DataFrame({"from_type": froms, "to_type": tos})
+
+    return fn
+
+
+def apply_transition_state(events: DataFrame) -> DataFrame:
+    """Streaming adjacency extraction — append mode, one fixed-width
+    state tuple per user, shuffle on user_id only."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_transition_fn(),
+            TRANSITION_OUTPUT_SCHEMA,
+            TRANSITION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -254,3 +254,16 @@ def test_raw_json_text_drops(spark, sf_dir):
     ).count()
     assert invalid.count() == expected_bad
     assert valid.count() == total - expected_bad
+
+
+def test_streaming_event_transitions_equals_batch_and_oracle(spark, sf_dir):
+    """The per-user last-event state machine must reproduce the batch
+    window's LEAD adjacencies exactly — counts AND probabilities —
+    across micro-batch replay."""
+    from datapipe_spark.plans import behavior
+
+    got = jobs.streaming_event_transitions(spark, sf_dir)
+    assert _rows(got) == _rows(behavior.event_transitions(spark, sf_dir))
+    compare_to_oracle(
+        spark, jobs.streaming_event_transitions, behavior.EVENT_TRANSITIONS_SQL, sf_dir
+    )
