@@ -197,3 +197,134 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
+
+
+BASKET_TOP_K = 50  # co-occurrence pairs reported
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part co-occurrence pairs across order baskets (market-basket
+    affinity): lineitem self-joined per order, pair counts, top-k with
+    deterministic tie-break.
+
+    Scale: the self-join is keyed on l_orderkey (one co-located
+    shuffle) and the per-order pair expansion is bounded by the max
+    basket size squared — baskets are single-digit rows in any order
+    system, so the blow-up is a constant, not a data term. The final
+    top-k is TakeOrderedAndProject (no global sort materialization).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )
+
+
+MARKET_BASKET_PAIRS_SQL = f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {BASKET_TOP_K}
+"""
+
+RFM_BUCKETS = 4  # quartile scores per dimension
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    vs the corpus max date — a 1-row broadcast anchor), frequency
+    (order count), monetary (DECIMAL revenue); each dimension scored
+    into quartiles with NTILE over a deterministic
+    (metric, customer) order, concatenated into the RFM segment code.
+
+    Scale: one keyed aggregation to |customers| rows; the three NTILE
+    windows are unpartitioned BY DESIGN over the customer aggregate —
+    at true scale the bucketed-quantile cutover used by
+    customer_analytics applies (same pattern, documented there); the
+    oracle locks the NTILE form.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", money("o_totalprice").alias("rev")
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("max_date"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum("rev").alias("monetary_dec"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("max_date", "last_order").cast("int").alias("recency_days"),
+            F.col("frequency").cast("long").alias("frequency"),
+            F.col("monetary_dec").cast("double").alias("monetary"),
+        )
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey"))
+    scored = (
+        per_cust.withColumn(
+            "monetary_dec", F.col("monetary").cast("decimal(18,2)")
+        )
+        .withColumn("r_score", F.ntile(RFM_BUCKETS).over(w_r))
+        .withColumn("f_score", F.ntile(RFM_BUCKETS).over(w_f))
+        .withColumn("m_score", F.ntile(RFM_BUCKETS).over(w_m))
+    )
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("rfm_segment"),
+    )
+
+
+CUSTOMER_RFM_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderdate, CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+  FROM orders
+), per_cust AS (
+  SELECT o_custkey,
+         CAST(datediff('day', MAX(o_orderdate), (SELECT MAX(o_orderdate) FROM o)) AS INT)
+           AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(rev) AS monetary_dec
+  FROM o GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey, recency_days, frequency,
+         CAST(monetary_dec AS DOUBLE) AS monetary,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary_dec DESC, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR)
+         AS rfm_segment
+FROM scored
+"""

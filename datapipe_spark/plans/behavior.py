@@ -224,3 +224,84 @@ SELECT from_type, to_type, n,
        CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
 FROM counts
 """
+
+
+PATH_LEN = 3  # leading events per session in the path signature
+PATH_TOP_K = 25  # paths reported
+
+
+def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first ``PATH_LEN`` event types of
+    each 30-minute-gap session (the ``sessionize`` islands), joined
+    into a path signature and counted across sessions — the "how do
+    sessions start" product question.
+
+    Scale: same per-user gap-and-island shuffle as ``sessionize``; the
+    path assembly keeps only ``PATH_LEN`` rows per session before the
+    (path) aggregation, and the top-k is TakeOrderedAndProject.
+    """
+    from datapipe_spark.functions import epoch_us
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        (epoch_us(F.col("ts")) - epoch_us(F.lag("ts").over(w_user)))
+        > 30 * 60 * 1_000_000,
+        1,
+    ).otherwise(0)
+    numbered = (
+        e.withColumn("_new", new_sess)
+        .withColumn(
+            "session_seq",
+            F.sum("_new").over(w_user.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rn") <= PATH_LEN)
+    )
+    paths = numbered.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.expr("transform(array_sort(collect_list(struct(rn, event_type))), s -> s.event_type)"),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+SESSION_PATH_COUNTS_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+), flagged AS (
+  SELECT *, CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30*60*1000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), numbered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts, event_id) AS rn
+  FROM sessions
+), heads AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM numbered WHERE rn <= {PATH_LEN}
+  GROUP BY user_id, session_seq
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM heads GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP_K}
+"""

@@ -248,6 +248,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream.streaming_event_transitions,
         behavior.EVENT_TRANSITIONS_SQL,
     ),
+    # --- affinity / segmentation / path mining ---
+    "market_basket_pairs": (
+        analytics.market_basket_pairs,
+        analytics.MARKET_BASKET_PAIRS_SQL,
+    ),
+    "customer_rfm": (analytics.customer_rfm, analytics.CUSTOMER_RFM_SQL),
+    "session_path_counts": (
+        behavior.session_path_counts,
+        behavior.SESSION_PATH_COUNTS_SQL,
+    ),
 }
 
 

@@ -74,3 +74,56 @@ def test_zscore_zero_variance_guard(spark, sf_dir):
     out = analytics.events_anomaly_zscore(spark, sf_dir)
     # finite scores only; zero-variance partitions must emit z=0
     assert out.filter(F.isnan("zscore") | F.col("zscore").isNull()).count() == 0
+
+
+def test_batch6_oracle(spark, sf_dir):
+    from datapipe_spark.plans import behavior
+
+    for fn, sql in [
+        (analytics.market_basket_pairs, analytics.MARKET_BASKET_PAIRS_SQL),
+        (analytics.customer_rfm, analytics.CUSTOMER_RFM_SQL),
+        (behavior.session_path_counts, behavior.SESSION_PATH_COUNTS_SQL),
+    ]:
+        compare_to_oracle(spark, fn, sql, sf_dir)
+
+
+def test_rfm_scores_in_range_and_cover(spark, sf_dir):
+    out = analytics.customer_rfm(spark, sf_dir)
+    for c in ("r_score", "f_score", "m_score"):
+        assert (
+            out.filter(
+                (F.col(c) < 1) | (F.col(c) > analytics.RFM_BUCKETS)
+            ).count()
+            == 0
+        )
+    # quartiles must be near-balanced: bucket sizes differ by at most 1
+    sizes = [
+        r.n
+        for r in out.groupBy("r_score").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_market_basket_pairs_ordered_and_bounded(spark, sf_dir):
+    rows = analytics.market_basket_pairs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= analytics.BASKET_TOP_K
+    # part_a < part_b on every pair; counts non-increasing
+    assert all(r.part_a < r.part_b for r in rows)
+    ns = [r.n_orders for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_session_paths_match_session_count(spark, sf_dir):
+    from datapipe_spark.plans import behavior
+    from datapipe_spark.plans.events_queries import sessionize
+
+    total_paths = (
+        behavior.session_path_counts(spark, sf_dir)
+        .agg(F.sum("n_sessions"))
+        .first()[0]
+    )
+    n_sessions = sessionize(spark, sf_dir).count()
+    # top-k covers at most all sessions; with a tiny path alphabet the
+    # 25 top paths must cover the overwhelming majority
+    assert total_paths <= n_sessions
+    assert total_paths >= n_sessions * 0.5
