@@ -273,16 +273,14 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.datediff("max_date", "last_order").cast("int").alias("recency_days"),
             F.col("frequency").cast("long").alias("frequency"),
-            F.col("monetary_dec").cast("double").alias("monetary"),
+            "monetary_dec",
         )
     )
     w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
     w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
     w_m = Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey"))
     scored = (
-        per_cust.withColumn(
-            "monetary_dec", F.col("monetary").cast("decimal(18,2)")
-        )
+        per_cust.withColumn("monetary", F.col("monetary_dec").cast("double"))
         .withColumn("r_score", F.ntile(RFM_BUCKETS).over(w_r))
         .withColumn("f_score", F.ntile(RFM_BUCKETS).over(w_f))
         .withColumn("m_score", F.ntile(RFM_BUCKETS).over(w_m))
