@@ -127,3 +127,21 @@ def test_session_paths_match_session_count(spark, sf_dir):
     # 25 top paths must cover the overwhelming majority
     assert total_paths <= n_sessions
     assert total_paths >= n_sessions * 0.5
+
+
+def test_rolling_window_matches_pandas_model(spark, sf_dir):
+    """Trailing 7-day RANGE sums must equal a brute-force pandas
+    rolling model over the same daily aggregate (calendar gaps
+    included)."""
+    import pandas as pd
+
+    out = analytics.daily_revenue_rolling(spark, sf_dir).toPandas()
+    daily = out[["day", "revenue", "n_orders"]].sort_values("day").reset_index(drop=True)
+    days = pd.to_datetime(daily["day"])
+    for i in range(len(daily)):
+        lo = days[i] - pd.Timedelta(days=analytics.ROLLING_DAYS - 1)
+        mask = (days >= lo) & (days <= days[i])
+        exp_sum = daily.loc[mask, "revenue"].sum()
+        got = out.loc[out["day"] == daily.loc[i, "day"]].iloc[0]
+        assert abs(got["rev_7d_sum"] - exp_sum) < 1e-6, daily.loc[i, "day"]
+        assert got["days_in_window"] == int(mask.sum())

@@ -309,3 +309,18 @@ def test_funnel_scan_prunes_to_needed_columns(spark, sf_dir):
     assert scans
     for line in scans:
         assert "props" not in line and "value" not in line
+
+
+def test_batch6_plans(spark, sf_dir):
+    """market_basket top-k must be TakeOrderedAndProject (no global
+    sort materialization); the RFM 1-row anchor must broadcast; no
+    plan may degrade to an unbroadcast CartesianProduct."""
+    from datapipe_spark.plans import analytics
+
+    basket = _plan(spark, analytics.market_basket_pairs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in basket
+    assert "CartesianProduct" not in basket
+
+    rfm = _plan(spark, analytics.customer_rfm(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in rfm or "BroadcastHashJoin" in rfm
+    assert "CartesianProduct" not in rfm
