@@ -57,21 +57,31 @@ def point_in_interval_join(
     def _bucket(c: str) -> Column:
         return F.floor(epoch_us(F.col(c)) / F.lit(bucket_us)).cast("long")
 
-    p = points.withColumn(_B, _bucket(point_ts))
-    i = intervals.withColumn(
-        _B, F.explode(F.sequence(_bucket(start_ts), _bucket(end_ts)))
-    )
-    keys = [*extra_keys, _B]
-    exact = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
-    inner = p.join(i, keys).filter(exact).drop(_B)
     if how == "inner":
-        return inner
-    # left: points that matched nothing come back with null interval cols
-    matched = inner.select(*points.columns).distinct()
-    unmatched = p.drop(_B).join(matched, points.columns, "left_anti")
+        p = points.withColumn(_B, _bucket(point_ts))
+        i = intervals.withColumn(
+            _B, F.explode(F.sequence(_bucket(start_ts), _bucket(end_ts)))
+        )
+        keys = [*extra_keys, _B]
+        exact = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+        return p.join(i, keys).filter(exact).drop(_B)
+    # left: points that matched nothing come back with null interval
+    # cols. The matched set is subtracted by a synthetic unique row id,
+    # not by value equality over the point columns — value equality is
+    # null-unsafe (a point row holding a NULL payload column would never
+    # match itself in the anti-join and be emitted twice) and collapses
+    # genuine duplicate point rows into one match status.
+    _ID = "__range_point_id"
+    tagged = points.withColumn(_ID, F.monotonically_increasing_id())
+    inner = point_in_interval_join(
+        tagged, intervals, point_ts, start_ts, end_ts, bucket_seconds,
+        extra_keys=extra_keys, how="inner",
+    )
+    matched = inner.select(_ID).distinct()
+    unmatched = tagged.join(matched, _ID, "left_anti")
     null_cols = [
         F.lit(None).cast(f.dataType).alias(f.name)
         for f in intervals.schema.fields
         if f.name not in extra_keys
     ]
-    return inner.unionByName(unmatched.select("*", *null_cols))
+    return inner.unionByName(unmatched.select("*", *null_cols)).drop(_ID)

@@ -91,13 +91,22 @@ def daily_batch_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict
 
             shutil.rmtree(staging, ignore_errors=True)
             raise
-    # publish: everything (gate included) succeeded — same-fs renames
+    # publish: everything (gate included) succeeded — same-fs renames.
+    # Prior marts are renamed aside first and deleted only after every
+    # new rename lands, so a crash mid-publish leaves each mart either
+    # current or recoverable from _retired — never deleted-and-gone.
     import shutil
 
+    retired = os.path.join(out_dir, "_retired")
+    shutil.rmtree(retired, ignore_errors=True)
+    os.makedirs(retired, exist_ok=True)
     for name in _MART_STAGES:
         dst = os.path.join(out_dir, name)
-        shutil.rmtree(dst, ignore_errors=True)
-        os.rename(os.path.join(staging, name), dst)
+        if os.path.exists(dst):
+            os.rename(dst, os.path.join(retired, name))
+    for name in _MART_STAGES:
+        os.rename(os.path.join(staging, name), os.path.join(out_dir, name))
+    shutil.rmtree(retired, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     # report order matches the reference DAG: gate first, recon last
     order = ["rule_violations", *_MART_STAGES, "reconciliation"]

@@ -158,7 +158,7 @@ def apply_increment(
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
-    state_fut = None
+    committed = False
     try:
         state_fut = pool.submit(
             lambda: merged_state.repartition(1).write.mode("overwrite").parquet(tmp)
@@ -219,14 +219,21 @@ def apply_increment(
             .parquet(table_p)
         )
         state_fut.result()  # surface any state-write failure before the swap
+        committed = True
     finally:
         # runs on EVERY exit — including an AnalysisException while the
-        # serving plan is still being built: join the state thread (so
-        # its write cannot race the cleanup below) and release the
-        # cache (the round-2 plan-cache-leak class)
-        if state_fut is not None:
-            pool.shutdown(wait=True)
+        # serving plan is still being built: join the state thread
+        # unconditionally (shutdown is safe with no submitted work, and
+        # must precede the tmp cleanup so a still-running writer cannot
+        # race it) and release the cache (the round-2
+        # plan-cache-leak class). On failure the staging dir is removed
+        # rather than left for a retry to overwrite.
+        pool.shutdown(wait=True)
         merged_state.unpersist()
+        if not committed:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
 
     import shutil
 

@@ -468,3 +468,33 @@ def test_point_in_interval_join_equivalence_and_plan(spark):
     assert {(r["user_id"], r["ts"]) for r in unmatched} == {(2, T(5))}
     plan = left._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
+
+
+def test_point_in_interval_left_join_null_payload_not_duplicated(spark):
+    """Left-join matched-row subtraction must be null-safe: a matched
+    point carrying a NULL payload column is emitted once (the r5
+    value-equality anti-join emitted it twice — joined AND
+    null-padded), and duplicate point rows each keep their own match."""
+    import datetime as dt
+
+    from datapipe_spark.operators.rangejoin import point_in_interval_join
+
+    T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    pts = spark.createDataFrame(
+        [(1, T(5), None), (1, T(5), None), (2, T(500), "x")],
+        "user_id long, ts timestamp_ntz, payload string",
+    )
+    ivs = spark.createDataFrame(
+        [(1, T(0), T(10), "a")],
+        "user_id long, s timestamp_ntz, e timestamp_ntz, tag string",
+    )
+    left = point_in_interval_join(
+        pts, ivs, "ts", "s", "e", 60, extra_keys=("user_id",), how="left"
+    )
+    rows = left.collect()
+    assert len(rows) == 3  # two matched duplicates + one unmatched
+    assert sorted((r["user_id"], r["tag"]) for r in rows) == [
+        (1, "a"),
+        (1, "a"),
+        (2, None),
+    ]
