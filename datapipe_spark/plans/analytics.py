@@ -244,19 +244,47 @@ LIMIT {BASKET_TOP_K}
 RFM_BUCKETS = 4  # quartile scores per dimension
 
 
-def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ntile_from_rownum(rn, total: int, tiles: int):
+    """Exact SQL ``NTILE(tiles)`` from a 1-based global row-number
+    Column over ``total`` rows: the first ``total % tiles`` buckets
+    take ``total div tiles + 1`` rows, the rest one fewer. Integer
+    division is computed as ``(a - a % b) / b`` — the numerator is an
+    exact multiple of b, so the double division is exact (correctly
+    rounded integral result), with no float-boundary risk."""
+
+    def idiv(a, b: int):  # exact a div b for non-negative long Columns
+        a = a.cast("long")
+        return ((a - a % F.lit(b)) / F.lit(b)).cast("long")
+
+    q, r = divmod(total, tiles)
+    if q == 0:  # fewer rows than tiles: bucket == row number
+        return rn.cast("int")
+    big = r * (q + 1)  # rows covered by the wide buckets
+    wide = idiv(rn + F.lit(q), q + 1)  # == ceil(rn / (q+1))
+    narrow = F.lit(r) + idiv(rn - F.lit(big) + F.lit(q - 1), q)
+    return F.when(rn <= F.lit(big), wide).otherwise(narrow).cast("int")
+
+
+def customer_rfm(
+    spark: SparkSession, sf_dir: str, distributed_quantiles: bool | None = None
+) -> DataFrame:
     """RFM segmentation: per-customer recency (days since last order,
     vs the corpus max date — a 1-row broadcast anchor), frequency
     (order count), monetary (DECIMAL revenue); each dimension scored
     into quartiles with NTILE over a deterministic
     (metric, customer) order, concatenated into the RFM segment code.
 
-    Scale: one keyed aggregation to |customers| rows; the three NTILE
-    windows are unpartitioned BY DESIGN over the customer aggregate —
-    at true scale the bucketed-quantile cutover used by
-    customer_analytics applies (same pattern, documented there); the
-    oracle locks the NTILE form.
+    Scale: one keyed aggregation to |customers| rows; then the same
+    adaptive cutover as ``customer_analytics`` (marts.py): below
+    ``GLOBAL_SORT_MAX_ROWS`` customers, plain single-window NTILEs;
+    above, each dimension's NTILE is recovered exactly from
+    ``marts._global_cume_dist`` (bucketed, distributed — no
+    unpartitioned window anywhere) as ``rn = round(cume_dist * N)``
+    plus the integer NTILE formula. Both paths are output-identical
+    and oracle-locked (forced-distributed equivalence test in
+    tests/test_analytics.py).
     """
+    from datapipe_spark.plans import marts as _m
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", money("o_totalprice").alias("rev")
     )
@@ -276,15 +304,44 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_dec",
         )
     )
-    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey"))
-    scored = (
-        per_cust.withColumn("monetary", F.col("monetary_dec").cast("double"))
-        .withColumn("r_score", F.ntile(RFM_BUCKETS).over(w_r))
-        .withColumn("f_score", F.ntile(RFM_BUCKETS).over(w_f))
-        .withColumn("m_score", F.ntile(RFM_BUCKETS).over(w_m))
-    )
+    if distributed_quantiles is None:
+        distributed_quantiles = (
+            load_table(spark, sf_dir, "customer").count() > _m.GLOBAL_SORT_MAX_ROWS
+        )
+    if distributed_quantiles:
+        # one materialization feeds the per-dimension quantile actions,
+        # the total-count action, and the ranked output
+        per_cust = per_cust.localCheckpoint(eager=True)
+        n = per_cust.count()
+        # DESC dimensions rank by the negated value so every dimension
+        # is an ASC (val, o_custkey) order — exactly the NTILE sort key
+        scored = (
+            per_cust.withColumn("_f_neg", -F.col("frequency"))
+            .withColumn("_m_neg", -F.col("monetary_dec"))
+        )
+        for val, out in (
+            ("recency_days", "r_score"),
+            ("_f_neg", "f_score"),
+            ("_m_neg", "m_score"),
+        ):
+            scored = _m._global_cume_dist(scored, val, "o_custkey", "_pct")
+            rn = F.round(F.col("_pct") * F.lit(n)).cast("long")
+            scored = scored.withColumn(out, _ntile_from_rownum(rn, n, RFM_BUCKETS)).drop(
+                "_pct"
+            )
+        scored = scored.drop("_f_neg", "_m_neg").withColumn(
+            "monetary", F.col("monetary_dec").cast("double")
+        )
+    else:
+        w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+        w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+        w_m = Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey"))
+        scored = (
+            per_cust.withColumn("monetary", F.col("monetary_dec").cast("double"))
+            .withColumn("r_score", F.ntile(RFM_BUCKETS).over(w_r))
+            .withColumn("f_score", F.ntile(RFM_BUCKETS).over(w_f))
+            .withColumn("m_score", F.ntile(RFM_BUCKETS).over(w_m))
+        )
     return scored.select(
         "o_custkey",
         "recency_days",

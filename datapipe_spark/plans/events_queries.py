@@ -242,6 +242,62 @@ GROUP BY user_id, session_seq
 """
 
 
+def sessionize_session_window(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """T2 "simpler alt" (SURVEY §2.8: ``session_window(ts, '30
+    minutes')``): the same session rollup as ``sessionize`` computed
+    with Spark's built-in session-window aggregate instead of
+    gap-and-island lag windows.
+
+    Boundary alignment: ``session_window`` starts a new session when
+    the gap is *reached* (next event at exactly last_ts + gap splits),
+    while the lag-based oracle splits only when it is *exceeded*
+    (strict >) — one extra microsecond (the data's timestamp
+    granularity) makes the two identical, the same trick the streaming
+    twin uses (streaming/jobs.py:178-183).
+
+    Scale: ONE shuffle on user_id with native session merging in the
+    aggregation — no ordered per-user window pass at all, so it also
+    avoids the lag form's second sort. The per-user ``session_seq``
+    renumbering window that follows runs over O(sessions), not
+    O(events). Oracled against SESSIONIZE_SQL.
+    """
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type", "value")
+    gap_us = gap_minutes * 60 * 1_000_000 + 1
+    sess = (
+        e.groupBy(F.session_window("ts", f"{gap_us} microseconds"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", money("value"))
+            ).alias("_spent"),
+        )
+        .drop("session_window")
+    )
+    seq = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        (F.row_number().over(seq) - 1).cast("long").alias("session_seq"),
+        "session_start",
+        "session_end",
+        (
+            (epoch_us("session_end") - epoch_us("session_start")) / 60_000_000.0
+        ).alias("session_duration_minutes"),
+        "n_events",
+        "views",
+        "clicks",
+        "purchases",
+        F.coalesce(F.col("_spent").cast("double"), F.lit(0.0)).alias("total_spent"),
+        (F.col("purchases") > 0).alias("converted_to_purchase"),
+    )
+
+
 def top_events_per_user(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """W7/W8 + W1: top-k rows per key (rank over value with
     deterministic tie-break, then limit-per-group)."""

@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Time named registry entries at a given sf dir (iteration harness).
 
-Usage: python scripts/time_ops.py [op ...]   (env SPARK_GRAFT_SF_DIR)
-Prints one JSON line with per-op wall seconds and row counts.
+Usage: python scripts/time_ops.py [--repeat N] [op ...]
+(env SPARK_GRAFT_SF_DIR). Prints one JSON line with per-RUN wall
+seconds and row counts: each run is recorded under ``name`` for the
+first and ``name#k`` for repeats, so cold and warm timings are both
+visible (a repeated name used to overwrite its cold timing).
 """
 from __future__ import annotations
 
@@ -22,18 +25,28 @@ def main() -> None:
 
     spark = get_spark("time-ops")
     qs = registry.queries()
-    names = sys.argv[1:] or ["dedup_simhash"]
-    unknown = [n for n in names if n not in qs]
+    args = sys.argv[1:]
+    repeat = 1
+    if "--repeat" in args:
+        i = args.index("--repeat")
+        repeat = int(args[i + 1])
+        args = args[:i] + args[i + 2 :]
+    names = args or ["dedup_simhash"]
+    names = [n for n in names for _ in range(repeat)]
+    unknown = [n for n in set(names) if n not in qs]
     if unknown:
         print(f"unknown ops: {unknown}", file=sys.stderr)
         sys.exit(2)
     # warm scan
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     timings, rows = {}, {}
+    seen: dict[str, int] = {}
     for name in names:
+        seen[name] = seen.get(name, 0) + 1
+        key = name if seen[name] == 1 else f"{name}#{seen[name]}"
         t0 = time.perf_counter()
-        rows[name] = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 2)
+        rows[key] = qs[name](spark, sf_dir).count()
+        timings[key] = round(time.perf_counter() - t0, 2)
     print(json.dumps({"sf_dir": sf_dir, "timings": timings, "rows": rows}))
     spark.stop()
 

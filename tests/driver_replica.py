@@ -95,6 +95,18 @@ def main() -> int:
     oracles = mod.oracle_sql()
     con = duckdb_con(sf_dir)
 
+    # drift gate vs the latest driver-recorded artifact (r5 ask #4):
+    # at the driver's own scale factor, any entry the driver recorded
+    # must reproduce the exact recorded row counts here.
+    import glob
+    import json
+
+    driver_art: dict = {}
+    if os.path.basename(sf_dir.rstrip("/")) == "sf0.01":
+        arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+        if arts:
+            driver_art = json.load(open(arts[-1]))
+
     n_pass = n_rows_only = n_fail = n_err = 0
     for name, fn in qs.items():
         t0 = time.perf_counter()
@@ -127,6 +139,14 @@ def main() -> int:
             bad = [(a, b) for a, b in zip(s_canon, o_canon) if repr(a) != repr(b)]
             if bad:
                 problems.append(f"{len(bad)} value mismatches; first: {bad[0]}")
+        rec = driver_art.get(name)
+        if rec and rec.get("err") is None:
+            if rec.get("spark_rows") != len(s_pdf) or rec.get("oracle_rows") != len(o_pdf):
+                problems.append(
+                    f"drift vs driver artifact: recorded "
+                    f"spark={rec.get('spark_rows')}/oracle={rec.get('oracle_rows')}, "
+                    f"replica got spark={len(s_pdf)}/oracle={len(o_pdf)}"
+                )
         if problems:
             n_fail += 1
             print(f"FAIL {name}: {'; '.join(problems)}", flush=True)

@@ -104,6 +104,29 @@ def test_rfm_scores_in_range_and_cover(spark, sf_dir):
     assert max(sizes) - min(sizes) <= 1
 
 
+def test_rfm_distributed_quantiles_equal_ntile_oracle(spark, sf_dir):
+    """Forced-distributed path (bucketed `_global_cume_dist` + integer
+    NTILE recovery — no unpartitioned window) must be byte-identical to
+    the single-window NTILE oracle. This is the 100 TB path the
+    metadata-count cutover selects above GLOBAL_SORT_MAX_ROWS."""
+    compare_to_oracle(
+        spark,
+        lambda s, d: analytics.customer_rfm(s, d, distributed_quantiles=True),
+        analytics.CUSTOMER_RFM_SQL,
+        sf_dir,
+    )
+    plan = (
+        analytics.customer_rfm(spark, sf_dir, distributed_quantiles=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no single-window NTILE anywhere in the distributed plan; the
+    # per-customer windows are partitioned by the quantile bucket
+    assert "ntile" not in plan.lower(), plan
+    assert "_bkt" in plan, plan
+
+
 def test_market_basket_pairs_ordered_and_bounded(spark, sf_dir):
     rows = analytics.market_basket_pairs(spark, sf_dir).collect()
     assert 0 < len(rows) <= analytics.BASKET_TOP_K

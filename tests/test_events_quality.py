@@ -15,6 +15,7 @@ CASES = [
     (ev.events_hourly, ev.EVENTS_HOURLY_SQL),
     (ev.events_json_stats, ev.EVENTS_JSON_STATS_SQL),
     (ev.sessionize, ev.SESSIONIZE_SQL),
+    (ev.sessionize_session_window, ev.SESSIONIZE_SQL),
     (ev.top_events_per_user, ev.TOP_EVENTS_PER_USER_SQL),
     (ev.purchases_filtered, ev.PURCHASES_FILTERED_SQL),
     (ev.purchase_attribution, ev.PURCHASE_ATTRIBUTION_SQL),

@@ -36,6 +36,56 @@ def test_registry_has_no_orphan_oracles():
     assert set(registry.oracle_sql()) <= names
 
 
+def test_rotated_window_covers_previously_unverified_entries():
+    """Round-6 rotation contract (r5 verdict ask #1): every oracled
+    entry added in rounds 4-5 — none of which the driver had ever
+    hash-checked — must sit inside the driver's 50-entry window."""
+    previously_unverified = {
+        "multimodal_features", "dedup_simhash", "dedup_substring_spans",
+        "vocab_top_tokens", "cdc_avro_roundtrip", "dedup_semantic",
+        "corpus_mix_domains", "tokenize_with_vocab", "dedup_stats_by_source",
+        "unigram_logprob_score", "gopher_quality_flags", "featurize_documents",
+        "curation_pipeline", "purchase_attribution",
+        "streaming_purchase_attribution", "event_funnel_conversion",
+        "user_retention_cohorts", "event_transitions", "tfidf_top_terms",
+        "chunk_documents", "contamination_score", "corpus_split",
+        "bigram_lm_score", "cms_top_tokens", "label_centroid_outliers",
+        "daily_revenue_rolling", "events_anomaly_zscore",
+        "event_type_daily_pivot", "orders_status_rollup",
+        "multimodal_frame_sample", "streaming_event_transitions",
+        "market_basket_pairs", "customer_rfm", "session_path_counts",
+    }
+    head = set(list(registry.queries())[:DRIVER_WINDOW])
+    missing = previously_unverified - head
+    assert not missing, f"rotation must keep these in the driver window: {missing}"
+
+
+def test_driver_artifact_oracle_parity():
+    """Replica↔driver drift gate (r5 verdict ask #4): for every entry
+    the driver recorded in CORRECTNESS_r05.json, (a) it passed, (b) the
+    name is still registered, and (c) its oracle SQL still returns
+    exactly the driver-recorded row count in DuckDB at sf0.01. A
+    change to an oracle (or to DuckDB canonicalization) that would
+    surprise the driver at the round boundary fails here first."""
+    import json
+    import os
+
+    art_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
+    art = json.load(open(art_path))
+    from tests.oracle import duckdb_con
+
+    oracles = registry.oracle_sql()
+    con = duckdb_con("/root/testdata/sf0.01")
+    try:
+        for name, rec in art.items():
+            assert rec["err"] is None and rec["hash_match"], (name, rec)
+            assert name in oracles, f"driver-recorded entry vanished: {name}"
+            got = con.sql(f"SELECT COUNT(*) FROM ({oracles[name]})").fetchone()[0]
+            assert got == rec["oracle_rows"], (name, got, rec["oracle_rows"])
+    finally:
+        con.close()
+
+
 def test_tail_rows_only_entries_are_the_documented_ones():
     """Every rows-only entry must be one of the justified
     non-SQL-expressible ops (approximate ANN, HLL estimate,

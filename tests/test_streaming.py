@@ -267,3 +267,83 @@ def test_streaming_event_transitions_equals_batch_and_oracle(spark, sf_dir):
     compare_to_oracle(
         spark, jobs.streaming_event_transitions, behavior.EVENT_TRANSITIONS_SQL, sf_dir
     )
+
+
+def test_watermark_drops_late_event_and_evicts_state(spark, tmp_path):
+    """T3 negative path (realtime requirements.md:68, tasks.md:80-83):
+    an event arriving AFTER the watermark has passed its hour window
+    must be dropped, not merged — and closed windows must leave the
+    state store (no unbounded state growth).
+
+    Scenario (maxFilesPerTrigger=1, one drop per micro-batch):
+      drop_00  events 00:10 and 01:10  → watermark advances to 01:10-1s
+      drop_01  on-time event 01:20; hour window [00:00, 01:00) emits
+               (n=1) and is EVICTED from state this batch
+      drop_02  LATE event 00:20 — its window is gone and ts is behind
+               the watermark → dropped, never re-opens the window
+      drop_03  flush sentinel 30 days ahead → every real window emits
+
+    (Measured Spark semantics, pinned here: a late row whose window is
+    still buffered in the SAME batch the watermark closes it gets
+    merged — allowed lateness; only a row arriving after eviction is
+    dropped. The counter `numRowsDroppedByWatermark` records it.)
+    """
+    import datetime as dt
+    import os
+
+    drops = str(tmp_path / "drops")
+    base = dt.datetime(2024, 1, 1)
+    ev_row = lambda eid, minutes, etype="view": (  # noqa: E731
+        eid, base + dt.timedelta(minutes=minutes), 1, etype, 1.0, None,
+    )
+    batches = [
+        [ev_row(1, 10), ev_row(2, 70)],
+        [ev_row(4, 80)],
+        [ev_row(3, 20)],  # ~1 h late, window already closed + evicted
+        [(99, base + dt.timedelta(days=30), 1, src.SENTINEL_TYPE, None, None)],
+    ]
+    mtime = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = os.path.join(drops, f"drop_{i:02d}")
+        spark.createDataFrame(rows, src.EVENT_SCHEMA).coalesce(1).write.parquet(p)
+        mtime += 10
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    stream = src.read_event_stream(spark, drops, files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.when(F.col("event_type") != src.SENTINEL_TYPE, 1)).alias("n"),
+            F.count(F.when(F.col("event_type") == src.SENTINEL_TYPE, 1)).alias("_flush"),
+        )
+    )
+    sink, cp = str(tmp_path / "sink"), str(tmp_path / "cp")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+
+    got = {
+        (r["window"]["start"].hour, r["n"])
+        for r in spark.read.parquet(sink).filter(F.col("_flush") == 0).collect()
+    }
+    # hour 0 closed with ONE event: the late 00:20 row was dropped;
+    # hour 1 carries both on-time events
+    assert got == {(0, 1), (1, 2)}, got
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for op in p["stateOperators"]
+    )
+    assert dropped == 1, progresses
+    # state eviction: after the final batch only the (never-emitted)
+    # sentinel window may remain buffered — every real window left state
+    last_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+    assert last_state <= 1, progresses[-1]
