@@ -199,6 +199,42 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def segment_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four grains of (market segment × order status) in one pass —
+    Spark's ``cube`` (Expand + one shuffle), the GROUPING SETS
+    companion to ``orders_status_rollup``'s hierarchy form.
+
+    Scale: the customer dimension joins BROADCAST (orders carry only
+    custkey); the cube's Expand emits 4 grouping-set copies of the
+    (segment, status) pair — a 2-column payload, so the fan-out ships
+    grouping keys, not fact rows' full width.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", money("o_totalprice").alias("rev")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.grouping_id().cast("int").alias("grain"),
+        )
+        .select("c_mktsegment", "o_orderstatus", "grain", "n_orders", "revenue")
+    )
+
+
+SEGMENT_STATUS_CUBE_SQL = """
+SELECT c_mktsegment, o_orderstatus,
+       CAST(GROUPING(c_mktsegment, o_orderstatus) AS INT) AS grain,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+"""
+
+
 BASKET_TOP_K = 50  # co-occurrence pairs reported
 
 

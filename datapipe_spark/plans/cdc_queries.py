@@ -184,6 +184,59 @@ def cdc_multi_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build from the changelog: one
+    row per key VERSION with ``valid_from``/``valid_to`` effectivity
+    and an ``is_current`` flag — the warehouse-dimension companion to
+    ``cdc_latest_state``'s Type-1 compaction (reference archival layer,
+    s3-sink + batch design "latest state vs full history" split).
+
+    Semantics: versions order by LSN per key; ``valid_to`` = next
+    version's ``__ts_ms`` (open for the last version); a delete op
+    closes history — the tombstone itself is not a dimension row, but
+    it bounds the prior version's validity. ``is_current`` marks the
+    open, non-deleted version.
+
+    Scale: ONE shuffle on the primary key; the effectivity window
+    (lead) runs partition-local after it. Same distribution a MERGE
+    INTO an Iceberg SCD2 table would use.
+    """
+    log = synth_changelog(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("__source_lsn")
+    versions = log.withColumn("valid_to", F.lead("__ts_ms").over(w)).withColumn(
+        "is_current", F.col("valid_to").isNull() & (F.col("__op") != "d")
+    )
+    return versions.filter(F.col("__op") != "d").select(
+        "id",
+        "user_id",
+        "status",
+        F.col("total_amount").cast("decimal(18,2)").cast("double").alias("total_amount"),
+        F.col("__ts_ms").alias("valid_from"),
+        "valid_to",
+        "is_current",
+        "__source_lsn",
+    )
+
+
+CDC_SCD2_HISTORY_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY}),
+versions AS (
+  SELECT *,
+         LEAD(__ts_ms) OVER (PARTITION BY id ORDER BY __source_lsn) AS valid_to
+  FROM changelog
+)
+SELECT id, user_id, status,
+       CAST(CAST(total_amount AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+       __ts_ms AS valid_from,
+       valid_to,
+       (valid_to IS NULL AND __op <> 'd') AS is_current,
+       __source_lsn
+FROM versions WHERE __op <> 'd'
+"""
+
+
 def _multi_summary_sql() -> str:
     from datapipe_spark.sources.cdc import CDC_TABLES
 

@@ -242,6 +242,127 @@ GROUP BY user_id, session_seq
 """
 
 
+def error_purchase_windows(
+    spark: SparkSession, sf_dir: str, window_minutes: int = 10
+) -> DataFrame:
+    """Temporal range join as a first-class query: purchases landing
+    inside the ``window_minutes`` window after an error by the same
+    user ("purchases at risk" — the incident-impact join every ops
+    dashboard runs).
+
+    Built on ``operators.rangejoin.point_in_interval_join`` — the
+    bucketed equi-join formulation, NOT a BroadcastNestedLoopJoin:
+    points (purchases) and intervals (error windows) meet on
+    (user_id, time-bucket), so the join hash-partitions and scales
+    like any other; the exact BETWEEN predicate re-checks inside each
+    bucket. Bucket size = the window length, so each interval explodes
+    to ≤ 2 bucket rows.
+    """
+    from datapipe_spark.operators.rangejoin import point_in_interval_join
+
+    e = _events(spark, sf_dir)
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_event_id"),
+        F.col("ts").alias("error_ts"),
+        (F.col("ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")).alias("window_end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        money("value").alias("_amount"),
+    )
+    joined = point_in_interval_join(
+        purchases,
+        errors,
+        point_ts="purchase_ts",
+        start_ts="error_ts",
+        end_ts="window_end",
+        bucket_seconds=window_minutes * 60,
+        extra_keys=("user_id",),
+    )
+    return joined.select(
+        "user_id",
+        "error_event_id",
+        "purchase_event_id",
+        ((epoch_us("purchase_ts") - epoch_us("error_ts")) / 1_000_000.0).alias(
+            "seconds_after_error"
+        ),
+        F.col("_amount").cast("double").alias("purchase_amount"),
+    )
+
+
+ERROR_PURCHASE_WINDOWS_SQL = """
+SELECT p.user_id,
+       e.event_id AS error_event_id,
+       p.event_id AS purchase_event_id,
+       (epoch_us(p.ts) - epoch_us(e.ts)) / 1000000.0 AS seconds_after_error,
+       CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_amount
+FROM events p
+JOIN events e
+  ON p.user_id = e.user_id
+ AND e.event_type = 'error'
+ AND p.event_type = 'purchase'
+ AND p.ts >= e.ts
+ AND p.ts <= e.ts + INTERVAL 10 MINUTES
+"""
+
+
+def events_hopping_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 extended: HOPPING (sliding) window aggregation — 1-hour
+    windows advancing every 30 minutes, so each event lands in exactly
+    two windows. The smoothing form dashboards use when tumbling-hour
+    edges hide bursts.
+
+    Spark-first: the built-in ``window(ts, '1 hour', '30 minutes')``
+    generates the window copies inside codegen (no self-union, no
+    explode of user data); one shuffle on the window key.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("total_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", money("value"))
+            ).alias("_rev"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "total_events",
+            "purchases",
+            F.col("_rev").cast("double").alias("purchase_revenue"),
+        )
+    )
+
+
+# DuckDB twin: each event belongs to the windows starting at
+# floor(ts, 30m) and floor(ts, 30m) - 30m — enumerate both per event,
+# keep starts whose [start, start+1h) actually contains ts.
+EVENTS_HOPPING_HOURLY_SQL = """
+WITH starts AS (
+  SELECT e.*, s.window_start
+  FROM events e,
+       UNNEST([
+         to_timestamp(CAST(floor(epoch_us(e.ts) / 1800000000) AS BIGINT) * 1800),
+         to_timestamp(CAST(floor(epoch_us(e.ts) / 1800000000) AS BIGINT) * 1800
+           - 1800)
+       ]) AS s(window_start)
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       COUNT(*) AS total_events,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS purchase_revenue
+FROM starts
+WHERE ts >= window_start AND ts < window_start + INTERVAL 1 HOUR
+GROUP BY window_start
+"""
+
+
 def sessionize_session_window(
     spark: SparkSession, sf_dir: str, gap_minutes: int = 30
 ) -> DataFrame:

@@ -148,6 +148,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- round-6 additions -------------------------------------------
     # T2 "simpler alt" (SURVEY §2.8): batch session_window twin
     "sessionize_session_window": (ev.sessionize_session_window, ev.SESSIONIZE_SQL),
+    # temporal range join as a query (bucketed equi-join, no BNLJ)
+    "error_purchase_windows": (ev.error_purchase_windows, ev.ERROR_PURCHASE_WINDOWS_SQL),
+    # T5 extended: hopping (sliding) window aggregation
+    "events_hopping_hourly": (ev.events_hopping_hourly, ev.EVENTS_HOPPING_HOURLY_SQL),
+    # GROUPING SETS companion to orders_status_rollup (cube + bcast dim)
+    "segment_status_cube": (analytics.segment_status_cube, analytics.SEGMENT_STATUS_CUBE_SQL),
+    # SCD Type-2 dimension build from the changelog (W5 companion)
+    "cdc_scd2_history": (cdcq.cdc_scd2_history, cdcq.CDC_SCD2_HISTORY_SQL),
     # --- long-stable anchors (driver-green in CORRECTNESS_r01-r05) ---
     "daily_business_metrics": (marts.daily_business_metrics, marts.DAILY_BUSINESS_METRICS_SQL),
     "customer_analytics": (marts.customer_analytics, marts.CUSTOMER_ANALYTICS_SQL),
@@ -166,13 +174,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "streaming_dlq_split": (stream.streaming_dlq_split, stream.STREAMING_DLQ_SQL),
     "rule_violations": (q.rule_violations, q.RULE_VIOLATIONS_SQL),
+    # ================= TAIL (past the driver window) =================
+    # Driver-verified green in CORRECTNESS_r01-r05; now hash-checked by
+    # the committed REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
     "reconciliation": (q.reconciliation, q.RECONCILIATION_SQL),
     "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "dedup_minhash_lsh": (dedup.minhash_dedup, dedup.MINHASH_DEDUP_SQL),
     "text_stats": (textstats.text_stats, textstats.TEXT_STATS_SQL),
-    # ================= TAIL (past the driver window) =================
-    # Driver-verified green in CORRECTNESS_r01-r05; now hash-checked by
-    # the committed REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
     "customer_metrics": (marts.customer_metrics, marts.CUSTOMER_METRICS_SQL),
     "product_performance": (marts.product_performance, marts.PRODUCT_PERFORMANCE_SQL),
     "market_segment_daily": (marts.market_segment_daily, marts.MARKET_SEGMENT_DAILY_SQL),

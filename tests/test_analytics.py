@@ -83,8 +83,22 @@ def test_batch6_oracle(spark, sf_dir):
         (analytics.market_basket_pairs, analytics.MARKET_BASKET_PAIRS_SQL),
         (analytics.customer_rfm, analytics.CUSTOMER_RFM_SQL),
         (behavior.session_path_counts, behavior.SESSION_PATH_COUNTS_SQL),
+        (analytics.segment_status_cube, analytics.SEGMENT_STATUS_CUBE_SQL),
     ]:
         compare_to_oracle(spark, fn, sql, sf_dir)
+
+
+def test_cube_reconciles_with_grand_total(spark, sf_dir):
+    """grain=3 row (both dims aggregated) must equal the plain total,
+    and each grain level must sum to it."""
+    from datapipe_spark.sources.tables import load_table
+
+    out = analytics.segment_status_cube(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "orders").count()
+    by_grain = {}
+    for r in out:
+        by_grain[r["grain"]] = by_grain.get(r["grain"], 0) + r["n_orders"]
+    assert by_grain == {0: total, 1: total, 2: total, 3: total}
 
 
 def test_rfm_scores_in_range_and_cover(spark, sf_dir):

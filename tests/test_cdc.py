@@ -18,7 +18,40 @@ CASES = [
     (cq.cdc_op_summary, cq.CDC_OP_SUMMARY_SQL),
     (cq.cdc_deleted_records, cq.CDC_DELETED_RECORDS_SQL),
     (cq.cdc_user_history, cq.CDC_USER_HISTORY_SQL),
+    (cq.cdc_scd2_history, cq.CDC_SCD2_HISTORY_SQL),
 ]
+
+
+def test_scd2_effectivity_chain(spark, sf_dir):
+    """SCD2 invariants: per key, versions tile time (valid_from of
+    version k+1 == valid_to of version k), exactly one open version
+    unless the key was deleted, and is_current ⇔ open + not deleted."""
+    from pyspark.sql import functions as F
+
+    hist = cq.cdc_scd2_history(spark, sf_dir)
+    # chain: the lead over the same order must reproduce valid_to
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("__source_lsn")
+    bad_chain = (
+        hist.withColumn("nxt", F.lead("valid_from").over(w))
+        .filter(F.col("valid_to").isNotNull() & (F.col("valid_to") != F.col("nxt")))
+        .count()
+    )
+    assert bad_chain == 0
+    per_key_open = hist.groupBy("id").agg(
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("open_n"),
+        F.count(F.when(F.col("is_current"), 1)).alias("cur_n"),
+    )
+    assert per_key_open.filter(F.col("open_n") > 1).count() == 0
+    # deleted keys (id % 7 == 0): history fully closed, no current row
+    assert (
+        per_key_open.filter((F.col("id") % 7 == 0) & (F.col("cur_n") > 0)).count() == 0
+    )
+    # non-deleted keys: exactly one current version
+    assert (
+        per_key_open.filter((F.col("id") % 7 != 0) & (F.col("cur_n") != 1)).count() == 0
+    )
 
 
 @pytest.mark.parametrize("fn,sql", CASES, ids=[c[0].__name__ for c in CASES])

@@ -16,6 +16,8 @@ CASES = [
     (ev.events_json_stats, ev.EVENTS_JSON_STATS_SQL),
     (ev.sessionize, ev.SESSIONIZE_SQL),
     (ev.sessionize_session_window, ev.SESSIONIZE_SQL),
+    (ev.error_purchase_windows, ev.ERROR_PURCHASE_WINDOWS_SQL),
+    (ev.events_hopping_hourly, ev.EVENTS_HOPPING_HOURLY_SQL),
     (ev.top_events_per_user, ev.TOP_EVENTS_PER_USER_SQL),
     (ev.purchases_filtered, ev.PURCHASES_FILTERED_SQL),
     (ev.purchase_attribution, ev.PURCHASE_ATTRIBUTION_SQL),

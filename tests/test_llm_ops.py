@@ -119,6 +119,30 @@ def test_ivf_partial_probe_subset(spark, sf_dir):
             assert abs(bf_pairs[key] - r["cosine"]) < 1e-9
 
 
+def test_ivf_recall_floors(spark, sf_dir):
+    """r6 gate (verdict ask #5): recall vs brute force must stay above
+    pinned floors — a quantizer regression that silently halves recall
+    fails HERE, not just in a bench-artifact diff. Also pins the
+    nprobe trade: doubling probes (3→6) must reach the documented
+    higher-accuracy operating point.
+
+    Floors are scale-specific — measured r6 on the sf0.001 test
+    corpus: nprobe=3 → 0.74, nprobe=6 → 0.86 (sf0.01: 0.86/0.92;
+    bench.py gates the sf0.1 floors). Each floor sits just under its
+    measured value so only a real regression trips it."""
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.topk_bruteforce(spark, sf_dir).collect()
+    }
+    for nprobe, floor in ((3, 0.70), (6, 0.82)):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.topk_ivf(spark, sf_dir, nprobe=nprobe).collect()
+        }
+        recall = len(bf & got) / len(bf)
+        assert recall >= floor, f"ivf nprobe={nprobe} recall {recall:.3f} < {floor}"
+
+
 def test_lang_id_output_shape(spark, sf_dir):
     out = textstats.lang_id_ngram(spark, sf_dir)
     rows = out.collect()

@@ -101,6 +101,26 @@ def test_no_rowwise_python_in_any_batch_query(spark, sf_dir):
     assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
 
 
+def test_range_join_query_plans_as_equi_join(spark, sf_dir):
+    """error_purchase_windows must keep the bucketed equi-join shape —
+    a bare BETWEEN join would plan BroadcastNestedLoopJoin, the
+    O(points × intervals) plan that falls over at scale."""
+    plan = _plan(spark, ev.error_purchase_windows(spark, sf_dir), "simple")
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_cube_broadcasts_customer_dimension(spark, sf_dir):
+    """segment_status_cube: the customer dim must join broadcast (no
+    shuffle of the orders fact on custkey) and plan an Expand for the
+    grouping sets."""
+    from datapipe_spark.plans import analytics
+
+    plan = _plan(spark, analytics.segment_status_cube(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Expand" in plan, plan
+
+
 def test_partition_pruning_on_time_partitioned_archive(spark, sf_dir):
     """S6: a partition predicate must prune directories (FileIndex),
     visible as PartitionFilters + a reduced partition count."""
