@@ -516,15 +516,13 @@ def minhash_dedup(
     return minhash_dedup_frame(docs, threshold=threshold, hash=hash)
 
 
-def minhash_dedup_frame(
-    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, hash: str = "md5"
+def _verify_rep_jaccard(
+    sigs: DataFrame, candidates: DataFrame, threshold: float, hash: str
 ) -> DataFrame:
-    """MinHash+LSH over any ``(doc_id, text)`` frame — see
-    ``minhash_dedup`` for semantics and scale notes."""
-    mem, sigs, candidates = minhash_rep_candidates(docs, hash=hash)
-    # exact-jaccard verification only for surviving rep candidates — on
-    # the raw shingle strings in portable mode (byte-identical to the
-    # oracle), on hashed int64 sets in xxhash64 mode (cheaper compare)
+    """Exact-jaccard verification of rep-level ``(rep_a, rep_b)``
+    candidates — on the raw shingle strings in portable (md5) mode
+    (byte-identical to the oracle), on hashed int64 sets in xxhash64
+    mode (cheaper compare). Returns verified pairs ≥ threshold."""
     sets = sigs.select(
         "doc_id",
         (
@@ -538,10 +536,19 @@ def minhash_dedup_frame(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
-    rep_pairs = (
+    return (
         verified.select("rep_a", "rep_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_dedup_frame(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, hash: str = "md5"
+) -> DataFrame:
+    """MinHash+LSH over any ``(doc_id, text)`` frame — see
+    ``minhash_dedup`` for semantics and scale notes."""
+    mem, sigs, candidates = minhash_rep_candidates(docs, hash=hash)
+    rep_pairs = _verify_rep_jaccard(sigs, candidates, threshold, hash)
     from datapipe_spark.util import materialize_and_release
 
     return materialize_and_release(
@@ -592,6 +599,210 @@ WITH t AS (
   JOIN sigs sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- Cross-corpus (incremental) dedup ---------------------------------------
+#
+# The production shape for continuous ingestion (reference batch
+# pipeline's incremental quality gate, requirements.md): an incoming
+# batch is deduplicated AGAINST the already-curated corpus without
+# reprocessing the corpus. The corpus-side artifacts — the content-hash
+# index and the minhash band index over verbatim-collapsed
+# representatives — are batch-invariant: at 100 TB they are persisted
+# tables maintained incrementally, and each batch only hashes/signs ITS
+# OWN documents and equi-joins the indexes. Here both sides derive from
+# the same `documents` table via a deterministic source split so the
+# whole decision is DuckDB-oracle-checkable end to end.
+
+_CROSS_NEW_PRED = "CAST(substring(source, 4) AS INT) % 4 = 3"
+
+
+def _cross_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents tagged with the deterministic batch split: sources
+    src3, src7, src11, … are the incoming batch; the rest the corpus."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", F.expr(_CROSS_NEW_PRED).alias("is_new")
+    )
+
+
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-corpus dedup: each incoming-batch doc probed against
+    the corpus content-hash index.
+
+    One equi-join on 32-byte md5 keys; the corpus side is the persisted
+    index role (hash + min doc_id only — corpus *text* is never re-read
+    at scale, and the index is itself the map-side-combinable
+    groupBy-min). Output is O(batch), never O(corpus).
+    """
+    return cross_corpus_frame(_cross_tagged(spark, sf_dir))
+
+
+def cross_corpus_frame(docs: DataFrame) -> DataFrame:
+    """Exact cross-corpus dedup over any ``(doc_id, text, source,
+    is_new)`` frame — see ``dedup_cross_corpus`` for semantics."""
+    newb = docs.filter("is_new").select(
+        "doc_id", "source", F.md5("text").alias("content_hash")
+    )
+    index = (
+        docs.filter(~F.col("is_new"))
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("corpus_canonical"))
+    )
+    return newb.join(index, "content_hash", "left").select(
+        "doc_id",
+        "source",
+        "content_hash",
+        "corpus_canonical",
+        F.col("corpus_canonical").isNotNull().alias("in_corpus"),
+    )
+
+
+DEDUP_CROSS_CORPUS_SQL = f"""
+WITH tagged AS (
+  SELECT doc_id, source, md5(text) AS content_hash,
+         {_CROSS_NEW_PRED} AS is_new
+  FROM documents
+), idx AS (
+  SELECT content_hash, MIN(doc_id) AS corpus_canonical
+  FROM tagged WHERE NOT is_new GROUP BY 1
+)
+SELECT t.doc_id, t.source, t.content_hash, i.corpus_canonical,
+       i.corpus_canonical IS NOT NULL AS in_corpus
+FROM tagged t LEFT JOIN idx i USING (content_hash)
+WHERE t.is_new
+"""
+
+
+def dedup_cross_corpus_minhash(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    hash: str = "md5",
+) -> DataFrame:
+    """Near-dup probe of the incoming batch against the corpus
+    MinHash/LSH index → oriented ``(new_doc_id, corpus_doc_id,
+    jaccard)`` pairs at jaccard ≥ threshold.
+
+    Pipeline: union-level verbatim collapse (cross-side verbatim copies
+    share one group — the bucket-skew guard holds across corpora) →
+    sign representatives → band join → *reach filter*: a rep candidate
+    is verified only if one side's group contains a batch doc and the
+    other's a corpus doc, so within-corpus and within-batch pairs never
+    reach jaccard verification (within-batch dedup is a plain
+    ``minhash_dedup`` over the batch) → member expansion → orient.
+    The corpus side's membership/signature/band frames are
+    batch-invariant — the persisted-index role at 100 TB; per batch the
+    work is sign-the-batch plus equi-joins against the index.
+    """
+    return cross_corpus_minhash_frame(
+        _cross_tagged(spark, sf_dir), threshold=threshold, hash=hash
+    )
+
+
+def cross_corpus_minhash_frame(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD, hash: str = "md5"
+) -> DataFrame:
+    """Cross-corpus near-dup probe over any ``(doc_id, text, is_new)``
+    frame — see ``dedup_cross_corpus_minhash`` for semantics."""
+    tags = docs.select("doc_id", "is_new")
+    mem, sigs, candidates = minhash_rep_candidates(
+        docs.select("doc_id", "text"), hash=hash
+    )
+    reach = (
+        mem.join(tags, "doc_id")
+        .groupBy("rep_id")
+        .agg(
+            F.max("is_new").alias("has_new"),
+            F.max(~F.col("is_new")).alias("has_corpus"),
+        )
+    )
+    ra = reach.select(
+        F.col("rep_id").alias("rep_a"),
+        F.col("has_new").alias("_an"),
+        F.col("has_corpus").alias("_ac"),
+    )
+    rb = reach.select(
+        F.col("rep_id").alias("rep_b"),
+        F.col("has_new").alias("_bn"),
+        F.col("has_corpus").alias("_bc"),
+    )
+    cross_cand = (
+        candidates.join(ra, "rep_a")
+        .join(rb, "rep_b")
+        .filter((F.col("_an") & F.col("_bc")) | (F.col("_ac") & F.col("_bn")))
+        .select("rep_a", "rep_b")
+    )
+    rep_pairs = _verify_rep_jaccard(sigs, cross_cand, threshold, hash)
+    pairs = _expand_rep_pairs(rep_pairs, mem, "jaccard", F.lit(1.0))
+    ta = tags.select(F.col("doc_id").alias("doc_a"), F.col("is_new").alias("_ia"))
+    tb = tags.select(F.col("doc_id").alias("doc_b"), F.col("is_new").alias("_ib"))
+    oriented = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select(
+            F.when(F.col("_ia"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("new_doc_id"),
+            F.when(F.col("_ia"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("corpus_doc_id"),
+            "jaccard",
+        )
+    )
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(oriented, sigs, mem)
+
+
+# Oracle: un-collapsed replay (every doc signed) with the cross-side
+# filter applied at the candidate stage. Output-equivalent to the
+# collapsed+reach-filtered plan for the same reason MINHASH_DEDUP_SQL
+# is: identical texts have identical signatures, so a member pair
+# shares a band key iff its representative pair does, and expansion
+# projects rep pairs exactly onto member pairs.
+DEDUP_CROSS_CORPUS_MINHASH_SQL = f"""
+WITH tag AS (
+  SELECT doc_id, {_CROSS_NEW_PRED} AS is_new FROM documents
+), t AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)])
+    ELSE [] END AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), nz AS (
+  SELECT doc_id, sh,
+         [CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {_P} for g in sh] AS hs
+  FROM t WHERE len(sh) > 0
+), sigs AS (
+  SELECT doc_id, sh, [{_ORACLE_SIGS}] AS sig FROM nz
+), bands AS (
+  SELECT doc_id, r.j AS band_id, bkeys[r.j + 1] AS band_key
+  FROM (SELECT doc_id, [{_ORACLE_BANDS}] AS bkeys FROM sigs), range({_BANDS}) r(j)
+), cand AS (
+  SELECT DISTINCT
+    CASE WHEN ta.is_new THEN a.doc_id ELSE b.doc_id END AS new_doc_id,
+    CASE WHEN ta.is_new THEN b.doc_id ELSE a.doc_id END AS corpus_doc_id
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN tag ta ON ta.doc_id = a.doc_id
+  JOIN tag tb ON tb.doc_id = b.doc_id
+  WHERE ta.is_new <> tb.is_new
+), verified AS (
+  SELECT c.new_doc_id, c.corpus_doc_id,
+    CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0 THEN
+      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+    ELSE 0.0 END AS jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.new_doc_id
+  JOIN sigs sb ON sb.doc_id = c.corpus_doc_id
+)
+SELECT new_doc_id, corpus_doc_id, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 

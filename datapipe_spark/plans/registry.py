@@ -156,6 +156,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "segment_status_cube": (analytics.segment_status_cube, analytics.SEGMENT_STATUS_CUBE_SQL),
     # SCD Type-2 dimension build from the changelog (W5 companion)
     "cdc_scd2_history": (cdcq.cdc_scd2_history, cdcq.CDC_SCD2_HISTORY_SQL),
+    # incremental (cross-corpus) dedup: batch probed against the
+    # persisted corpus hash / LSH-band indexes
+    "dedup_cross_corpus": (dedup.dedup_cross_corpus, dedup.DEDUP_CROSS_CORPUS_SQL),
+    "dedup_cross_corpus_minhash": (
+        dedup.dedup_cross_corpus_minhash,
+        dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
+    ),
     # --- long-stable anchors (driver-green in CORRECTNESS_r01-r05) ---
     "daily_business_metrics": (marts.daily_business_metrics, marts.DAILY_BUSINESS_METRICS_SQL),
     "customer_analytics": (marts.customer_analytics, marts.CUSTOMER_ANALYTICS_SQL),
@@ -166,8 +173,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "cdc_changelog": (cdcq.cdc_changelog, cdcq.CDC_CHANGELOG_SQL),
     "cdc_latest_state": (cdcq.cdc_latest_state, cdcq.CDC_LATEST_STATE_SQL),
-    "synthetic_orders": (datagen.synthetic_orders, datagen.SYNTHETIC_ORDERS_SQL),
-    "sessionize": (ev.sessionize, ev.SESSIONIZE_SQL),
     "streaming_sessionize_stateful": (
         stream.streaming_sessionize_stateful,
         ev.SESSIONIZE_SQL,
@@ -178,6 +183,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # Driver-verified green in CORRECTNESS_r01-r05; now hash-checked by
     # the committed REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
     "reconciliation": (q.reconciliation, q.RECONCILIATION_SQL),
+    "synthetic_orders": (datagen.synthetic_orders, datagen.SYNTHETIC_ORDERS_SQL),
+    "sessionize": (ev.sessionize, ev.SESSIONIZE_SQL),
     "dedup_exact": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "dedup_minhash_lsh": (dedup.minhash_dedup, dedup.MINHASH_DEDUP_SQL),
     "text_stats": (textstats.text_stats, textstats.TEXT_STATS_SQL),

@@ -15,6 +15,8 @@ ORACLE_CASES = [
     (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     (dedup.dedup_stats_by_source, dedup.DEDUP_STATS_BY_SOURCE_SQL),
     (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
+    (dedup.dedup_cross_corpus, dedup.DEDUP_CROSS_CORPUS_SQL),
+    (dedup.dedup_cross_corpus_minhash, dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL),
     (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     (textstats.text_stats, textstats.TEXT_STATS_SQL),
@@ -53,6 +55,51 @@ def test_exact_dedup_finds_planted_duplicates(spark, sf_dir):
     dups = decided.filter("is_duplicate").collect()
     assert len(dups) == 20
     assert all(r["doc_id"] == r["canonical_id"] + 1_000_000 for r in dups)
+
+
+def test_cross_corpus_exact_probe(spark):
+    """Batch docs matching a corpus text exactly resolve to the min
+    corpus doc_id; non-matching batch docs keep NULL / in_corpus=False;
+    corpus rows never appear in the output."""
+    rows = [
+        (1, "alpha beta gamma", "src0", False),
+        (2, "alpha beta gamma", "src1", False),   # same text, higher id
+        (3, "delta epsilon zeta", "src2", False),
+        (10, "alpha beta gamma", "src3", True),   # exact hit -> canonical 1
+        (11, "eta theta iota", "src3", True),     # miss
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source", "is_new"])
+    out = {r["doc_id"]: r for r in dedup.cross_corpus_frame(docs).collect()}
+    assert set(out) == {10, 11}
+    assert out[10]["in_corpus"] and out[10]["corpus_canonical"] == 1
+    assert not out[11]["in_corpus"] and out[11]["corpus_canonical"] is None
+
+
+def test_cross_corpus_minhash_flags_planted_batch_dups(spark):
+    """An incoming batch holding a verbatim copy and a lightly-edited
+    near-copy of corpus docs must match both back to the corpus doc;
+    an unrelated batch doc must not match; within-corpus and
+    within-batch near-pairs must never appear in the output."""
+    base = "the quick brown fox jumps over the lazy dog while seventeen startled geese watch from the fence"
+    rows = [
+        (1, base, False),                       # corpus original
+        (2, base.replace("seventeen", "nine"), False),  # within-corpus near-dup
+        (3, "completely unrelated corpus text about submarine maintenance schedules and torque wrenches", False),
+        (10, base, True),                       # batch: verbatim copy of 1
+        (11, base + " tonight", True),          # batch: near-copy of 1
+        (12, "equally unrelated batch text describing volcanic soil chemistry in great detail", True),
+        (13, base + " tonight", True),          # batch: verbatim copy of 11 (within-batch)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_new"])
+    out = {
+        (r["new_doc_id"], r["corpus_doc_id"]): r["jaccard"]
+        for r in dedup.cross_corpus_minhash_frame(docs).collect()
+    }
+    assert out[(10, 1)] == 1.0
+    assert (11, 1) in out and out[(11, 1)] >= 0.8
+    assert (13, 1) in out
+    assert all(new in (10, 11, 13) and cor in (1, 2) for new, cor in out)
+    assert not any(new == 12 for new, _ in out)
 
 
 def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
