@@ -21,6 +21,7 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -66,3 +67,141 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return parquet_file_count(path)
+
+
+def cluster_parquet(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: list[str],
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> int:
+    """Range-cluster rewrite — the sort-order half of Iceberg's
+    ``rewrite_data_files`` (reference table config's sorted write
+    expectation; batch design.md:193): rows are range-partitioned on
+    ``cluster_cols`` (one contiguous key slice per output file) and
+    sorted within each file, so every file's footer min/max covers a
+    narrow slice of the key space. Returns the new file count.
+
+    Why it matters at 100 TB: parquet scans prune at two levels —
+    Spark skips whole FILES whose footer stats miss the predicate, and
+    row groups within a file the same way. On an unclustered table
+    every file spans the full key range (min/max ≈ global min/max) and
+    a selective predicate still reads every footer's data; after
+    clustering, a 1 %-selectivity range predicate touches ~1 % of
+    files. The rewrite itself is one range shuffle (sampled range
+    boundaries keep output files near-equal-sized even under key skew)
+    plus a per-partition sort that spills — no single-task sort
+    anywhere. The swap is the same atomic directory swap as
+    ``compact_parquet``.
+    """
+    df = spark.read.parquet(path)
+    n_files = max(1, math.ceil(table_bytes(path) / target_bytes))
+    tmp = path.rstrip("/") + "__clustering"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return parquet_file_count(path)
+
+
+def zorder_parquet(
+    spark: SparkSession,
+    path: str,
+    cluster_cols: list[str],
+    target_bytes: int = TARGET_FILE_BYTES,
+    bits_per_dim: int = 8,
+) -> int:
+    """Multi-dimensional cluster rewrite (z-order / Morton layout) —
+    what ``cluster_parquet`` cannot give: after a single-column range
+    cluster, predicates on any OTHER column still touch every file.
+    Z-order interleaves the bits of per-column quantile ranks so file
+    footers stay selective for range predicates on EACH clustered
+    column (and compound box predicates prune multiplicatively).
+
+    Scale shape: per-column bucket boundaries come from
+    ``approxQuantile`` (one distributed sketch pass, O(2^bits) driver
+    state per column); bucketing + bit interleaving are pure codegen
+    column expressions; the layout write is the same sampled range
+    shuffle + per-file sort as ``cluster_parquet``. No window over the
+    whole table, no single-task sort, no Python in the row path.
+    Returns the new file count.
+    """
+    df = spark.read.parquet(path)
+    nq = (1 << bits_per_dim) - 1
+    buckets = []
+    for i, c in enumerate(cluster_cols):
+        # rank → bucket via distributed quantile sketch; cast through
+        # double for approxQuantile (dates/ints alike)
+        dcol = F.col(c).cast("double")
+        probs = [j / (nq + 1) for j in range(1, nq + 1)]
+        cuts = sorted(set(df.select(dcol.alias("_q")).approxQuantile("_q", probs, 0.001)))
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        bexpr = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(dcol >= b, 1).otherwise(0),
+        )
+        # rescale to the full 0..nq range: a low-cardinality column
+        # (|distinct| < 2^bits) otherwise only ever sets LOW bucket
+        # bits and its dimension vanishes from the significant z bits
+        if cuts:
+            bexpr = (bexpr * nq / len(cuts)).cast("int")
+        buckets.append(bexpr.alias(f"_b{i}"))
+    withb = df.select("*", *buckets)
+    zval = F.lit(0).cast("long")
+    for bit in range(bits_per_dim):
+        for d in range(len(cluster_cols)):
+            zval = zval + F.shiftleft(
+                F.shiftright(F.col(f"_b{d}"), bit).bitwiseAND(F.lit(1)).cast("long"),
+                bit * len(cluster_cols) + d,
+            )
+    n_files = max(1, math.ceil(table_bytes(path) / target_bytes))
+    tmp = path.rstrip("/") + "__zordering"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        withb.withColumn("_z", zval)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_b{i}" for i in range(len(cluster_cols))])
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return parquet_file_count(path)
+
+
+def file_column_ranges(path: str, column: str) -> list[tuple[str, object, object]]:
+    """Per-file (file, min, max) for ``column`` from parquet footer
+    statistics — the same metadata scan planners prune with. Driver
+    cost is one footer read per file (O(files), no data read)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            md = pq.ParquetFile(fp).metadata
+            idx = md.schema.names.index(column)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if mins:
+                out.append((fp, min(mins), max(maxs)))
+    return out

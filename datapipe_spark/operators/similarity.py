@@ -261,6 +261,154 @@ def topk_ivf(
     return materialize_and_release(out, e, q)
 
 
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, nlist: int | None = None
+) -> dict:
+    """Build-once half of the IVF ANN workflow — the faiss train/add
+    split persisted to the lakehouse. Learns the coarse quantizer,
+    assigns every corpus vector to its nearest cell in one
+    Arrow-batched pass, and writes:
+
+    - ``centroids/`` — the O(nlist × dim) quantizer matrix, and
+    - ``cells/`` — the corpus hive-partitioned BY CELL (``qcell=``),
+
+    so a probe reads only its ``nprobe`` cell partitions off disk
+    (``PartitionFilters`` prune at the scan — plan-gated in tests) and
+    never retrains or rescans. The inline ``topk_ivf`` retrains per
+    call — right for a one-shot query, wrong for a query service; at
+    100 TB the build is amortized across every subsequent query and
+    new vectors append to their cell partition without touching the
+    rest. Returns ``{"nlist", "n_vecs", "index_dir"}``.
+    """
+    import math
+
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).persist()
+    n_vecs = e.count()
+    if nlist is None:
+        nlist = max(1, int(math.isqrt(n_vecs)))
+    cmat = _kmeans_cells(e, nlist)
+    _cell_assignments(e, cmat).write.mode("overwrite").partitionBy("qcell").parquet(
+        index_dir.rstrip("/") + "/cells"
+    )
+    cent_rows = [(i, [float(v) for v in cmat[i]]) for i in range(len(cmat))]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(index_dir.rstrip("/") + "/centroids")
+    e.unpersist()
+    return {"nlist": nlist, "n_vecs": n_vecs, "index_dir": index_dir}
+
+
+def _cell_assignments(e: DataFrame, cmat) -> DataFrame:
+    """One Arrow-batched pass assigning each ``(vec_id, v)`` row to its
+    nearest cell under the given centroid matrix. ``np.argmax`` = first
+    max → lowest cell on ties, matching ``_probe_assignments``'
+    (cosine desc, cell asc) probe rank 1."""
+    import numpy as np
+
+    bc = e.sparkSession.sparkContext.broadcast(cmat)
+
+    def assign(batches):
+        cm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = _l2n(np.stack(pdf["v"].to_numpy()).astype(np.float64))
+            best = np.argmax(x @ cm.T, axis=1).astype(np.int32)
+            yield pdf.assign(qcell=best)
+
+    return e.mapInPandas(assign, "vec_id long, v array<double>, qcell int")
+
+
+def _load_centroids(spark: SparkSession, index_dir: str):
+    """The persisted O(nlist × dim) quantizer matrix (bounded driver
+    collect), row i = cell i."""
+    import numpy as np
+
+    cent = sorted(
+        spark.read.parquet(index_dir.rstrip("/") + "/centroids").collect(),
+        key=lambda r: r["cell"],
+    )
+    return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
+
+
+def append_ivf_index(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -> None:
+    """Incremental add — the reason the persisted split exists: new
+    ``(vec_id, v)`` rows are assigned with the FROZEN persisted
+    quantizer (no retrain, no rescan) and appended to their ``qcell=``
+    partitions only. Faiss add() semantics; when drift accumulates,
+    re-training is an explicit ``build_ivf_index`` rewrite — the same
+    maintenance posture as ``cluster_parquet``."""
+    cmat = _load_centroids(spark, index_dir)
+    _cell_assignments(new_vecs.select("vec_id", "v"), cmat).write.mode(
+        "append"
+    ).partitionBy("qcell").parquet(index_dir.rstrip("/") + "/cells")
+
+
+def topk_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    k: int = DEFAULT_K,
+    nprobe: int = 3,
+    query_ids: tuple[int, ...] = DEFAULT_QUERY_IDS,
+) -> DataFrame:
+    """Probe-many half: answer top-k from a persisted ``build_ivf_index``
+    without touching the quantizer.
+
+    Loads the O(nlist × dim) centroid matrix (bounded driver collect),
+    ranks cells per query driver-side (queries are the small side by
+    definition), and scans ONLY the probed ``qcell=`` partitions —
+    partition pruning makes the probe I/O ~nprobe/nlist of the index
+    regardless of corpus size. Scoring matches ``topk_ivf`` exactly
+    (same deterministic quantizer ⟹ identical output, equality-tested).
+    """
+    import numpy as np
+
+    cmat = _load_centroids(spark, index_dir)
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .collect()
+    )
+    qm = _l2n(np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows]))
+    s = qm @ cmat.T
+    cells = np.arange(len(cmat), dtype=np.int64)
+    npr = min(nprobe, len(cmat))
+    order = np.lexsort((cells[None, :].repeat(len(qm), 0), -s), axis=1)[:, :npr]
+    probe_rows = [
+        (int(qrows[i]["vec_id"]), int(c), [float(x) for x in qrows[i]["v"]])
+        for i in range(len(qrows))
+        for c in order[i]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qcell int, qv array<double>"
+    )
+    idx = spark.read.parquet(index_dir.rstrip("/") + "/cells").filter(
+        F.col("qcell").isin(sorted({int(c) for row in order for c in row}))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(idx, "qcell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine("qv", "v"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 KNN_JOIN_K = 5
 
 

@@ -190,6 +190,50 @@ def test_ivf_recall_floors(spark, sf_dir):
         assert recall >= floor, f"ivf nprobe={nprobe} recall {recall:.3f} < {floor}"
 
 
+def test_ivf_persisted_index_equals_inline(spark, sf_dir):
+    """build_ivf_index / topk_ivf_index — the build-once/probe-many
+    split: probing the persisted index must return exactly the inline
+    topk_ivf result (same deterministic quantizer), and the probe scan
+    must partition-prune to the probed qcell= directories."""
+    import os
+
+    from datapipe_spark.util import fresh_dir
+
+    idx_dir = fresh_dir("test_ivf_index")
+    meta = similarity.build_ivf_index(spark, sf_dir, idx_dir, nlist=10)
+    assert meta["nlist"] == 10 and meta["n_vecs"] > 0
+    cells = sorted(
+        d for d in os.listdir(os.path.join(idx_dir, "cells")) if d.startswith("qcell=")
+    )
+    assert 1 < len(cells) <= 10
+
+    out = similarity.topk_ivf_index(spark, sf_dir, idx_dir, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "qcell" in plan.split("PartitionFilters")[1][:300]
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, similarity.topk_ivf(spark, sf_dir, nprobe=3, nlist=10).collect()))
+    assert got == want
+
+    # incremental add: a planted near-copy of query 0's vector goes to
+    # its cell partition under the frozen quantizer and becomes the
+    # top-1 neighbor — no retrain, no index rewrite
+    v0 = (
+        similarity.load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(similarity._as_double("embedding").alias("v"))
+        .first()["v"]
+    )
+    planted = spark.createDataFrame(
+        [(10_000, [x * 1.0001 + 1e-7 for x in v0])], "vec_id long, v array<double>"
+    )
+    similarity.append_ivf_index(spark, idx_dir, planted)
+    after = similarity.topk_ivf_index(spark, sf_dir, idx_dir, nprobe=3).filter(
+        F.col("query_id") == 0
+    )
+    top = after.orderBy("rank").first()
+    assert top["neighbor_id"] == 10_000 and top["cosine"] >= 0.9999
+
+
 def test_lang_id_output_shape(spark, sf_dir):
     out = textstats.lang_id_ngram(spark, sf_dir)
     rows = out.collect()

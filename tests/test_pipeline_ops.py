@@ -4,6 +4,7 @@ generation (S12), percentiles (A12), and the optional Avro gate (S3)."""
 
 from __future__ import annotations
 
+import datetime
 import os
 
 import pytest
@@ -129,6 +130,112 @@ def test_compact_partitioned_table_keeps_layout(spark, sf_dir):
         "part=0", "part=1", "part=2",
     ]
     assert _rows(spark.read.parquet(path)) == before_rows
+
+
+def test_cluster_parquet_disjoint_ranges_and_pruning(spark, sf_dir):
+    """Range-cluster rewrite: content preserved, per-file shipdate
+    ranges (near-)disjoint, and a narrow range predicate now
+    intersects a small fraction of file footers — the data-skipping
+    win an unclustered layout cannot give (there every file spans the
+    whole key range)."""
+    path = fresh_dir("test_cluster")
+    src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    # shuffled write = worst-case layout: every file spans the key range
+    src.repartition(8).write.mode("overwrite").parquet(path)
+    lo, hi = src.select(F.min("l_shipdate"), F.max("l_shipdate")).first()
+    span_days = (hi - lo).days
+
+    def covering(ranges, a, b):
+        return [r for r in ranges if not (r[2] < a or r[1] > b)]
+
+    pred_lo, pred_hi = lo, lo + datetime.timedelta(days=max(1, span_days // 20))
+    before = maintenance.file_column_ranges(path, "l_shipdate")
+    assert len(covering(before, pred_lo, pred_hi)) == len(before)  # no skipping
+    before_rows = _rows(spark.read.parquet(path))
+
+    n_files = maintenance.cluster_parquet(
+        spark, path, ["l_shipdate"], target_bytes=16 * 1024
+    )
+    after = maintenance.file_column_ranges(path, "l_shipdate")
+    assert len(after) == n_files and n_files >= 4
+    assert _rows(spark.read.parquet(path)) == before_rows
+    # files ordered by min: each file's range must not reach past the
+    # next file's min (equal boundary keys may share two files)
+    ordered = sorted(after, key=lambda r: (r[1], r[2]))
+    for (_, _, amax), (_, bmin, _) in zip(ordered, ordered[1:]):
+        assert amax <= bmin
+    # the 5%-of-keyspace predicate touches a minority of footers now
+    touched = covering(after, pred_lo, pred_hi)
+    assert len(touched) < len(after) / 2
+    # and the filtered read over the clustered table is still correct
+    got = (
+        spark.read.parquet(path)
+        .filter((F.col("l_shipdate") >= pred_lo) & (F.col("l_shipdate") <= pred_hi))
+        .count()
+    )
+    want = src.filter(
+        (F.col("l_shipdate") >= pred_lo) & (F.col("l_shipdate") <= pred_hi)
+    ).count()
+    assert got == want
+
+
+def test_zorder_parquet_prunes_on_both_columns(spark, sf_dir):
+    """Z-order on (l_partkey, l_suppkey): a range predicate on EITHER
+    column must skip files (single-column clustering can only serve
+    one), and a compound box predicate prunes hardest. Content must be
+    preserved."""
+    path = fresh_dir("test_zorder")
+    src = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    src.repartition(8).write.mode("overwrite").parquet(path)
+    before_rows = _rows(spark.read.parquet(path))
+
+    def touched(col, lo, hi):
+        rng = maintenance.file_column_ranges(path, col)
+        return len([r for r in rng if not (r[2] < lo or r[1] > hi)]), len(rng)
+
+    pmax = src.select(F.max("l_partkey")).first()[0]
+    smax = src.select(F.max("l_suppkey")).first()[0]
+    # worst-case shuffled layout: a 10% range on either column touches
+    # every file footer
+    assert touched("l_partkey", 0, pmax // 10)[0] == 8
+    assert touched("l_suppkey", 0, smax // 10)[0] == 8
+
+    n_files = maintenance.zorder_parquet(
+        spark, path, ["l_partkey", "l_suppkey"], target_bytes=6 * 1024
+    )
+    assert n_files >= 6
+    assert _rows(spark.read.parquet(path)) == before_rows
+    pt, total = touched("l_partkey", 0, pmax // 10)
+    st, _ = touched("l_suppkey", 0, smax // 10)
+    assert pt < total * 0.7 and st < total * 0.7
+    # compound box predicate: multiplicative pruning
+    box = [
+        r
+        for r in maintenance.file_column_ranges(path, "l_partkey")
+        if not (r[2] < 0 or r[1] > pmax // 10)
+    ]
+    sup = {
+        r[0]
+        for r in maintenance.file_column_ranges(path, "l_suppkey")
+        if not (r[2] < 0 or r[1] > smax // 10)
+    }
+    both = [r for r in box if r[0] in sup]
+    assert len(both) <= min(pt, st)
+    assert len(both) < total * 0.5
+    # filtered read correctness over the rewritten table
+    got = (
+        spark.read.parquet(path)
+        .filter((F.col("l_partkey") <= pmax // 10) & (F.col("l_suppkey") <= smax // 10))
+        .count()
+    )
+    want = src.filter(
+        (F.col("l_partkey") <= pmax // 10) & (F.col("l_suppkey") <= smax // 10)
+    ).count()
+    assert got == want
 
 
 def test_synthetic_orders_deterministic_and_valid(spark, sf_dir):
