@@ -44,6 +44,20 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per *training* document — shared-gram count and
     the contamination flag (``n_shared_grams >= 1``).
     """
+    return _decontaminate(spark, sf_dir, broadcast=True)
+
+
+def decontaminate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics with the benchmark gram set on a SHUFFLE
+    hash join — the escape hatch when the eval suite outgrows a
+    broadcast (hundreds of GB of eval shards × n-gram fan-out). Only
+    gram keys shuffle, never document text; the per-doc aggregate
+    stays map-side combinable. Same oracle as ``decontaminate``
+    (plan difference only — gated in tests/test_plan_quality.py)."""
+    return _decontaminate(spark, sf_dir, broadcast=False)
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str, broadcast: bool) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("lang"), _shingles("text", _NGRAM).alias("grams")
     )
@@ -54,10 +68,14 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("grams").alias("g"))
         .distinct()
     )
+    if broadcast:
+        bench_grams = F.broadcast(bench_grams)
+    else:
+        bench_grams = bench_grams.hint("shuffle_hash")
     train = d.filter(~is_bench)
     hits = (
         train.select("doc_id", F.explode("grams").alias("g"))
-        .join(F.broadcast(bench_grams), "g")
+        .join(bench_grams, "g")
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_shared_grams"))
     )

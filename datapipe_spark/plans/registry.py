@@ -18,6 +18,7 @@ from datapipe_spark.plans import cdc_queries as cdcq
 from datapipe_spark.plans import dag
 from datapipe_spark.plans import events_queries as ev
 from datapipe_spark.plans import incremental as incr
+from datapipe_spark.plans import layout
 from datapipe_spark.plans import marts
 from datapipe_spark.plans import quality as q
 from datapipe_spark.sources import avro_py, datagen
@@ -163,6 +164,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.dedup_cross_corpus_minhash,
         dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
     ),
+    # layout maintenance driven end to end: cluster rewrite must be
+    # content-preserving under the hash oracle (skipping win is
+    # stats-gated in tests)
+    "lineitem_cluster_rewrite": (
+        layout.lineitem_cluster_rewrite,
+        layout.LINEITEM_CLUSTER_REWRITE_SQL,
+    ),
     # --- long-stable anchors (driver-green in CORRECTNESS_r01-r05) ---
     "daily_business_metrics": (marts.daily_business_metrics, marts.DAILY_BUSINESS_METRICS_SQL),
     "customer_analytics": (marts.customer_analytics, marts.CUSTOMER_ANALYTICS_SQL),
@@ -243,6 +251,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textstats.WINNOW_FINGERPRINTS_SQL,
     ),
     "decontaminate": (decontam.decontaminate, decontam.DECONTAMINATE_SQL),
+    "decontaminate_shuffle": (
+        decontam.decontaminate_shuffle,
+        decontam.DECONTAMINATE_SQL,
+    ),
     "corpus_sample_stratified": (
         decontam.corpus_sample_stratified,
         decontam.CORPUS_SAMPLE_STRATIFIED_SQL,

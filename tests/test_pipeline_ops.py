@@ -181,6 +181,20 @@ def test_cluster_parquet_disjoint_ranges_and_pruning(spark, sf_dir):
     assert got == want
 
 
+def test_lineitem_cluster_rewrite_matches_oracle(spark, sf_dir):
+    """The registry form of the cluster rewrite: hash parity with the
+    original-table oracle proves content preservation end to end."""
+    from datapipe_spark.plans import layout
+    from tests.oracle import compare_to_oracle
+
+    compare_to_oracle(
+        spark,
+        layout.lineitem_cluster_rewrite,
+        layout.LINEITEM_CLUSTER_REWRITE_SQL,
+        sf_dir,
+    )
+
+
 def test_zorder_parquet_prunes_on_both_columns(spark, sf_dir):
     """Z-order on (l_partkey, l_suppkey): a range predicate on EITHER
     column must skip files (single-column clustering can only serve

@@ -199,6 +199,21 @@ def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
 
 
+def test_decontaminate_shuffle_variant_avoids_broadcast(spark, sf_dir):
+    """The huge-eval-suite escape hatch must actually take the shuffle
+    hash join it claims (and still match the same oracle — covered by
+    the registry sweep)."""
+    from datapipe_spark.operators import decontam
+
+    plan = _plan(spark, decontam.decontaminate_shuffle(spark, sf_dir), "simple")
+    # the GRAM join (key `g`) must be the shuffled one; the final
+    # per-doc left join of the small hits frame may still broadcast
+    gram_joins = [
+        ln for ln in plan.splitlines() if "Join" in ln and "[g#" in ln
+    ]
+    assert gram_joins and all("ShuffledHashJoin" in ln for ln in gram_joins), gram_joins
+
+
 def test_stratified_sample_prunes_text_column(spark, sf_dir):
     """Sampling reads metadata only — the (wide) text column must be
     pruned from the parquet scan."""
