@@ -806,6 +806,71 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged corpus dedup decision — the composition a curation run
+    actually executes: (1) exact collapse on the content hash, then
+    (2) MinHash/LSH near-dup pass over the exact survivors with the
+    greedy min-id-wins policy (a doc is dropped iff it pairs with a
+    lower-id survivor; the transitive-closure alternative is
+    ``dedup_clusters``). One row per document: ``status`` ∈ kept /
+    exact_dup / near_dup and the stage-level ``canonical_id`` (NULL
+    for kept).
+
+    Scale: stage 1 is the skew-safe groupBy-min + join-back on md5
+    keys; stage 2 runs the banded LSH machinery on the (strictly
+    smaller) survivor set — signatures and band keys are per-document,
+    so survivor-set pairs equal full-corpus pairs restricted to
+    survivors (the identity the DuckDB oracle replays; it also makes
+    stage order safe to fuse). No all-pairs path anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select("doc_id", F.md5("text").alias("h"))
+    g = d.groupBy("h").agg(F.min("doc_id").alias("ecanon"))
+    e = d.join(g, "h").select("doc_id", "ecanon")
+    surv = docs.join(
+        e.filter(F.col("doc_id") == F.col("ecanon")).select("doc_id"), "doc_id"
+    )
+    pairs = minhash_dedup_frame(surv)
+    near = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("ncanon")
+    )
+    return (
+        e.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("ecanon"), F.lit("exact_dup"))
+            .when(F.col("ncanon").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.when(F.col("doc_id") != F.col("ecanon"), F.col("ecanon"))
+            .otherwise(F.col("ncanon"))
+            .alias("canonical_id"),
+        )
+    )
+
+
+DEDUP_PIPELINE_SQL = f"""
+WITH pairs AS ({MINHASH_DEDUP_SQL}),
+exact AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS ecanon FROM documents
+), surv AS (
+  SELECT doc_id FROM exact WHERE doc_id = ecanon
+), near AS (
+  SELECT p.doc_b AS doc_id, MIN(p.doc_a) AS ncanon
+  FROM pairs p
+  JOIN surv sa ON sa.doc_id = p.doc_a
+  JOIN surv sb ON sb.doc_id = p.doc_b
+  GROUP BY p.doc_b
+)
+SELECT e.doc_id,
+  CASE WHEN e.doc_id <> e.ecanon THEN 'exact_dup'
+       WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'kept' END AS status,
+  CASE WHEN e.doc_id <> e.ecanon THEN e.ecanon ELSE n.ncanon END AS canonical_id
+FROM exact e LEFT JOIN near n ON n.doc_id = e.doc_id
+"""
+
+
 def _band_layout(n_bits: int, n_bands: int = _BANDS) -> list[tuple[int, int]]:
     """(offset, width) per band: n_bits split into n_bands near-equal
     disjoint chunks — any such partition keeps the pigeonhole guarantee

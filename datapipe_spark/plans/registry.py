@@ -239,6 +239,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "orphan_lineitems": (q.orphan_lineitems, q.ORPHAN_LINEITEMS_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
+    "dedup_pipeline": (dedup.dedup_pipeline, dedup.DEDUP_PIPELINE_SQL),
     "similarity_topk": (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     "embedding_near_dup": (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     "token_profile_by_lang": (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),

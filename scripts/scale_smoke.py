@@ -63,6 +63,11 @@ DOC_OPS = [
     "corpus_split",
     "bigram_lm_score",
     "cms_top_tokens",
+    # round-6 additions
+    "dedup_cross_corpus",
+    "dedup_cross_corpus_minhash",
+    "decontaminate_shuffle",
+    "dedup_pipeline",
 ]
 EMB_OPS = [
     "similarity_topk",

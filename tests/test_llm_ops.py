@@ -17,6 +17,7 @@ ORACLE_CASES = [
     (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     (dedup.dedup_cross_corpus, dedup.DEDUP_CROSS_CORPUS_SQL),
     (dedup.dedup_cross_corpus_minhash, dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL),
+    (dedup.dedup_pipeline, dedup.DEDUP_PIPELINE_SQL),
     (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     (textstats.text_stats, textstats.TEXT_STATS_SQL),
@@ -73,6 +74,44 @@ def test_cross_corpus_exact_probe(spark):
     assert set(out) == {10, 11}
     assert out[10]["in_corpus"] and out[10]["corpus_canonical"] == 1
     assert not out[11]["in_corpus"] and out[11]["corpus_canonical"] is None
+
+
+def test_dedup_pipeline_stage_invariants(spark, sf_dir):
+    """Staged decision invariants: one row per document; exact_dup
+    canonicals are the md5-group minima; near_dup docs are exact
+    survivors pointing at a lower-id kept survivor; kept docs carry a
+    NULL canonical. Together these pin the stage precedence (exact
+    collapse decides first, LSH only sees survivors)."""
+    from datapipe_spark.sources.tables import load_table
+
+    out = {r["doc_id"]: r for r in dedup.dedup_pipeline(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(out) == docs.count()
+
+    by_status: dict[str, set[int]] = {"kept": set(), "exact_dup": set(), "near_dup": set()}
+    for r in out.values():
+        by_status[r["status"]].add(r["doc_id"])
+        if r["status"] == "kept":
+            assert r["canonical_id"] is None
+        else:
+            assert r["canonical_id"] is not None and r["canonical_id"] < r["doc_id"]
+
+    # exact_dup canonicals are md5-group minima, and every canonical is
+    # itself NOT an exact_dup (it is the group min)
+    groups = docs.select("doc_id", F.md5("text").alias("h")).groupBy("h").agg(
+        F.collect_list("doc_id").alias("ids")
+    ).collect()
+    expected_exact = set()
+    for g in groups:
+        mn = min(g["ids"])
+        for i in g["ids"]:
+            if i != mn:
+                expected_exact.add(i)
+                assert out[i]["canonical_id"] == mn
+    assert by_status["exact_dup"] == expected_exact
+    for d in by_status["near_dup"]:
+        canon = out[d]["canonical_id"]
+        assert out[canon]["status"] == "kept", (d, canon, out[canon]["status"])
 
 
 def test_cross_corpus_minhash_flags_planted_batch_dups(spark):

@@ -466,3 +466,53 @@ def test_ordered_funnel_matches_brute_force(spark_prop, evs):
     assert len(out) == 1
     r = out[0]
     assert (r.viewers, r.clickers, r.purchasers) == (viewers, clickers, purchasers)
+
+
+# --- cross-corpus minhash probe properties -----------------------------------
+
+cross_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=6),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ws=cross_docs)
+def test_cross_corpus_minhash_precision_and_orientation(spark_prop, ws):
+    """On arbitrary tie/dup-heavy corpora split by id parity: every
+    emitted pair crosses sides, carries the EXACT shingle jaccard of
+    its two documents (≥ threshold), and every verbatim cross-side
+    copy (≥3 words) is found at jaccard 1.0 — the deterministic
+    completeness LSH guarantees for identical signatures."""
+    from datapipe_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        cross_corpus_minhash_frame,
+    )
+
+    rows = [(i, " ".join(w), i % 2 == 1) for i, w in enumerate(ws)]
+    docs = spark_prop.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+    out = cross_corpus_minhash_frame(docs).collect()
+
+    texts = {i: t for i, t, _ in rows}
+    news = {i for i, _, n in rows if n}
+
+    def sh(t):
+        w = t.split(" ")
+        return (
+            {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+        )
+
+    for r in out:
+        a, b, j = r["new_doc_id"], r["corpus_doc_id"], r["jaccard"]
+        assert a in news and b not in news
+        sa, sb = sh(texts[a]), sh(texts[b])
+        assert sa and sb
+        true_j = len(sa & sb) / len(sa | sb)
+        assert abs(true_j - j) < 1e-9
+        assert true_j >= JACCARD_THRESHOLD - 1e-9
+    pairs = {(r["new_doc_id"], r["corpus_doc_id"]) for r in out}
+    for a in news:
+        for b in set(texts) - news:
+            if texts[a] == texts[b] and len(texts[a].split(" ")) >= 3:
+                assert (a, b) in pairs
