@@ -439,20 +439,11 @@ def _expand_rep_pairs(
     return cross.unionByName(within)
 
 
-def minhash_rep_candidates(
-    docs: DataFrame, hash: str = "md5"
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Collapse verbatim copies, sign the representatives, and band-join
-    them into candidate pairs. Returns ``(mem, sigs, candidates)`` —
-    ``candidates`` is rep-level ``(rep_a, rep_b)``; ``mem``/``sigs``
-    are persisted (caller releases). Factored out so the skew guard is
-    directly testable: a 10k-copy mega-cluster must contribute one row
-    to the band join, keeping this frame small."""
-    mem = _collapse_exact(docs).persist()
-    reps = _rep_docs(docs, mem)
-    sigs = minhash_signatures(reps, hash=hash).persist()
-    # band rows carry ONLY (doc_id, band key): the 8× explode shuffles
-    # the band key, not the shingle arrays
+def band_rows(sigs: DataFrame, hash: str = "md5") -> DataFrame:
+    """Explode a signature frame into LSH band rows ``(doc_id, band_id,
+    band_key)`` — the join surface of the band index. Rows carry ONLY
+    the band key (string in md5 mode, int64 in xxhash64 mode): the
+    ``_BANDS``× explode shuffles the key, never the shingle arrays."""
     if hash == "md5":
         band_exprs = [
             "concat_ws(','," + ", ".join(f"signature[{j * _ROWS + r}]" for r in range(_ROWS)) + ")"
@@ -465,12 +456,27 @@ def minhash_rep_candidates(
             + ")"
             for j in range(_BANDS)
         ]
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(F.array(*[F.expr(e) for e in band_exprs])).alias(
             "band_id", "band_key"
         ),
     )
+
+
+def minhash_rep_candidates(
+    docs: DataFrame, hash: str = "md5"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Collapse verbatim copies, sign the representatives, and band-join
+    them into candidate pairs. Returns ``(mem, sigs, candidates)`` —
+    ``candidates`` is rep-level ``(rep_a, rep_b)``; ``mem``/``sigs``
+    are persisted (caller releases). Factored out so the skew guard is
+    directly testable: a 10k-copy mega-cluster must contribute one row
+    to the band join, keeping this frame small."""
+    mem = _collapse_exact(docs).persist()
+    reps = _rep_docs(docs, mem)
+    sigs = minhash_signatures(reps, hash=hash).persist()
+    bands = band_rows(sigs, hash=hash)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (

@@ -12,7 +12,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from datapipe_spark.operators import decontam, dedup, multimodal, scrub, similarity, textstats
+from datapipe_spark.operators import (
+    decontam,
+    dedup,
+    dedup_index,
+    multimodal,
+    scrub,
+    similarity,
+    textstats,
+)
 from datapipe_spark.plans import analytics, behavior
 from datapipe_spark.plans import cdc_queries as cdcq
 from datapipe_spark.plans import dag
@@ -240,6 +248,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     "dedup_pipeline": (dedup.dedup_pipeline, dedup.DEDUP_PIPELINE_SQL),
+    # persisted-band-index probe — same oracle as the inline op by
+    # construction (identical texts ⟹ identical signatures ⟹ identical
+    # band keys; see dedup_index module docstring)
+    "dedup_cross_corpus_indexed": (
+        dedup_index.dedup_cross_corpus_indexed,
+        dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
+    ),
     "similarity_topk": (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     "embedding_near_dup": (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     "token_profile_by_lang": (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),

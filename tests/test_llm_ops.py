@@ -1331,3 +1331,83 @@ def test_multimodal_frame_sample_oracle_and_consistency(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+def test_probe_index_equals_inline_cross_corpus(spark, sf_dir, tmp_path):
+    """The persisted band index is output-equivalent to the inline
+    union pipeline on the same corpus/batch split: build the index from
+    the corpus side, probe the batch side, compare pair-for-pair
+    (including jaccard values) with cross_corpus_minhash_frame."""
+    from datapipe_spark.operators import dedup_index
+    from datapipe_spark.operators.dedup import _cross_tagged, cross_corpus_minhash_frame
+
+    tagged = _cross_tagged(spark, sf_dir)
+    idx = str(tmp_path / "mh_index")
+    stats = dedup_index.build_minhash_index(
+        spark, tagged.filter(~F.col("is_new")).select("doc_id", "text"), idx
+    )
+    assert stats["n_reps"] <= stats["n_docs"]
+    probed = {
+        (r["new_doc_id"], r["corpus_doc_id"]): r["jaccard"]
+        for r in dedup_index.probe_minhash_index(
+            spark, idx, tagged.filter("is_new").select("doc_id", "text")
+        ).collect()
+    }
+    inline = {
+        (r["new_doc_id"], r["corpus_doc_id"]): r["jaccard"]
+        for r in cross_corpus_minhash_frame(tagged).collect()
+    }
+    assert set(probed) == set(inline)
+    for k in probed:
+        assert abs(probed[k] - inline[k]) < 1e-12
+
+
+def test_append_minhash_index_skew_guard_and_probe(spark, tmp_path):
+    """Appends honor the frozen-index contract: a verbatim copy of an
+    indexed doc adds membership but ZERO band/sig rows (the skew guard
+    incrementally); genuinely new content becomes probeable, and
+    probing after an append finds near-dups of the appended doc."""
+    from datapipe_spark.operators import dedup_index
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mh_index")
+    dedup_index.build_minhash_index(spark, corpus, idx)
+    bands0 = spark.read.parquet(idx + "/bands").count()
+    sigs0 = spark.read.parquet(idx + "/sigs").count()
+
+    # append: one verbatim copy (doc 10) + one new doc (doc 11)
+    dedup_index.append_minhash_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog"),
+                (11, "sphinx of black quartz judge my vow tonight"),
+            ],
+            ["doc_id", "text"],
+        ),
+    )
+    assert spark.read.parquet(idx + "/bands").count() == bands0 + 8  # _BANDS
+    assert spark.read.parquet(idx + "/sigs").count() == sigs0 + 1
+    mem = {r["doc_id"]: r["rep_id"] for r in spark.read.parquet(idx + "/mem").collect()}
+    assert mem[10] == 1 and mem[11] == 11  # copy joins doc 1's group
+
+    # probe: a batch doc verbatim-equal to the APPENDED copy's text must
+    # match both corpus members of that group at jaccard 1.0
+    out = dedup_index.probe_minhash_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        ),
+    ).collect()
+    got = {(r["new_doc_id"], r["corpus_doc_id"]) for r in out}
+    assert got == {(100, 1), (100, 10)}
+    assert all(r["jaccard"] == 1.0 for r in out)
