@@ -812,6 +812,65 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# arrival batches for the streaming form of the cross-corpus probe:
+# the incoming side is delivered as this many micro-batches, batch k
+# holding the is_new docs with doc_id % CROSS_STREAM_BATCHES == k
+CROSS_STREAM_BATCHES = 3
+
+
+# Oracle for the STREAMING incremental probe: a pair is emitted iff
+# jaccard ≥ threshold AND the matched doc arrived strictly earlier —
+# corpus docs have arrival -1, batch docs their batch number. Same
+# un-collapsed replay argument as DEDUP_CROSS_CORPUS_MINHASH_SQL; the
+# growing index only changes WHICH side is visible at probe time, which
+# the arrival ordering reproduces exactly.
+DEDUP_CROSS_CORPUS_STREAM_SQL = f"""
+WITH tag AS (
+  SELECT doc_id,
+         CASE WHEN {_CROSS_NEW_PRED} THEN doc_id % {CROSS_STREAM_BATCHES}
+              ELSE -1 END AS arr
+  FROM documents
+), t AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3 THEN
+      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     for i in range(1, len(w) - 1)])
+    ELSE [] END AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+), nz AS (
+  SELECT doc_id, sh,
+         [CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % {_P} for g in sh] AS hs
+  FROM t WHERE len(sh) > 0
+), sigs AS (
+  SELECT doc_id, sh, [{_ORACLE_SIGS}] AS sig FROM nz
+), bands AS (
+  SELECT doc_id, r.j AS band_id, bkeys[r.j + 1] AS band_key
+  FROM (SELECT doc_id, [{_ORACLE_BANDS}] AS bkeys FROM sigs), range({_BANDS}) r(j)
+), cand AS (
+  SELECT DISTINCT
+    CASE WHEN ta.arr > tb.arr THEN a.doc_id ELSE b.doc_id END AS new_doc_id,
+    CASE WHEN ta.arr > tb.arr THEN b.doc_id ELSE a.doc_id END AS matched_doc_id
+  FROM bands a
+  JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  JOIN tag ta ON ta.doc_id = a.doc_id
+  JOIN tag tb ON tb.doc_id = b.doc_id
+  WHERE ta.arr <> tb.arr
+), verified AS (
+  SELECT c.new_doc_id, c.matched_doc_id,
+    CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0 THEN
+      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+    ELSE 0.0 END AS jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.new_doc_id
+  JOIN sigs sb ON sb.doc_id = c.matched_doc_id
+)
+SELECT new_doc_id, matched_doc_id, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged corpus dedup decision — the composition a curation run
     actually executes: (1) exact collapse on the content hash, then

@@ -46,6 +46,13 @@ from datapipe_spark.operators.dedup import (
 )
 
 
+# bump on ANY on-disk layout change (partitioning, schema, hashing):
+# it keys the /tmp build-once cache, so a stale pre-change index can
+# never be probed by post-change code (a layout change without a bump
+# produced silently-wrong appends once — mixed partitioned/flat bands)
+_INDEX_FORMAT_VERSION = 2
+
+
 def _p(index_dir: str, part: str) -> str:
     return index_dir.rstrip("/") + "/" + part
 
@@ -59,9 +66,13 @@ def _write_parts(
     sigs.select("doc_id", F.col("_sh").alias("sh"), "signature").write.mode(
         mode
     ).parquet(_p(index_dir, "sigs"))
+    # flat layout: every probe touches all _BANDS bands, so partitioning
+    # by band_id prunes nothing and multiplies files 8×; the 100 TB
+    # layout win is bucketing by band_key (co-located probe join), which
+    # a lakehouse table format would declare on this same column
     band_rows(sigs, hash=_meta_hash_of(sigs)).withColumn(
         "band_key", F.col("band_key").cast("string")
-    ).write.mode(mode).partitionBy("band_id").parquet(_p(index_dir, "bands"))
+    ).write.mode(mode).parquet(_p(index_dir, "bands"))
 
 
 def _meta_hash_of(sigs: DataFrame) -> str:
@@ -128,14 +139,19 @@ def append_minhash_index(
     to the exact content-hash index instead).
     """
     h = _meta(spark, index_dir)["hash"]
+    bm = _collapse_exact(new_docs.select("doc_id", "text")).localCheckpoint(
+        eager=True
+    )
+    # existing-rep lookup: broadcast the BATCH ghash set into the index
+    # scan so the index side is a map-only probe (never shuffled on
+    # ghash — per-batch cost tracks the batch, not the corpus)
     existing = (
         spark.read.parquet(_p(index_dir, "mem"))
+        .join(F.broadcast(bm.select("ghash").distinct()), "ghash")
         .groupBy("ghash")
         .agg(F.min("rep_id").alias("_old_rep"))
     )
-    batch_mem = _collapse_exact(new_docs.select("doc_id", "text")).join(
-        existing, "ghash", "left"
-    )
+    batch_mem = bm.join(F.broadcast(existing), "ghash", "left")
     # materialize BOTH deltas off one consistent index snapshot before
     # any write: the first append to mem/ would otherwise invalidate /
     # re-list the lazy plans still reading it (Spark recaches by path on
@@ -175,11 +191,29 @@ def probe_minhash_index(
 
     Per-batch work: collapse/sign the BATCH only, then three equi-joins
     against index tables — band join for candidates, sigs join for
-    exact-jaccard verification, mem join for member expansion. Index
-    I/O is proportional to matched keys, never corpus size; nothing is
-    retrained or re-signed. Batch doc_ids must be disjoint from corpus
-    doc_ids (they are new arrivals by definition).
+    exact-jaccard verification, mem join for member expansion. The
+    batch side is broadcast into every index join (plan-gated), so the
+    index is only ever map-side probed; I/O is proportional to matched
+    keys, never corpus size; nothing is retrained or re-signed. Batch
+    doc_ids must be disjoint from corpus doc_ids (they are new
+    arrivals by definition), and batches are micro-batch-sized by
+    contract — bulk re-dedup belongs to the inline op.
     """
+    out, bmem, bsigs = _probe_plan(spark, index_dir, batch_docs, threshold)
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(out, bmem, bsigs)
+
+
+def _probe_plan(
+    spark: SparkSession,
+    index_dir: str,
+    batch_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+):
+    """The probe's un-materialized plan + its two batch-side caches —
+    split out so plan-shape tests can inspect the joins before the
+    eager checkpoint hides them."""
     h = _meta(spark, index_dir)["hash"]
     bmem = _collapse_exact(batch_docs.select("doc_id", "text")).persist()
     bsigs = (
@@ -199,9 +233,13 @@ def probe_minhash_index(
         bsigs.select("doc_id", "signature"), hash=h
     ).withColumn("band_key", F.col("band_key").cast("string"))
 
+    # batch side broadcast into EVERY index join: the index tables are
+    # the big side by definition and must only ever be map-side probed —
+    # no shuffle of bands/sigs/mem, per-probe cost ∝ batch + matches
     ibands = spark.read.parquet(_p(index_dir, "bands"))
     cand = (
-        bbands.join(
+        F.broadcast(bbands)
+        .join(
             ibands.select(
                 "band_id",
                 "band_key",
@@ -218,10 +256,14 @@ def probe_minhash_index(
     )
     verified = (
         cand.join(
-            bsigs.select(F.col("doc_id").alias("batch_rep"), F.col("sh").alias("sh_b")),
+            F.broadcast(
+                bsigs.select(
+                    F.col("doc_id").alias("batch_rep"), F.col("sh").alias("sh_b")
+                )
+            ),
             "batch_rep",
         )
-        .join(isigs, "corpus_rep")
+        .transform(lambda d: F.broadcast(d).join(isigs, "corpus_rep"))
     )
     inter = F.size(F.array_intersect("sh_b", "sh_c"))
     union = F.size("sh_b") + F.size("sh_c") - inter
@@ -237,13 +279,11 @@ def probe_minhash_index(
         F.col("rep_id").alias("batch_rep"), F.col("doc_id").alias("new_doc_id")
     )
     out = (
-        rep_pairs.join(bmembers, "batch_rep")
-        .join(imem, "corpus_rep")
+        rep_pairs.join(F.broadcast(bmembers), "batch_rep")
+        .transform(lambda d: F.broadcast(d).join(imem, "corpus_rep"))
         .select("new_doc_id", "corpus_doc_id", "jaccard")
     )
-    from datapipe_spark.util import materialize_and_release
-
-    return materialize_and_release(out, bmem, bsigs)
+    return out, bmem, bsigs
 
 
 def dedup_cross_corpus_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,7 +320,7 @@ def _cached_corpus_index(
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:v{_INDEX_FORMAT_VERSION}".encode()
     ).hexdigest()[:16]
     root = os.environ.get(
         "SPARK_GRAFT_INDEX_DIR", "/tmp/datapipe_spark_minhash_index"

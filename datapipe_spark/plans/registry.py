@@ -255,6 +255,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup_index.dedup_cross_corpus_indexed,
         dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
     ),
+    # probe-then-append per micro-batch against the growing band index;
+    # oracle replays arrival order (matched side arrived strictly
+    # earlier: corpus = -1, batch k = k)
+    "streaming_dedup_cross_corpus": (
+        stream.streaming_dedup_cross_corpus,
+        dedup.DEDUP_CROSS_CORPUS_STREAM_SQL,
+    ),
     "similarity_topk": (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     "embedding_near_dup": (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     "token_profile_by_lang": (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),

@@ -321,6 +321,77 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ntz(spark.read.parquet(sink))
 
 
+def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T6 production form of the incremental corpus quality gate:
+    document batches arrive as micro-batches; inside one foreachBatch
+    each batch is (1) probed against the persisted MinHash band index —
+    which at that moment holds the corpus PLUS every batch that arrived
+    before it — and (2) appended to the index, so later arrivals dedup
+    against earlier ones with no corpus rescan ever.
+
+    Delivery: the is_new docs split into ``CROSS_STREAM_BATCHES``
+    sequential drops (batch k = doc_id % N == k, strictly increasing
+    file mtimes, ``maxFilesPerTrigger=1`` — the file source replays
+    them in arrival order). The probe is fully materialized to the sink
+    BEFORE the append mutates the index (probe's eager checkpoint +
+    the sink write), so within-batch self-matches are impossible by
+    construction. Output: ``(new_doc_id, matched_doc_id, jaccard)``
+    where matched is a corpus doc or an earlier-batch doc —
+    DuckDB-oracled by ``DEDUP_CROSS_CORPUS_STREAM_SQL``'s arrival-order
+    replay. At-least-once caveat: a crash between sink write and index
+    append replays the batch and re-appends (T10's idempotent-archival
+    posture applies to the sink; index appends would need a batch-id
+    high-watermark in production).
+    """
+    import shutil
+
+    from datapipe_spark.operators.dedup import CROSS_STREAM_BATCHES, _cross_tagged
+    from datapipe_spark.operators.dedup_index import (
+        _cached_corpus_index,
+        append_minhash_index,
+        probe_minhash_index,
+    )
+
+    out = src.fresh_dir("xcorpus_dedup")
+    index_dir = os.path.join(out, "index")
+    drops = os.path.join(out, "drops")
+    sink = os.path.join(out, "sink")
+
+    tagged = _cross_tagged(spark, sf_dir)
+    # the run MUTATES its index with per-batch appends: copy the shared
+    # build-once pristine index (same cache dedup_cross_corpus_indexed
+    # probes) into the run dir instead of re-signing the corpus
+    pristine = _cached_corpus_index(
+        spark, sf_dir, tagged.filter(~F.col("is_new")).select("doc_id", "text")
+    )
+    shutil.copytree(pristine, index_dir, ignore=shutil.ignore_patterns("_READY"))
+    newdocs = tagged.filter("is_new").select("doc_id", "text")
+    for i in range(CROSS_STREAM_BATCHES):
+        newdocs.filter(
+            F.col("doc_id") % CROSS_STREAM_BATCHES == i
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(drops, f"drop_{i:02d}")
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drops, "drop_*"))
+    )
+
+    def probe_then_append(bdf: DataFrame, _bid: int) -> None:
+        probe_minhash_index(spark, index_dir, bdf).withColumnRenamed(
+            "corpus_doc_id", "matched_doc_id"
+        ).write.mode("append").parquet(sink)
+        append_minhash_index(spark, index_dir, bdf)
+
+    with _stream_shuffle(spark):
+        _run(stream.writeStream.foreachBatch(probe_then_append), os.path.join(out, "cp"))
+    return spark.read.schema(
+        "new_doc_id long, matched_doc_id long, jaccard double"
+    ).parquet(sink)
+
+
 def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/T9/S11/T6: raw JSON value stream → parse → validation split →
     valid events sink + DLQ sink, both written from one foreachBatch

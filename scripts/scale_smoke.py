@@ -68,6 +68,7 @@ DOC_OPS = [
     "dedup_cross_corpus_minhash",
     "decontaminate_shuffle",
     "dedup_pipeline",
+    "dedup_cross_corpus_indexed",
 ]
 EMB_OPS = [
     "similarity_topk",

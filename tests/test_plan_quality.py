@@ -359,3 +359,26 @@ def test_batch6_plans(spark, sf_dir):
     rfm = _plan(spark, analytics.customer_rfm(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in rfm or "BroadcastHashJoin" in rfm
     assert "CartesianProduct" not in rfm
+
+
+def test_minhash_index_probe_broadcasts_batch_side(spark, sf_dir, tmp_path):
+    """The persisted band-index probe must plan every index join as a
+    BroadcastHashJoin with the BATCH side broadcast: the index tables
+    are the 100 TB side and may only ever be map-side probed — one
+    SortMergeJoin here would shuffle the whole index per micro-batch."""
+    from datapipe_spark.operators import dedup_index
+    from datapipe_spark.operators.dedup import _cross_tagged
+
+    tagged = _cross_tagged(spark, sf_dir)
+    idx = str(tmp_path / "mh_index")
+    dedup_index.build_minhash_index(
+        spark, tagged.filter(~F.col("is_new")).select("doc_id", "text"), idx
+    )
+    out, bmem, bsigs = dedup_index._probe_plan(
+        spark, idx, tagged.filter("is_new").select("doc_id", "text")
+    )
+    plan = _plan(spark, out)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # bands, sigs, mem probes
+    bmem.unpersist()
+    bsigs.unpersist()

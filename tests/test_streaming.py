@@ -347,3 +347,34 @@ def test_watermark_drops_late_event_and_evicts_state(spark, tmp_path):
     # sentinel window may remain buffered — every real window left state
     last_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
     assert last_state <= 1, progresses[-1]
+
+
+def test_streaming_cross_corpus_dedup_oracle_and_arrival_order(spark, sf_dir):
+    """The incremental probe-then-append pipeline equals the
+    arrival-order oracle, and every emitted pair's matched side arrived
+    strictly before its new side (corpus < batch 0 < batch 1 < ...) —
+    the growing-index invariant that distinguishes this from the
+    frozen-index probe."""
+    from datapipe_spark.operators.dedup import (
+        _CROSS_NEW_PRED,
+        CROSS_STREAM_BATCHES,
+        DEDUP_CROSS_CORPUS_STREAM_SQL,
+    )
+    from datapipe_spark.sources.tables import load_table
+
+    compare_to_oracle(
+        spark,
+        jobs.streaming_dedup_cross_corpus,
+        DEDUP_CROSS_CORPUS_STREAM_SQL,
+        sf_dir,
+    )
+    arr = {
+        r["doc_id"]: (r["doc_id"] % CROSS_STREAM_BATCHES if r["new"] else -1)
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_CROSS_NEW_PRED).alias("new"))
+        .collect()
+    }
+    out = jobs.streaming_dedup_cross_corpus(spark, sf_dir).collect()
+    assert out, "scenario must exercise at least one cross-arrival match"
+    for r in out:
+        assert arr[r["matched_doc_id"]] < arr[r["new_doc_id"]]
