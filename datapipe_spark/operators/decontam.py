@@ -507,3 +507,70 @@ SELECT doc_id, source, lang, CAST(bucket AS INT) AS bucket,
             ELSE 'test' END AS split
 FROM b
 """
+
+
+TRAIN_SHARDS = 8
+
+
+def corpus_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + shard layout —
+    the manifest a data loader consumes to stream the corpus in a
+    reproducible pseudo-random order (reference batch pipeline's
+    "training-ready serving layout" posture; sources interleave
+    naturally because the order key is a content-free hash).
+
+    Each doc gets a 60-bit md5 order key; ``shard_id = key %
+    TRAIN_SHARDS``; ``pos`` is its rank within the shard and
+    ``token_offset`` the running token count before it — exactly what
+    a resumable loader needs to seek mid-shard. Byte-stable across
+    runs, row order, and partitioning (same md5 idiom as
+    ``corpus_split``).
+
+    Scale: ONE hash shuffle on the uniform shard key, then keyed
+    windows (rank + running sum share the same partitioning — one
+    sort, no second exchange). Shard count scales with cluster size,
+    not corpus size; no driver-side state.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    )
+    keyed = d.select(
+        "doc_id",
+        skey.alias("skey"),
+        (skey % TRAIN_SHARDS).cast("int").alias("shard_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("token_count"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "token_count",
+        F.coalesce(
+            F.sum("token_count").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("token_offset"),
+    )
+
+
+CORPUS_TRAIN_SHARDS_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS skey,
+         len(string_split(text, ' ')) AS token_count
+  FROM documents
+)
+SELECT doc_id,
+       CAST(skey % {TRAIN_SHARDS} AS INT) AS shard_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
+       CAST(token_count AS BIGINT) AS token_count,
+       CAST(COALESCE(SUM(token_count) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS token_offset
+FROM k
+WINDOW w AS (PARTITION BY skey % {TRAIN_SHARDS} ORDER BY skey, doc_id)
+"""

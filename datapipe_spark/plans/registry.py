@@ -262,6 +262,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream.streaming_dedup_cross_corpus,
         dedup.DEDUP_CROSS_CORPUS_STREAM_SQL,
     ),
+    "corpus_train_shards": (
+        decontam.corpus_train_shards,
+        decontam.CORPUS_TRAIN_SHARDS_SQL,
+    ),
     "similarity_topk": (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     "embedding_near_dup": (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     "token_profile_by_lang": (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),

@@ -69,6 +69,7 @@ DOC_OPS = [
     "decontaminate_shuffle",
     "dedup_pipeline",
     "dedup_cross_corpus_indexed",
+    "corpus_train_shards",
 ]
 EMB_OPS = [
     "similarity_topk",

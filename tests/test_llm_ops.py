@@ -30,6 +30,7 @@ ORACLE_CASES = [
     (decontam.pack_token_budget, decontam.PACK_TOKEN_BUDGET_SQL),
     (decontam.corpus_mix_domains, decontam.CORPUS_MIX_DOMAINS_SQL),
     (decontam.curation_pipeline, decontam.CURATION_PIPELINE_SQL),
+    (decontam.corpus_train_shards, decontam.CORPUS_TRAIN_SHARDS_SQL),
 ]
 
 
@@ -1411,3 +1412,68 @@ def test_append_minhash_index_skew_guard_and_probe(spark, tmp_path):
     got = {(r["new_doc_id"], r["corpus_doc_id"]) for r in out}
     assert got == {(100, 1), (100, 10)}
     assert all(r["jaccard"] == 1.0 for r in out)
+
+
+def test_corpus_train_shards_loader_contract(spark, sf_dir):
+    """The shard manifest must satisfy what a resumable loader assumes:
+    every doc appears exactly once; per shard, pos is contiguous from 1
+    and token_offset is the exact running sum of token_count in pos
+    order; and the assignment is invariant to input partitioning."""
+    from datapipe_spark.operators.decontam import corpus_train_shards
+
+    rows = corpus_train_shards(spark, sf_dir).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+        run = 0
+        for r in rs:
+            assert r["token_offset"] == run
+            run += r["token_count"]
+
+    # partitioning invariance: same manifest from a repartitioned input
+    again = {
+        (r["doc_id"], r["shard_id"], r["pos"], r["token_offset"])
+        for r in corpus_train_shards(spark, sf_dir).repartition(7).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["shard_id"], r["pos"], r["token_offset"]) for r in rows
+    }
+
+
+def test_minhash_index_xxhash_mode_matches_md5_pairs(spark, tmp_path):
+    """The engine-cheap xxhash64 index (int64 verification sets, 8-byte
+    band keys) must find the same pairs at the same jaccard as the
+    portable md5 index on a planted corpus/batch — mode only changes
+    bytes on disk, never semantics."""
+    from datapipe_spark.operators import dedup_index
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            (3, "completely unrelated text about distributed query engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # verbatim
+            (11, "the quick brown fox jumps over the lazy dog tonight"),  # near
+            (12, "nothing like anything in the corpus at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    results = {}
+    for mode in ("md5", "xxhash64"):
+        idx = str(tmp_path / f"idx_{mode}")
+        dedup_index.build_minhash_index(spark, corpus, idx, hash=mode)
+        results[mode] = {
+            (r["new_doc_id"], r["corpus_doc_id"]): round(r["jaccard"], 9)
+            for r in dedup_index.probe_minhash_index(spark, idx, batch).collect()
+        }
+    assert results["md5"] == results["xxhash64"]
+    assert (10, 1) in results["md5"] and results["md5"][(10, 1)] == 1.0
