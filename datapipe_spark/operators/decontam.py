@@ -512,7 +512,9 @@ FROM b
 TRAIN_SHARDS = 8
 
 
-def corpus_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_train_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = TRAIN_SHARDS
+) -> DataFrame:
     """Deterministic global training-order shuffle + shard layout —
     the manifest a data loader consumes to stream the corpus in a
     reproducible pseudo-random order (reference batch pipeline's
@@ -528,8 +530,12 @@ def corpus_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE hash shuffle on the uniform shard key, then keyed
     windows (rank + running sum share the same partitioning — one
-    sort, no second exchange). Shard count scales with cluster size,
-    not corpus size; no driver-side state.
+    sort, no second exchange). The per-shard rank is inherently one
+    task per shard, so ``n_shards`` IS the parallelism knob: size it
+    so a shard fits a task (≈ corpus_bytes / 1 GB at 100 TB, i.e.
+    thousands of shards — which is also what a training job wants).
+    The 8-shard default exists for the fixed oracle; no driver-side
+    state either way.
     """
     from pyspark.sql.window import Window
 
@@ -540,7 +546,7 @@ def corpus_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "doc_id",
         skey.alias("skey"),
-        (skey % TRAIN_SHARDS).cast("int").alias("shard_id"),
+        (skey % n_shards).cast("int").alias("shard_id"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("token_count"),
     )
     w = Window.partitionBy("shard_id").orderBy("skey", "doc_id")

@@ -895,9 +895,33 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = docs.join(
         e.filter(F.col("doc_id") == F.col("ecanon")).select("doc_id"), "doc_id"
     )
-    pairs = minhash_dedup_frame(surv)
-    near = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
-        F.min("doc_a").alias("ncanon")
+    # survivors are all-distinct in text by construction, so the LSH
+    # stage skips minhash_dedup_frame's collapse/expansion (a full
+    # extra md5 + shuffle that provably collapses nothing): sign, band,
+    # self-join, verify — every group is a singleton
+    sigs = minhash_signatures(surv).persist()
+    bands = band_rows(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"))
+        .dropDuplicates(["rep_a", "rep_b"])
+    )
+    pairs = _verify_rep_jaccard(sigs, cand, JACCARD_THRESHOLD, "md5")
+    from datapipe_spark.util import materialize_and_release
+
+    # the near-dup decision table is O(near dups) — checkpoint it and
+    # release the signature cache before the corpus-sized final join
+    near = materialize_and_release(
+        pairs.groupBy(F.col("rep_b").alias("doc_id")).agg(
+            F.min("rep_a").alias("ncanon")
+        ),
+        sigs,
     )
     return (
         e.join(near, "doc_id", "left")

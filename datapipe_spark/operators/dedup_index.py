@@ -13,11 +13,14 @@ zero band rows (the skew guard holds incrementally).
 
 Layout under ``index_dir``::
 
-    meta/   (hash, n_docs, n_reps)       one row — the index contract
-    mem/    (doc_id, ghash, rep_id)      verbatim-copy membership
-    sigs/   (doc_id, sh, signature)      rep-level verification sets
-    bands/  band_id=*/ (doc_id, band_key)  hive-partitioned band join
-                                           surface
+    meta.json  {hash, n_docs, n_reps}     the index contract (JSON
+                                          sidecar, refreshed on every
+                                          append; a catalog row in
+                                          production)
+    mem/    (doc_id, ghash, rep_id)       verbatim-copy membership
+    sigs/   (doc_id, sh, signature)       rep-level verification sets
+    bands/  (doc_id, band_id, band_key)   flat band join surface (every
+                                          probe touches all bands)
 
 ``hash="md5"`` stores portable string shingles/band keys (oracle-
 checkable); ``hash="xxhash64"`` stores int64 verification sets and
@@ -33,6 +36,7 @@ reach filter does, and both verify the same exact jaccard.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,7 +54,7 @@ from datapipe_spark.operators.dedup import (
 # it keys the /tmp build-once cache, so a stale pre-change index can
 # never be probed by post-change code (a layout change without a bump
 # produced silently-wrong appends once — mixed partitioned/flat bands)
-_INDEX_FORMAT_VERSION = 2
+_INDEX_FORMAT_VERSION = 3  # v3: meta.json sidecar replaced the meta/ parquet
 
 
 def _p(index_dir: str, part: str) -> str:
@@ -69,10 +73,12 @@ def _write_parts(
     # flat layout: every probe touches all _BANDS bands, so partitioning
     # by band_id prunes nothing and multiplies files 8×; the 100 TB
     # layout win is bucketing by band_key (co-located probe join), which
-    # a lakehouse table format would declare on this same column
-    band_rows(sigs, hash=_meta_hash_of(sigs)).withColumn(
-        "band_key", F.col("band_key").cast("string")
-    ).write.mode(mode).parquet(_p(index_dir, "bands"))
+    # a lakehouse table format would declare on this same column.
+    # band_key keeps its mode-native type — string for md5, int64 for
+    # xxhash64 (the 8-byte key IS that mode's size/shuffle win)
+    band_rows(sigs, hash=_meta_hash_of(sigs)).write.mode(mode).parquet(
+        _p(index_dir, "bands")
+    )
 
 
 def _meta_hash_of(sigs: DataFrame) -> str:
@@ -108,21 +114,34 @@ def build_minhash_index(
     )
     _write_parts(mem, sigs, index_dir, "overwrite")
     n_docs, n_reps = mem.count(), sigs.count()
-    spark.createDataFrame(
-        [(hash, n_docs, n_reps)], "hash string, n_docs long, n_reps long"
-    ).coalesce(1).write.mode("overwrite").parquet(_p(index_dir, "meta"))
+    _write_meta(index_dir, {"hash": hash, "n_docs": n_docs, "n_reps": n_reps})
     mem.unpersist()
     sigs.unpersist()
     return {"n_docs": n_docs, "n_reps": n_reps, "index_dir": index_dir}
 
 
+def _write_meta(index_dir: str, meta: dict) -> None:
+    # a JSON sidecar, not a Spark table: one-row driver-side metadata
+    # costs a whole Spark job per write as parquet (~2 s measured on
+    # the append hot path); in production this row lives in a catalog
+    import json
+
+    with open(_p(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
 def _meta(spark: SparkSession, index_dir: str) -> dict:
-    r = spark.read.parquet(_p(index_dir, "meta")).head()
-    return {"hash": r["hash"], "n_docs": r["n_docs"], "n_reps": r["n_reps"]}
+    import json
+
+    with open(_p(index_dir, "meta.json")) as f:
+        return json.load(f)
 
 
 def append_minhash_index(
-    spark: SparkSession, index_dir: str, new_docs: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    precollapsed: tuple[DataFrame, DataFrame] | None = None,
 ) -> None:
     """Incremental add with the frozen index contract (faiss ``add()``
     posture, same as ``append_ivf_index``): rep identity is stable once
@@ -133,15 +152,25 @@ def append_minhash_index(
     band rows, which is the skew guard working incrementally (a
     million-copy boilerplate burst adds a million mem rows and nothing
     to the band join surface). Genuinely new content appends its own
-    rep's membership, signature, and band rows to their partitions.
+    rep's membership, signature, and band rows.
     Docs under 3 words carry no shingles and are not indexable —
     exactly the population the inline pipelines exclude (they belong
     to the exact content-hash index instead).
+
+    ``precollapsed``: the ``(bmem, bsigs)`` a just-run ``_probe_plan``
+    built for this same batch — passing them skips re-collapsing and
+    re-signing the batch (probe-then-append does the dominant batch
+    work once). The caller must have materialized the probe (its sink
+    write / checkpoint) first and owns unpersisting the pair.
     """
-    h = _meta(spark, index_dir)["hash"]
-    bm = _collapse_exact(new_docs.select("doc_id", "text")).localCheckpoint(
-        eager=True
-    )
+    meta = _meta(spark, index_dir)
+    h = meta["hash"]
+    if precollapsed is None:
+        bm = _collapse_exact(new_docs.select("doc_id", "text")).localCheckpoint(
+            eager=True
+        )
+    else:
+        bm = precollapsed[0]
     # existing-rep lookup: broadcast the BATCH ghash set into the index
     # scan so the index side is a map-only probe (never shuffled on
     # ghash — per-batch cost tracks the batch, not the corpus)
@@ -151,21 +180,26 @@ def append_minhash_index(
         .groupBy("ghash")
         .agg(F.min("rep_id").alias("_old_rep"))
     )
-    batch_mem = bm.join(F.broadcast(existing), "ghash", "left")
-    # materialize BOTH deltas off one consistent index snapshot before
-    # any write: the first append to mem/ would otherwise invalidate /
-    # re-list the lazy plans still reading it (Spark recaches by path on
-    # insert), silently dropping the new reps' sig/band rows
+    # ONE eager checkpoint of the rep-resolution join: it is the only
+    # plan that reads mem/, so materializing it up front (a) takes a
+    # consistent index snapshot before any write — a lazy plan would be
+    # invalidated/re-listed by the first append to mem/ (Spark recaches
+    # by path on insert), silently dropping the new reps' sig/band
+    # rows — and (b) lets mem/new_reps/sigs derive from it without
+    # re-scanning the index
+    batch_mem = bm.join(F.broadcast(existing), "ghash", "left").localCheckpoint(
+        eager=True
+    )
     mem = batch_mem.select(
         "doc_id", "ghash", F.coalesce("_old_rep", "rep_id").alias("rep_id")
-    ).localCheckpoint(eager=True)
+    )
     # reps that are NEW content: batch rep rows whose ghash missed the index
     new_reps = batch_mem.filter(
         F.col("_old_rep").isNull() & (F.col("doc_id") == F.col("rep_id"))
     ).select("doc_id")
-    sigs = (
-        minhash_signatures(new_docs.join(new_reps, "doc_id"), hash=h)
-        .select(
+    if precollapsed is None:
+        # standalone path signs ONLY the new-content docs
+        rep_sigs = minhash_signatures(new_docs.join(new_reps, "doc_id"), hash=h).select(
             "doc_id",
             (
                 F.col("_sh")
@@ -174,9 +208,23 @@ def append_minhash_index(
             ).alias("_sh"),
             "signature",
         )
-        .localCheckpoint(eager=True)
-    )
+    else:
+        # probe-then-append path reuses the probe's already-signed reps
+        rep_sigs = precollapsed[1].select(
+            "doc_id", F.col("sh").alias("_sh"), "signature"
+        ).join(F.broadcast(new_reps), "doc_id")
+    sigs = rep_sigs.localCheckpoint(eager=True)
     _write_parts(mem, sigs, index_dir, "append")
+    # keep the meta contract current (append deltas are already counted
+    # in the checkpointed frames — no table rescan)
+    _write_meta(
+        index_dir,
+        {
+            "hash": h,
+            "n_docs": meta["n_docs"] + mem.count(),
+            "n_reps": meta["n_reps"] + sigs.count(),
+        },
+    )
 
 
 def probe_minhash_index(
@@ -229,9 +277,7 @@ def _probe_plan(
         )
         .persist()
     )
-    bbands = band_rows(
-        bsigs.select("doc_id", "signature"), hash=h
-    ).withColumn("band_key", F.col("band_key").cast("string"))
+    bbands = band_rows(bsigs.select("doc_id", "signature"), hash=h)
 
     # batch side broadcast into EVERY index join: the index tables are
     # the big side by definition and must only ever be map-side probed —
@@ -327,6 +373,17 @@ def _cached_corpus_index(
     )
     out = os.path.join(root, key)
     if not os.path.exists(os.path.join(out, "_READY")):
-        build_minhash_index(spark, corpus, out)
-        open(os.path.join(out, "_READY"), "w").close()
+        # build into a private dir and publish with one atomic rename:
+        # concurrent builders (a smoke sweep racing the test suite)
+        # can otherwise interleave overwrite writes into the shared key
+        # dir and _READY-mark a mixed index
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_minhash_index(spark, corpus, tmp)
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # another builder won the rename — use its index
+            shutil.rmtree(tmp, ignore_errors=True)
     return out

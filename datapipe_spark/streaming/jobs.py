@@ -348,8 +348,8 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipe_spark.operators.dedup import CROSS_STREAM_BATCHES, _cross_tagged
     from datapipe_spark.operators.dedup_index import (
         _cached_corpus_index,
+        _probe_plan,
         append_minhash_index,
-        probe_minhash_index,
     )
 
     out = src.fresh_dir("xcorpus_dedup")
@@ -380,10 +380,16 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def probe_then_append(bdf: DataFrame, _bid: int) -> None:
-        probe_minhash_index(spark, index_dir, bdf).withColumnRenamed(
-            "corpus_doc_id", "matched_doc_id"
-        ).write.mode("append").parquet(sink)
-        append_minhash_index(spark, index_dir, bdf)
+        # one collapse+sign per batch: the sink write materializes the
+        # probe against the pre-append index snapshot, then the append
+        # reuses the probe's membership/signature frames
+        out_df, bmem, bsigs = _probe_plan(spark, index_dir, bdf)
+        out_df.withColumnRenamed("corpus_doc_id", "matched_doc_id").write.mode(
+            "append"
+        ).parquet(sink)
+        append_minhash_index(spark, index_dir, bdf, precollapsed=(bmem, bsigs))
+        bmem.unpersist()
+        bsigs.unpersist()
 
     with _stream_shuffle(spark):
         _run(stream.writeStream.foreachBatch(probe_then_append), os.path.join(out, "cp"))

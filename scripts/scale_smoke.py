@@ -137,6 +137,11 @@ def build_scaled(spark, r: int) -> str:
 def main() -> None:
     rs = [int(a) for a in sys.argv[1:]] or [1, 10]
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    # index-cache ops (dedup_cross_corpus_indexed) must time the COLD
+    # build every run: a leftover /tmp cache from a prior invocation
+    # would silently flip the measurement to warm-probe-only
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = os.path.join(SMOKE_ROOT, "mh_index_cache")
+    shutil.rmtree(os.environ["SPARK_GRAFT_INDEX_DIR"], ignore_errors=True)
     from datapipe_spark import get_spark
     from datapipe_spark.plans import registry
 

@@ -1401,6 +1401,8 @@ def test_append_minhash_index_skew_guard_and_probe(spark, tmp_path):
     assert spark.read.parquet(idx + "/sigs").count() == sigs0 + 1
     mem = {r["doc_id"]: r["rep_id"] for r in spark.read.parquet(idx + "/mem").collect()}
     assert mem[10] == 1 and mem[11] == 11  # copy joins doc 1's group
+    meta = dedup_index._meta(spark, idx)
+    assert (meta["n_docs"], meta["n_reps"]) == (4, 3)  # contract stays current
 
     # probe: a batch doc verbatim-equal to the APPENDED copy's text must
     # match both corpus members of that group at jaccard 1.0
