@@ -205,3 +205,41 @@ def file_column_ranges(path: str, column: str) -> list[tuple[str, object, object
             if mins:
                 out.append((fp, min(mins), max(maxs)))
     return out
+
+
+def write_train_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int | None = None
+) -> dict:
+    """Materialize ``decontam.corpus_train_shards`` as the physical
+    serving layout a training job reads: one ``shard_id=*/`` hive
+    partition per shard, rows inside each file in loader order (pos
+    ascending), text included. A loader streams a shard front-to-back
+    for the deterministic pseudo-random sample order, and seeks
+    mid-shard with ``token_offset`` — no shuffle at read time, ever.
+
+    Write path: the manifest's ONE hash exchange, then
+    ``repartition(shard_id)`` + ``sortWithinPartitions(shard_id, pos)``
+    so each output file is pos-sorted even when two shards hash to one
+    write task (verified against parquet row order in tests). Returns
+    ``{"n_shards", "n_docs", "out_dir"}``.
+    """
+    from datapipe_spark.operators.decontam import TRAIN_SHARDS, corpus_train_shards
+    from datapipe_spark.sources.tables import load_table
+
+    n = n_shards or TRAIN_SHARDS
+    manifest = corpus_train_shards(spark, sf_dir, n_shards=n)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = out_dir.rstrip("/") + "__staging"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        manifest.join(docs, "doc_id")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(tmp)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp, out_dir)
+    n_docs = spark.read.parquet(out_dir).count()
+    return {"n_shards": n, "n_docs": n_docs, "out_dir": out_dir}

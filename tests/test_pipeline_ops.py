@@ -619,3 +619,38 @@ def test_point_in_interval_left_join_null_payload_not_duplicated(spark):
         (1, "a"),
         (2, None),
     ]
+
+
+def test_write_train_shards_physical_loader_order(spark, sf_dir):
+    """The materialized shard layout must be readable front-to-back in
+    loader order with no read-time shuffle: every parquet file inside a
+    shard_id=*/ partition carries pos strictly ascending in physical
+    row order, each shard's pos set is contiguous from 1, and every
+    document lands exactly once with its text."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datapipe_spark.operators.maintenance import write_train_shards
+    from datapipe_spark.sources.tables import load_table
+    from datapipe_spark.util import fresh_dir
+
+    out = fresh_dir("test_train_shards")
+    stats = write_train_shards(spark, sf_dir, out)
+    assert stats["n_docs"] == load_table(spark, sf_dir, "documents").count()
+
+    shard_dirs = sorted(glob.glob(os.path.join(out, "shard_id=*")))
+    assert len(shard_dirs) == stats["n_shards"]
+    total = 0
+    for sd in shard_dirs:
+        pos_all = []
+        for f in sorted(glob.glob(os.path.join(sd, "*.parquet"))):
+            t = pq.read_table(f, columns=["pos", "text"])
+            pos = t.column("pos").to_pylist()
+            # physical row order inside each file IS loader order
+            assert pos == sorted(pos)
+            assert all(x is not None for x in t.column("text").to_pylist())
+            pos_all.extend(pos)
+        assert sorted(pos_all) == list(range(1, len(pos_all) + 1))
+        total += len(pos_all)
+    assert total == stats["n_docs"]
