@@ -1482,3 +1482,27 @@ def test_minhash_index_xxhash_mode_matches_md5_pairs(spark, tmp_path):
         }
     assert results["md5"] == results["xxhash64"]
     assert (10, 1) in results["md5"] and results["md5"][(10, 1)] == 1.0
+
+
+def test_minhash_index_empty_and_subshingle_batches(spark, tmp_path):
+    """Streaming edges: a batch that is empty, or whose docs all fall
+    under the 3-word shingle floor, must probe to zero pairs and append
+    as a no-op (no band/sig growth, meta unchanged) without erroring —
+    the micro-batch path cannot assume well-formed drops."""
+    from datapipe_spark.operators import dedup_index
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "mh_index")
+    dedup_index.build_minhash_index(spark, corpus, idx)
+    meta0 = dedup_index._meta(spark, idx)
+    bands0 = spark.read.parquet(idx + "/bands").count()
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    tiny = spark.createDataFrame([(50, "two words"), (51, "")], ["doc_id", "text"])
+    for batch in (empty, tiny):
+        assert dedup_index.probe_minhash_index(spark, idx, batch).count() == 0
+        dedup_index.append_minhash_index(spark, idx, batch)
+    assert spark.read.parquet(idx + "/bands").count() == bands0
+    assert dedup_index._meta(spark, idx) == meta0
