@@ -50,8 +50,10 @@ def _lineage_orders_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries in its correctness sweep (observed truncation,
 # CORRECTNESS_r01-r05). Round-5 verdict: 34 oracled entries added in
 # rounds 4-5 sat past the window and were never driver-verified. Round-6
-# rotation: the head now holds those 34 + this round's additions + a
-# core of long-stable anchors (driver-green since round ≤4), all
+# rotation: the head now holds those 34 + ALL round-6 additions
+# (including the 4 late ones — dedup_pipeline / the two band-index
+# entries / corpus_train_shards, which displaced 4 anchors driver-green
+# r1-r5 into the tail) + a core of long-stable anchors, all
 # DuckDB-oracled (pinned by tests/test_registry_contract.py). The tail
 # holds the 35 entries the driver already hash-verified green in
 # CORRECTNESS_r01-r05 plus the 8 rows-only-by-design ops; ALL entries
@@ -187,6 +189,32 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         incr.incremental_daily_metrics,
         marts.DAILY_BUSINESS_METRICS_SQL,
     ),
+    # --- round-6 late additions (rotated in so their FIRST driver
+    # attestation lands in CORRECTNESS_r06; they displace 4 anchors
+    # driver-green r1-r5 which move to the tail) --------------------
+    "dedup_pipeline": (dedup.dedup_pipeline, dedup.DEDUP_PIPELINE_SQL),
+    # persisted-band-index probe — same oracle as the inline op by
+    # construction (identical texts ⟹ identical signatures ⟹ identical
+    # band keys; see dedup_index module docstring)
+    "dedup_cross_corpus_indexed": (
+        dedup_index.dedup_cross_corpus_indexed,
+        dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
+    ),
+    # probe-then-append per micro-batch against the growing band index;
+    # oracle replays arrival order (matched side arrived strictly
+    # earlier: corpus = -1, batch k = k)
+    "streaming_dedup_cross_corpus": (
+        stream.streaming_dedup_cross_corpus,
+        dedup.DEDUP_CROSS_CORPUS_STREAM_SQL,
+    ),
+    "corpus_train_shards": (
+        decontam.corpus_train_shards,
+        decontam.CORPUS_TRAIN_SHARDS_SQL,
+    ),
+    "rule_violations": (q.rule_violations, q.RULE_VIOLATIONS_SQL),
+    # ================= TAIL (past the driver window) =================
+    # Driver-verified green in CORRECTNESS_r01-r05; now hash-checked by
+    # the committed REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
     "cdc_changelog": (cdcq.cdc_changelog, cdcq.CDC_CHANGELOG_SQL),
     "cdc_latest_state": (cdcq.cdc_latest_state, cdcq.CDC_LATEST_STATE_SQL),
     "streaming_sessionize_stateful": (
@@ -194,10 +222,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ev.SESSIONIZE_SQL,
     ),
     "streaming_dlq_split": (stream.streaming_dlq_split, stream.STREAMING_DLQ_SQL),
-    "rule_violations": (q.rule_violations, q.RULE_VIOLATIONS_SQL),
-    # ================= TAIL (past the driver window) =================
-    # Driver-verified green in CORRECTNESS_r01-r05; now hash-checked by
-    # the committed REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
     "reconciliation": (q.reconciliation, q.RECONCILIATION_SQL),
     "synthetic_orders": (datagen.synthetic_orders, datagen.SYNTHETIC_ORDERS_SQL),
     "sessionize": (ev.sessionize, ev.SESSIONIZE_SQL),
@@ -247,25 +271,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "orphan_lineitems": (q.orphan_lineitems, q.ORPHAN_LINEITEMS_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
-    "dedup_pipeline": (dedup.dedup_pipeline, dedup.DEDUP_PIPELINE_SQL),
-    # persisted-band-index probe — same oracle as the inline op by
-    # construction (identical texts ⟹ identical signatures ⟹ identical
-    # band keys; see dedup_index module docstring)
-    "dedup_cross_corpus_indexed": (
-        dedup_index.dedup_cross_corpus_indexed,
-        dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
-    ),
-    # probe-then-append per micro-batch against the growing band index;
-    # oracle replays arrival order (matched side arrived strictly
-    # earlier: corpus = -1, batch k = k)
-    "streaming_dedup_cross_corpus": (
-        stream.streaming_dedup_cross_corpus,
-        dedup.DEDUP_CROSS_CORPUS_STREAM_SQL,
-    ),
-    "corpus_train_shards": (
-        decontam.corpus_train_shards,
-        decontam.CORPUS_TRAIN_SHARDS_SQL,
-    ),
     "similarity_topk": (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     "embedding_near_dup": (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     "token_profile_by_lang": (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),
