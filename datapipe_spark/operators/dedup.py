@@ -889,6 +889,12 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage order safe to fuse). No all-pairs path anywhere.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_pipeline_frame(docs)
+
+
+def dedup_pipeline_frame(docs: DataFrame) -> DataFrame:
+    """Staged dedup decision over any ``(doc_id, text)`` frame — see
+    ``dedup_pipeline`` for semantics."""
     d = docs.select("doc_id", F.md5("text").alias("h"))
     g = d.groupBy("h").agg(F.min("doc_id").alias("ecanon"))
     e = d.join(g, "h").select("doc_id", "ecanon")

@@ -516,3 +516,58 @@ def test_cross_corpus_minhash_precision_and_orientation(spark_prop, ws):
         for b in set(texts) - news:
             if texts[a] == texts[b] and len(texts[a].split(" ")) >= 3:
                 assert (a, b) in pairs
+
+
+# --- staged dedup pipeline properties ----------------------------------------
+
+pipeline_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=5),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ws=pipeline_docs)
+def test_dedup_pipeline_verbatim_completeness_model(spark_prop, ws):
+    """Brute-force model on tie/dup-heavy corpora: (1) exactly one row
+    per doc; (2) docs sharing text collapse to the group min as
+    exact_dup (always — exact dedup has no probabilistic step);
+    (3) the group min of a duplicated ≥3-word text is NEVER kept if a
+    lower-id survivor shares its full shingle set (signature-identical
+    ⟹ all bands collide ⟹ LSH candidate at jaccard 1.0 — the
+    deterministic completeness slice of the pipeline); (4) sub-shingle
+    docs (<3 words) can only be kept or exact_dup."""
+    from datapipe_spark.operators.dedup import dedup_pipeline_frame
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(ws)]
+    docs = spark_prop.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_pipeline_frame(docs).collect()}
+    assert len(out) == len(rows)
+
+    texts = dict(rows)
+    by_text: dict[str, list[int]] = {}
+    for i, t in texts.items():
+        by_text.setdefault(t, []).append(i)
+    for t, ids in by_text.items():
+        mn = min(ids)
+        for i in ids:
+            if i != mn:
+                assert out[i]["status"] == "exact_dup"
+                assert out[i]["canonical_id"] == mn
+
+    def sh(t):
+        w = t.split(" ")
+        return frozenset(
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        ) if len(w) >= 3 else frozenset()
+
+    survivors = sorted(min(ids) for ids in by_text.values())
+    for i in survivors:
+        if not sh(texts[i]):
+            assert out[i]["status"] in ("kept", "exact_dup")
+            continue
+        same_sig = [j for j in survivors if j < i and sh(texts[j]) == sh(texts[i])]
+        if same_sig:
+            assert out[i]["status"] == "near_dup"
+            assert out[i]["canonical_id"] <= min(same_sig)
