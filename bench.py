@@ -194,6 +194,30 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver captures only the TAIL of stdout; the full line above
+    # (with 105 per-query timing/row entries) overflows that window, so
+    # its artifact recorded "parsed": null for three rounds running
+    # (BENCH_r04-r06). Emit a compact summary LAST — same headline
+    # contract, per-query dicts dropped — so the tail always ends with
+    # a complete, parseable JSON line.
+    compact = {
+        k: out[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "cpus",
+            "n_queries",
+            "stream_ingest_events_per_sec",
+            "ann_recall",
+        )
+    }
+    # keep `queries` type-consistent (name -> seconds): just the slowest
+    compact["queries"] = dict([max(timings.items(), key=lambda kv: kv[1])]) if timings else {}
+    if errors:
+        compact["errors"] = errors
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -123,11 +123,15 @@ def build_minhash_index(
 def _write_meta(index_dir: str, meta: dict) -> None:
     # a JSON sidecar, not a Spark table: one-row driver-side metadata
     # costs a whole Spark job per write as parquet (~2 s measured on
-    # the append hot path); in production this row lives in a catalog
+    # the append hot path); in production this row lives in a catalog.
+    # Written aside + atomic rename: meta.json carries the exactly-once
+    # high-watermark, so a torn write on crash must be impossible
     import json
 
-    with open(_p(index_dir, "meta.json"), "w") as f:
+    tmp = _p(index_dir, f"meta.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, _p(index_dir, "meta.json"))
 
 
 def _meta(spark: SparkSession, index_dir: str) -> dict:
@@ -137,12 +141,19 @@ def _meta(spark: SparkSession, index_dir: str) -> dict:
         return json.load(f)
 
 
+def last_applied_batch(spark: SparkSession, index_dir: str) -> int:
+    """Exactly-once high-watermark: the largest ``batch_id`` whose
+    append has committed to this index (−1 if none recorded)."""
+    return int(_meta(spark, index_dir).get("last_batch_id", -1))
+
+
 def append_minhash_index(
     spark: SparkSession,
     index_dir: str,
     new_docs: DataFrame,
     precollapsed: tuple[DataFrame, DataFrame] | None = None,
-) -> None:
+    batch_id: int | None = None,
+) -> bool:
     """Incremental add with the frozen index contract (faiss ``add()``
     posture, same as ``append_ivf_index``): rep identity is stable once
     assigned.
@@ -162,8 +173,23 @@ def append_minhash_index(
     re-signing the batch (probe-then-append does the dominant batch
     work once). The caller must have materialized the probe (its sink
     write / checkpoint) first and owns unpersisting the pair.
+
+    ``batch_id``: exactly-once guard for replayed micro-batches
+    (reference T10's idempotent posture, data-ingestion design.md:54,
+    extended to the index mutation). Monotonically increasing per
+    caller stream: an append with ``batch_id`` ≤ the recorded
+    high-watermark is a committed batch being replayed after a crash —
+    it is skipped entirely (returns False); a successful append
+    advances ``last_batch_id`` in ``meta.json`` (atomic rename) as the
+    LAST step, so the watermark only ever claims batches whose band/
+    sig/mem rows are fully on disk. A crash after the append but
+    before the framework's checkpoint commit — the double-append
+    window this closes — replays the batch and hits the skip path.
+    Returns True if the append was applied, False if skipped.
     """
     meta = _meta(spark, index_dir)
+    if batch_id is not None and int(meta.get("last_batch_id", -1)) >= batch_id:
+        return False
     h = meta["hash"]
     if precollapsed is None:
         bm = _collapse_exact(new_docs.select("doc_id", "text")).localCheckpoint(
@@ -217,14 +243,17 @@ def append_minhash_index(
     _write_parts(mem, sigs, index_dir, "append")
     # keep the meta contract current (append deltas are already counted
     # in the checkpointed frames — no table rescan)
-    _write_meta(
-        index_dir,
-        {
-            "hash": h,
-            "n_docs": meta["n_docs"] + mem.count(),
-            "n_reps": meta["n_reps"] + sigs.count(),
-        },
-    )
+    new_meta = {
+        "hash": h,
+        "n_docs": meta["n_docs"] + mem.count(),
+        "n_reps": meta["n_reps"] + sigs.count(),
+    }
+    if batch_id is not None:
+        new_meta["last_batch_id"] = batch_id
+    elif "last_batch_id" in meta:
+        new_meta["last_batch_id"] = meta["last_batch_id"]
+    _write_meta(index_dir, new_meta)
+    return True
 
 
 def probe_minhash_index(

@@ -72,7 +72,16 @@ def point_in_interval_join(
     # match itself in the anti-join and be emitted twice) and collapses
     # genuine duplicate point rows into one match status.
     _ID = "__range_point_id"
-    tagged = points.withColumn(_ID, F.monotonically_increasing_id())
+    # The id expression is nondeterministic and `tagged` feeds TWO plan
+    # branches (the inner join and the anti-join). Without pinning, a
+    # recomputation between branches (possible whenever `points` derives
+    # from a shuffle, where intra-partition order is not stable) could
+    # assign different ids per branch — duplicating matched rows or
+    # dropping unmatched ones. localCheckpoint materializes one id
+    # assignment that both branches reuse (r6 advisory).
+    tagged = points.withColumn(_ID, F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
     inner = point_in_interval_join(
         tagged, intervals, point_ts, start_ts, end_ts, bucket_seconds,
         extra_keys=extra_keys, how="inner",

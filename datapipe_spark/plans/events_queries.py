@@ -242,8 +242,11 @@ GROUP BY user_id, session_seq
 """
 
 
+_ERROR_WINDOW_MINUTES = 10
+
+
 def error_purchase_windows(
-    spark: SparkSession, sf_dir: str, window_minutes: int = 10
+    spark: SparkSession, sf_dir: str, window_minutes: int = _ERROR_WINDOW_MINUTES
 ) -> DataFrame:
     """Temporal range join as a first-class query: purchases landing
     inside the ``window_minutes`` window after an error by the same
@@ -293,7 +296,9 @@ def error_purchase_windows(
     )
 
 
-ERROR_PURCHASE_WINDOWS_SQL = """
+# Oracle interval derives from the SAME constant as the query default,
+# so a parameter drift cannot silently diverge them (r6 advisory).
+ERROR_PURCHASE_WINDOWS_SQL = f"""
 SELECT p.user_id,
        e.event_id AS error_event_id,
        p.event_id AS purchase_event_id,
@@ -305,7 +310,7 @@ JOIN events e
  AND e.event_type = 'error'
  AND p.event_type = 'purchase'
  AND p.ts >= e.ts
- AND p.ts <= e.ts + INTERVAL 10 MINUTES
+ AND p.ts <= e.ts + INTERVAL {_ERROR_WINDOW_MINUTES} MINUTES
 """
 
 

@@ -27,6 +27,7 @@ compaction; dedup state is bounded by ``dropDuplicatesWithinWatermark``.
 from __future__ import annotations
 
 import os
+import time
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -338,10 +339,13 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Output: ``(new_doc_id, matched_doc_id, jaccard)``
     where matched is a corpus doc or an earlier-batch doc —
     DuckDB-oracled by ``DEDUP_CROSS_CORPUS_STREAM_SQL``'s arrival-order
-    replay. At-least-once caveat: a crash between sink write and index
-    append replays the batch and re-appends (T10's idempotent-archival
-    posture applies to the sink; index appends would need a batch-id
-    high-watermark in production).
+    replay. Exactly-once (r6 caveat closed): the index meta carries a
+    batch-id high-watermark (reference T10's idempotent posture,
+    data-ingestion design.md:54, extended to the index mutation) —
+    replayed batches ≤ the watermark are skipped; the sink itself is a
+    per-batch overwrite dir, so a pre-append crash replaces rather
+    than duplicates its probe output (replay test:
+    tests/test_streaming.py::test_index_append_replay_is_exactly_once).
     """
     import shutil
 
@@ -350,6 +354,7 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cached_corpus_index,
         _probe_plan,
         append_minhash_index,
+        last_applied_batch,
     )
 
     out = src.fresh_dir("xcorpus_dedup")
@@ -366,12 +371,19 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.copytree(pristine, index_dir, ignore=shutil.ignore_patterns("_READY"))
     newdocs = tagged.filter("is_new").select("doc_id", "text")
+    base_mtime = time.time()
     for i in range(CROSS_STREAM_BATCHES):
+        drop_dir = os.path.join(drops, f"drop_{i:02d}")
         newdocs.filter(
             F.col("doc_id") % CROSS_STREAM_BATCHES == i
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(drops, f"drop_{i:02d}")
-        )
+        ).coalesce(1).write.mode("overwrite").parquet(drop_dir)
+        # FileStreamSource orders replay by mtime; sequential writes on
+        # a coarse-mtime filesystem can collide, making batch order —
+        # and hence the arrival-order oracle — nondeterministic. Pin
+        # strictly increasing mtimes explicitly (r6 advisory).
+        for name in sorted(os.listdir(drop_dir)):
+            if name.endswith(".parquet"):
+                os.utime(os.path.join(drop_dir, name), (base_mtime + i, base_mtime + i))
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -379,23 +391,37 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(drops, "drop_*"))
     )
 
-    def probe_then_append(bdf: DataFrame, _bid: int) -> None:
+    def probe_then_append(bdf: DataFrame, bid: int) -> None:
+        # exactly-once (closes the r6 at-least-once caveat): the index
+        # meta records the last batch id whose append committed. A
+        # replayed batch ≤ that watermark already ran probe+sink+append
+        # (append is last, so watermark ⟹ sink done too) — skip it
+        # wholesale instead of double-appending the index.
+        if bid <= last_applied_batch(spark, index_dir):
+            return
         # one collapse+sign per batch: the sink write materializes the
         # probe against the pre-append index snapshot, then the append
         # reuses the probe's membership/signature frames
         out_df, bmem, bsigs = _probe_plan(spark, index_dir, bdf)
+        # per-batch overwrite dir (T10 idempotent-archival shape): a
+        # crash BEFORE the append replays the batch, and the rewrite
+        # replaces rather than duplicates the probe output
         out_df.withColumnRenamed("corpus_doc_id", "matched_doc_id").write.mode(
-            "append"
-        ).parquet(sink)
-        append_minhash_index(spark, index_dir, bdf, precollapsed=(bmem, bsigs))
+            "overwrite"
+        ).parquet(os.path.join(sink, f"b_{bid:05d}"))
+        append_minhash_index(
+            spark, index_dir, bdf, precollapsed=(bmem, bsigs), batch_id=bid
+        )
         bmem.unpersist()
         bsigs.unpersist()
 
     with _stream_shuffle(spark):
         _run(stream.writeStream.foreachBatch(probe_then_append), os.path.join(out, "cp"))
-    return spark.read.schema(
-        "new_doc_id long, matched_doc_id long, jaccard double"
-    ).parquet(sink)
+    return (
+        spark.read.schema("new_doc_id long, matched_doc_id long, jaccard double")
+        .option("recursiveFileLookup", "true")
+        .parquet(sink)
+    )
 
 
 def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7,6 +7,8 @@ equals (a) the batch DataFrame form and (b) the DuckDB SQL oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from datapipe_spark.plans import events_queries as ev
@@ -378,3 +380,78 @@ def test_streaming_cross_corpus_dedup_oracle_and_arrival_order(spark, sf_dir):
     assert out, "scenario must exercise at least one cross-arrival match"
     for r in out:
         assert arr[r["matched_doc_id"]] < arr[r["new_doc_id"]]
+
+
+def test_index_append_replay_is_exactly_once(spark, tmp_path):
+    """The r6 at-least-once caveat, closed: a micro-batch replayed
+    after a crash must not double-append the band index. Simulates the
+    two crash positions around the sink-write → index-append sequence:
+
+    - crash AFTER append, before checkpoint commit (the double-append
+      window): the replayed `batch_id` ≤ the meta.json high-watermark
+      and the append is skipped — band/sig/mem row counts unchanged;
+    - crash BEFORE append (after sink write): replay re-probes against
+      the unmutated index and the per-batch overwrite sink dir
+      replaces, not duplicates, the probe output.
+    """
+    from datapipe_spark.operators.dedup_index import (
+        _p,
+        append_minhash_index,
+        build_minhash_index,
+        last_applied_batch,
+        probe_minhash_index,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = mk(
+        [
+            (i, f"corpus document number {i} holding plenty of distinct "
+                f"shingle words alpha beta gamma {i * 7} delta")
+            for i in range(8)
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(spark, corpus, idx)
+    assert last_applied_batch(spark, idx) == -1
+
+    def counts():
+        return tuple(
+            spark.read.parquet(_p(idx, part)).count()
+            for part in ("mem", "sigs", "bands")
+        )
+
+    base = counts()
+    b0 = mk(
+        [
+            (100, "corpus document number 3 holding plenty of distinct "
+                  "shingle words alpha beta gamma 21 delta"),  # near-dup of 3
+            (101, "an entirely fresh batch document with its own novel "
+                  "words epsilon zeta eta theta iota kappa"),
+        ]
+    )
+    assert append_minhash_index(spark, idx, b0, batch_id=0) is True
+    after0 = counts()
+    assert after0 > base and last_applied_batch(spark, idx) == 0
+
+    # crash-after-append replay: same batch id → no-op, counts frozen
+    assert append_minhash_index(spark, idx, b0, batch_id=0) is False
+    assert counts() == after0 and last_applied_batch(spark, idx) == 0
+
+    # crash-BEFORE-append replay: sink written, append never ran. The
+    # job writes each batch to its own overwrite dir keyed by batch id.
+    sink = str(tmp_path / "sink")
+    b1 = mk(
+        [
+            (200, "an entirely fresh batch document with its own novel "
+                  "words epsilon zeta eta theta iota kappa"),  # dup of 101
+        ]
+    )
+    for _replay in range(2):  # first pass = crashed run, second = replay
+        out = probe_minhash_index(spark, idx, b1)
+        out.write.mode("overwrite").parquet(os.path.join(sink, "b_00001"))
+    sunk = spark.read.parquet(os.path.join(sink, "b_00001"))
+    assert sunk.count() == sunk.dropDuplicates().count() > 0
+    assert append_minhash_index(spark, idx, b1, batch_id=1) is True
+    assert last_applied_batch(spark, idx) == 1
