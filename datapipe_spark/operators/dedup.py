@@ -464,34 +464,86 @@ def band_rows(sigs: DataFrame, hash: str = "md5") -> DataFrame:
     )
 
 
+MINHASH_BUCKET_CAP = 512  # band-bucket width guard threshold
+# (oracle-scale max observed width over sf0.01/sf0.1 documents: ≤ 3 —
+# the guard stays inactive there, so the DuckDB replay needs no guard
+# arm; forced-activation recall is property-tested)
+
+
+def banded_pair_candidates(
+    bands: DataFrame, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
+    """Band-bucket self-join → candidate pairs ``(rep_a, rep_b)``,
+    with a bucket-width guard (the r6 verdict's `dedup_pipeline`
+    stage-2 nit, generalized to every minhash band self-join).
+
+    Activation probe first (the simhash pattern): one map-side-combined
+    aggregate computes the widest ``(band_id, band_key)`` bucket. At or
+    under ``bucket_cap`` — the common case everywhere measured (max
+    width ≤ 3 at sf0.1 vs cap 512) — the plain pairwise self-join runs
+    and output is exactly the unguarded plan's. Above the cap, only
+    possible under genuine density (band keys are 4-value md5/xxhash64
+    compounds, so unlike simhash's 7-8 bit band keyspace there is no
+    saturation hazard — a wide bucket means near-identical,
+    non-verbatim content, the paraphrase-mill corpus), over-cap buckets
+    degrade to STAR candidates: each member pairs with the bucket's
+    min-id doc — O(width) instead of O(width²) rows — while ≤-cap
+    buckets keep the full pairwise join. Downstream exact-jaccard
+    verification is unchanged. Approximation under activation: a
+    member-member pair inside an over-cap bucket surfaces only via
+    its other bands or transitively through the star rep (documented;
+    connectivity under forced activation is property-tested).
+    """
+    a, b = bands.alias("a"), bands.alias("b")
+    pairwise_cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    widths = bands.groupBy("band_id", "band_key").agg(
+        F.count("*").alias("_bc"), F.min("doc_id").alias("_star")
+    )
+    max_width = widths.agg(F.max("_bc")).first()[0]
+    if max_width is None or max_width <= bucket_cap:
+        cand = a.join(b, pairwise_cond).select(
+            F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
+        )
+    else:
+        wide = widths.filter(F.col("_bc") > bucket_cap).select(
+            "band_id", "band_key", "_star"
+        )
+        # over-cap keys are rare by construction — broadcast them
+        tagged = bands.join(F.broadcast(wide), ["band_id", "band_key"], "left")
+        narrow = tagged.filter(F.col("_star").isNull()).drop("_star", "_bc")
+        na, nb = narrow.alias("a"), narrow.alias("b")
+        pair_narrow = na.join(nb, pairwise_cond).select(
+            F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
+        )
+        star = (
+            tagged.filter(F.col("_star").isNotNull() & (F.col("doc_id") != F.col("_star")))
+            .select(F.col("_star").alias("rep_a"), F.col("doc_id").alias("rep_b"))
+        )
+        cand = pair_narrow.unionByName(star)
+    return cand.dropDuplicates(["rep_a", "rep_b"])
+
+
 def minhash_rep_candidates(
-    docs: DataFrame, hash: str = "md5"
+    docs: DataFrame, hash: str = "md5", bucket_cap: int = MINHASH_BUCKET_CAP
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Collapse verbatim copies, sign the representatives, and band-join
     them into candidate pairs. Returns ``(mem, sigs, candidates)`` —
     ``candidates`` is rep-level ``(rep_a, rep_b)``; ``mem``/``sigs``
     are persisted (caller releases). Factored out so the skew guard is
     directly testable: a 10k-copy mega-cluster must contribute one row
-    to the band join, keeping this frame small."""
+    to the band join, keeping this frame small. The band self-join runs
+    through ``banded_pair_candidates``' width guard — verbatim copies
+    are collapsed before banding, and what the collapse cannot shrink
+    (near-identical non-verbatim content) the bucket cap stars."""
     mem = _collapse_exact(docs).persist()
     reps = _rep_docs(docs, mem)
     sigs = minhash_signatures(reps, hash=hash).persist()
     bands = band_rows(sigs, hash=hash)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("rep_a"),
-            F.col("b.doc_id").alias("rep_b"),
-        )
-        .dropDuplicates(["rep_a", "rep_b"])
-    )
+    candidates = banded_pair_candidates(bands, bucket_cap=bucket_cap)
     return mem, sigs, candidates
 
 
@@ -892,7 +944,9 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_pipeline_frame(docs)
 
 
-def dedup_pipeline_frame(docs: DataFrame) -> DataFrame:
+def dedup_pipeline_frame(
+    docs: DataFrame, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
     """Staged dedup decision over any ``(doc_id, text)`` frame — see
     ``dedup_pipeline`` for semantics."""
     d = docs.select("doc_id", F.md5("text").alias("h"))
@@ -904,20 +958,11 @@ def dedup_pipeline_frame(docs: DataFrame) -> DataFrame:
     # survivors are all-distinct in text by construction, so the LSH
     # stage skips minhash_dedup_frame's collapse/expansion (a full
     # extra md5 + shuffle that provably collapses nothing): sign, band,
-    # self-join, verify — every group is a singleton
+    # guarded self-join (exact collapse kills verbatim skew, the
+    # bucket cap stars what remains — the paraphrase-mill hazard the
+    # r6 verdict flagged), verify — every group is a singleton
     sigs = minhash_signatures(surv).persist()
-    bands = band_rows(sigs)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b"))
-        .dropDuplicates(["rep_a", "rep_b"])
-    )
+    cand = banded_pair_candidates(band_rows(sigs), bucket_cap=bucket_cap)
     pairs = _verify_rep_jaccard(sigs, cand, JACCARD_THRESHOLD, "md5")
     from datapipe_spark.util import materialize_and_release
 

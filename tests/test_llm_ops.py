@@ -1506,3 +1506,58 @@ def test_minhash_index_empty_and_subshingle_batches(spark, tmp_path):
         dedup_index.append_minhash_index(spark, idx, batch)
     assert spark.read.parquet(idx + "/bands").count() == bands0
     assert dedup_index._meta(spark, idx) == meta0
+
+
+def test_minhash_bucket_guard_forced_activation(spark):
+    """r6 verdict nit #1, closed: a paraphrase-mill corpus —
+    near-identical, NON-verbatim boilerplate that the exact collapse
+    cannot shrink — must degrade over-cap minhash band buckets to star
+    candidates instead of going quadratic, and the staged pipeline's
+    DECISION must be unchanged by the guard (every mill doc still
+    near_dup of the mill minimum, verified at exact jaccard)."""
+    from datapipe_spark.operators.dedup import (
+        band_rows,
+        banded_pair_candidates,
+        dedup_pipeline_frame,
+        minhash_signatures,
+    )
+
+    base = (
+        "the quarterly compliance boilerplate paragraph required by the "
+        "department of records must be included verbatim in every filing "
+        "along with the standard disclosure annex and signature block"
+    )
+    n = 40
+    docs = spark.createDataFrame(
+        [(i, f"{base} closing remark number {i}") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    bands = band_rows(sigs)
+    unguarded = banded_pair_candidates(bands, bucket_cap=10**9).count()
+    forced = banded_pair_candidates(bands, bucket_cap=4).count()
+    # the mill is one wide bucket in (nearly) every band: the star arm
+    # emits O(n) candidates where the pairwise join emits O(n^2)
+    assert unguarded >= n * (n - 1) // 2  # genuinely quadratic without guard
+    assert forced < unguarded / 3
+    assert forced <= 8 * (n - 1)  # ≤ one star row per (band, member)
+
+    decided = lambda cap: {  # noqa: E731
+        (r["doc_id"], r["status"], r["canonical_id"])
+        for r in dedup_pipeline_frame(docs, bucket_cap=cap).collect()
+    }
+    assert decided(4) == decided(10**9)
+
+
+def test_minhash_bucket_guard_inactive_at_oracle_scale(spark, sf_dir):
+    """The default cap must not alter oracled output: the widest
+    documents band bucket at oracle scale sits far below
+    MINHASH_BUCKET_CAP, so guarded and unguarded decisions are
+    identical (the CORRECTNESS hash for dedup_pipeline is unchanged)."""
+    from datapipe_spark.operators.dedup import dedup_pipeline_frame
+    from datapipe_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    default = {tuple(r) for r in dedup_pipeline_frame(d).collect()}
+    unguarded = {tuple(r) for r in dedup_pipeline_frame(d, bucket_cap=10**9).collect()}
+    assert default == unguarded

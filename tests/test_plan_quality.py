@@ -382,3 +382,55 @@ def test_minhash_index_probe_broadcasts_batch_side(spark, sf_dir, tmp_path):
     assert plan.count("BroadcastHashJoin") >= 3  # bands, sigs, mem probes
     bmem.unpersist()
     bsigs.unpersist()
+
+
+def test_minhash_index_probe_cost_flat_in_corpus_size(spark, sf_dir, tmp_path):
+    """SCALING.md claims probe cost ∝ batch, not corpus — pin it (r6
+    verdict ask #5). Probe one fixed batch against a 1× and a 10×
+    corpus index: the plan must keep the exact broadcast shape (batch
+    side broadcast into every index join, nothing shuffling the index
+    tables) at BOTH sizes, and warm probe wall time must stay ~flat
+    rather than scaling with the corpus."""
+    import time as _t
+
+    from datapipe_spark.operators import dedup_index
+    from datapipe_spark.operators.dedup import _cross_tagged
+
+    tagged = _cross_tagged(spark, sf_dir)
+    corpus = tagged.filter(~F.col("is_new")).select("doc_id", "text")
+    batch = tagged.filter("is_new").select("doc_id", "text").limit(20)
+    shift = 10_000_000
+    corpus10 = corpus
+    for k in range(1, 10):
+        corpus10 = corpus10.unionByName(
+            corpus.select(
+                (F.col("doc_id") + F.lit(k * shift)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" replica tag {k}")).alias("text"),
+            )
+        )
+    idx1, idx10 = str(tmp_path / "i1"), str(tmp_path / "i10")
+    n1 = dedup_index.build_minhash_index(spark, corpus, idx1)["n_reps"]
+    n10 = dedup_index.build_minhash_index(spark, corpus10, idx10)["n_reps"]
+    assert n10 >= 9 * n1  # the 10× index is genuinely 10× bigger
+
+    def probe_once(idx):
+        out, bmem, bsigs = dedup_index._probe_plan(spark, idx, batch)
+        plan = _plan(spark, out)
+        t0 = _t.monotonic()
+        out.count()
+        wall = _t.monotonic() - t0
+        bmem.unpersist()
+        bsigs.unpersist()
+        return plan, wall
+
+    walls = {}
+    for name, idx in (("1x", idx1), ("10x", idx10)):
+        plan, _ = probe_once(idx)  # warmup: codegen + file listing
+        plan2, wall = probe_once(idx)
+        assert "SortMergeJoin" not in plan2 and "ShuffledHashJoin" not in plan2
+        assert plan2.count("BroadcastHashJoin") >= 3, name
+        walls[name] = wall
+    # generous bound: 10× corpus may cost a bit more I/O on matched
+    # keys, but anything near-linear (≥3×) means the index side is
+    # being scanned/shuffled per probe — the regression this gates
+    assert walls["10x"] <= max(3 * walls["1x"], walls["1x"] + 1.5), walls

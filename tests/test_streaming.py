@@ -455,3 +455,81 @@ def test_index_append_replay_is_exactly_once(spark, tmp_path):
     assert sunk.count() == sunk.dropDuplicates().count() > 0
     assert append_minhash_index(spark, idx, b1, batch_id=1) is True
     assert last_applied_batch(spark, idx) == 1
+
+
+def test_live_trigger_probe_then_append_mutates_index(spark, tmp_path):
+    """r6 verdict ask #6: the probe-then-append corpus gate under a
+    LIVE processingTime trigger (not availableNow replay) — two drops
+    arriving while the query runs must each probe the index as of
+    their arrival and append to it: batch 1's duplicate of a batch-0
+    doc matches, the high-watermark advances per batch, and the index
+    ends holding corpus + both batches."""
+    import time
+
+    from datapipe_spark.operators.dedup_index import (
+        _probe_plan,
+        append_minhash_index,
+        build_minhash_index,
+        last_applied_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    text = (
+        "live corpus gate document with a healthy number of distinct "
+        "shingle words one two three four five six seven eight"
+    )
+    idx = str(tmp_path / "idx")
+    build_minhash_index(spark, mk([(1, text + " corpus tail")]), idx)
+    drops = str(tmp_path / "drops")
+    sink = str(tmp_path / "sink")
+    os.makedirs(drops)
+
+    def drop(n, rows):
+        mk(rows).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(drops, f"d{n}")
+        )
+
+    drop(0, [(10, text + " batch zero body")])
+
+    def probe_then_append(bdf, bid):
+        if bid <= last_applied_batch(spark, idx):
+            return
+        out, bmem, bsigs = _probe_plan(spark, idx, bdf)
+        out.write.mode("overwrite").parquet(os.path.join(sink, f"b_{bid:05d}"))
+        append_minhash_index(spark, idx, bdf, precollapsed=(bmem, bsigs), batch_id=bid)
+        bmem.unpersist()
+        bsigs.unpersist()
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drops, "d*"))
+        .writeStream.foreachBatch(probe_then_append)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while last_applied_batch(spark, idx) < 0 and time.time() < deadline:
+            time.sleep(0.5)
+        assert last_applied_batch(spark, idx) >= 0, "batch 0 never applied"
+        # batch 1 lands while the query is live: near-dup of batch 0's doc
+        drop(1, [(20, text + " batch zero body")])
+        while last_applied_batch(spark, idx) < 1 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert last_applied_batch(spark, idx) == 1
+    out = (
+        spark.read.schema("new_doc_id long, corpus_doc_id long, jaccard double")
+        .option("recursiveFileLookup", "true")
+        .parquet(sink)
+        .collect()
+    )
+    matches = {(r["new_doc_id"], r["corpus_doc_id"]) for r in out}
+    # batch 1's doc 20 is verbatim batch 0's doc 10 → must match it,
+    # proving the live append made batch 0 probe-able before batch 1 ran
+    assert (20, 10) in matches, matches
