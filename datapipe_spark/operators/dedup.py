@@ -33,6 +33,12 @@ _B = [(69069 * (i + 7) + 1) % _P for i in range(_N_PERM)]
 
 JACCARD_THRESHOLD = 0.8
 
+# Observability: per-process counts of guard-ARM activations (the slow
+# path actually running, not the probe), consumed by
+# scripts/scale_smoke.py stress sweeps. Driver-side single-threaded
+# increments; consumers snapshot-and-diff rather than reset.
+GUARD_ACTIVATIONS: dict[str, int] = {"minhash_band_cap": 0, "simhash_band_cap": 0}
+
 
 def _hash_expr(inner: str, hash: str) -> str:
     """SQL fragment hashing ``inner`` under one of the two hash
@@ -509,6 +515,7 @@ def banded_pair_candidates(
             F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
         )
     else:
+        GUARD_ACTIVATIONS["minhash_band_cap"] += 1
         wide = widths.filter(F.col("_bc") > bucket_cap).select(
             "band_id", "band_key", "_star"
         )
@@ -1268,6 +1275,7 @@ def simhash_dedup_frame(
         return materialize_and_release(
             _expand_rep_pairs(rep_pairs, mem, "hamming", F.lit(0)), mem, sh
         )
+    GUARD_ACTIVATIONS["simhash_band_cap"] += 1
     # SECOND collapse level — identical FINGERPRINTS (the hole in a
     # purely band-keyed guard): a near-verbatim mega-cluster (1-2-token
     # edits, so NOT collapsed by _collapse_exact) agrees on the

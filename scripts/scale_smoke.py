@@ -171,10 +171,14 @@ def main() -> None:
                 )
                 continue
         sf_dir = build_scaled(spark, r)
+        from datapipe_spark.operators.dedup import GUARD_ACTIVATIONS
+
         timings: dict[str, float] = {}
         rows: dict[str, int] = {}
         errors: dict[str, str] = {}
+        activations: dict[str, dict[str, int]] = {}
         for name in ops:
+            snap = dict(GUARD_ACTIVATIONS)
             t0 = time.perf_counter()
             try:
                 rows[name] = qs[name](spark, sf_dir).count()
@@ -182,11 +186,19 @@ def main() -> None:
                 errors[name] = repr(exc)[:300]
                 continue
             timings[name] = round(time.perf_counter() - t0, 2)
+            fired = {
+                k: GUARD_ACTIVATIONS[k] - snap[k]
+                for k in GUARD_ACTIVATIONS
+                if GUARD_ACTIVATIONS[k] > snap[k]
+            }
+            if fired:
+                activations[name] = fired
         out = {
             "replicas": r,
             "n_docs": spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count(),
             "timings": timings,
             "rows": rows,
+            "guard_activations": activations,
         }
         if errors:
             out["errors"] = errors
