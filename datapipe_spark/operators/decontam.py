@@ -513,7 +513,7 @@ TRAIN_SHARDS = 8
 
 
 def corpus_train_shards(
-    spark: SparkSession, sf_dir: str, n_shards: int = TRAIN_SHARDS
+    spark: SparkSession, sf_dir: str, n_shards: int = TRAIN_SHARDS, epoch: int = 0
 ) -> DataFrame:
     """Deterministic global training-order shuffle + shard layout —
     the manifest a data loader consumes to stream the corpus in a
@@ -528,6 +528,15 @@ def corpus_train_shards(
     runs, row order, and partitioning (same md5 idiom as
     ``corpus_split``).
 
+    ``epoch`` salts the order key (``md5(doc_id || ':' || epoch)``),
+    giving each training epoch an independent deterministic
+    permutation — the multi-epoch reshuffle a training run performs
+    between passes. Epoch 0 keys on the bare doc_id (the original,
+    artifact-stable layout). Reshuffling is manifest-only: token
+    counts are recomputed here from text for self-containment, but no
+    tokenization, dedup, or shard WRITE is implied — a loader reorders
+    reads, it never rewrites the corpus.
+
     Scale: ONE hash shuffle on the uniform shard key, then keyed
     windows (rank + running sum share the same partitioning — one
     sort, no second exchange). The per-shard rank is inherently one
@@ -535,13 +544,16 @@ def corpus_train_shards(
     so a shard fits a task (≈ corpus_bytes / 1 GB at 100 TB, i.e.
     thousands of shards — which is also what a training job wants).
     The 8-shard default exists for the fixed oracle; no driver-side
-    state either way.
+    state either way. Per-epoch cost is identical and epochs are
+    independent (embarrassingly parallel across epochs if a run
+    pre-plans its whole schedule).
     """
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
+    seed = "cast(doc_id as string)" if epoch == 0 else f"concat(cast(doc_id as string), ':{int(epoch)}')"
     skey = F.expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+        f"cast(conv(substring(md5({seed}), 1, 15), 16, 10) as bigint)"
     )
     keyed = d.select(
         "doc_id",
@@ -566,6 +578,43 @@ CORPUS_TRAIN_SHARDS_SQL = f"""
 WITH k AS (
   SELECT doc_id,
          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS skey,
+         len(string_split(text, ' ')) AS token_count
+  FROM documents
+)
+SELECT doc_id,
+       CAST(skey % {TRAIN_SHARDS} AS INT) AS shard_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
+       CAST(token_count AS BIGINT) AS token_count,
+       CAST(COALESCE(SUM(token_count) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS token_offset
+FROM k
+WINDOW w AS (PARTITION BY skey % {TRAIN_SHARDS} ORDER BY skey, doc_id)
+"""
+
+
+# the registry's fixed epoch for the multi-epoch reshuffle oracle — any
+# nonzero epoch exercises the salted-key path; 1 is what a second
+# training pass would request
+TRAIN_EPOCH = 1
+
+
+def corpus_train_shards_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the multi-epoch training reshuffle: the epoch-1
+    manifest — same corpus, same shard count, an independent
+    deterministic permutation (order key salted with the epoch). A
+    training run regenerates this manifest between passes instead of
+    physically rewriting shards; ``tests/test_pipeline_ops.py`` pins
+    that epochs genuinely permute (epoch 0 vs 1 disagree on pos) while
+    each epoch remains byte-stable."""
+    return corpus_train_shards(spark, sf_dir, epoch=TRAIN_EPOCH)
+
+
+CORPUS_TRAIN_SHARDS_EPOCH_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{TRAIN_EPOCH}'), 1, 15)) AS BIGINT)
            AS skey,
          len(string_split(text, ' ')) AS token_count
   FROM documents

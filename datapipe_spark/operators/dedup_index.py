@@ -256,6 +256,83 @@ def append_minhash_index(
     return True
 
 
+def compact_minhash_index(
+    spark: SparkSession,
+    index_dir: str,
+    target_bytes: int | None = None,
+) -> dict:
+    """Maintenance rewrite of an appended band index — the index-side
+    analog of Iceberg's ``rewrite_data_files`` (reference table config
+    task6-ecommerce-tables-config.yaml:51-61 auto-compaction posture,
+    applied to OUR lakehouse artifact instead of a source table).
+
+    Every ``append_minhash_index`` call adds one small file set per
+    part; a long-running corpus gate (the streaming probe-then-append
+    job) therefore grows mem/sigs/bands by O(files) per micro-batch,
+    and probe cost picks up a per-file planning/footer tax that has
+    nothing to do with data volume — the classic small-files failure
+    mode. This rewrites each part back to ⌈bytes/target⌉ files:
+    mem/ and sigs/ are plain compactions; bands/ is a RANGE-CLUSTER on
+    ``band_key`` (one contiguous key slice per file, sorted within), so
+    footer min/max stays selective for the band join surface — the
+    plain-parquet spelling of the bucketed-by-band_key layout a
+    lakehouse table format would declare (module docstring).
+
+    Content-preserving by contract: row sets identical, ``meta.json``
+    (counts + exactly-once watermark) untouched; each part swap is the
+    same atomic directory rename as ``compact_parquet``, so a reader
+    never sees a mix. Probe-equality before/after is oracled by the
+    ``dedup_cross_corpus_compacted`` registry entry and file counts are
+    gated in tests. Returns per-part (files_before, files_after).
+    """
+    from datapipe_spark.operators.maintenance import (
+        TARGET_FILE_BYTES,
+        cluster_parquet,
+        compact_parquet,
+        parquet_file_count,
+    )
+
+    tb = target_bytes or TARGET_FILE_BYTES
+    out: dict = {}
+    for part in ("mem", "sigs"):
+        p = _p(index_dir, part)
+        before = parquet_file_count(p)
+        out[part] = (before, compact_parquet(spark, p, target_bytes=tb))
+    pb = _p(index_dir, "bands")
+    before = parquet_file_count(pb)
+    out["bands"] = (
+        before,
+        cluster_parquet(spark, pb, ["band_key"], target_bytes=tb),
+    )
+    return out
+
+
+def dedup_cross_corpus_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of index compaction: clone the cached corpus index
+    to scratch, rewrite it through ``compact_minhash_index``, then run
+    the standard batch probe against the COMPACTED index. Shares the
+    inline op's oracle (``DEDUP_CROSS_CORPUS_MINHASH_SQL``), so the
+    driver's hash check attests the rewrite dropped, duplicated, and
+    corrupted nothing — the same content-preservation contract
+    ``lineitem_cluster_rewrite`` pins for source tables."""
+    import shutil as _sh
+
+    from datapipe_spark.operators.dedup import _cross_tagged
+    from datapipe_spark.util import fresh_dir
+
+    tagged = _cross_tagged(spark, sf_dir)
+    idx = _cached_corpus_index(
+        spark, sf_dir, tagged.filter(~F.col("is_new")).select("doc_id", "text")
+    )
+    scratch = fresh_dir("minhash_index_compacted")
+    _sh.rmtree(scratch, ignore_errors=True)
+    _sh.copytree(idx, scratch)
+    compact_minhash_index(spark, scratch)
+    return probe_minhash_index(
+        spark, scratch, tagged.filter("is_new").select("doc_id", "text")
+    )
+
+
 def probe_minhash_index(
     spark: SparkSession,
     index_dir: str,

@@ -81,6 +81,20 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "similarity_topk_pq": (similarity.topk_pq, None),  # PQ-ADC ANN
     "knn_join_ivfpq": (similarity.knn_join_ivfpq, None),  # IVF×PQ ANN stack
     "dedup_semantic_ann": (similarity.semantic_dedup_clusters_ann, None),
+    # --- r7 additions (never attested — head by policy) --------------
+    # multi-epoch training reshuffle: epoch-salted order key gives each
+    # pass an independent deterministic permutation, manifest-only
+    "corpus_train_shards_epoch": (
+        decontam.corpus_train_shards_epoch,
+        decontam.CORPUS_TRAIN_SHARDS_EPOCH_SQL,
+    ),
+    # index maintenance driven end to end: small-file compaction +
+    # band_key clustering of the persisted band index must be
+    # content-preserving under the probe's hash oracle
+    "dedup_cross_corpus_compacted": (
+        dedup_index.dedup_cross_corpus_compacted,
+        dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
@@ -201,7 +215,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         layout.lineitem_cluster_rewrite,
         layout.LINEITEM_CLUSTER_REWRITE_SQL,
     ),
-    # --- round-6 additions, first driver-verified in r6 --------------
+    # ================= TAIL (past the driver window) =================
+    # Every tail entry is driver-attested green in at least one of
+    # CORRECTNESS_r01-r06 and stays hash-checked by the committed
+    # REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
+    # --- entries demoted by the r7 rotation (attested r06 / r1-r5) ---
     "dedup_pipeline": (dedup.dedup_pipeline, dedup.DEDUP_PIPELINE_SQL),
     # persisted-band-index probe — same oracle as the inline op by
     # construction (identical texts ⟹ identical signatures ⟹ identical
@@ -210,11 +228,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup_index.dedup_cross_corpus_indexed,
         dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
     ),
-    # ================= TAIL (past the driver window) =================
-    # Every tail entry is driver-attested green in at least one of
-    # CORRECTNESS_r01-r06 and stays hash-checked by the committed
-    # REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
-    # --- entries demoted by the r7 rotation (attested r06 / r1-r5) ---
     # probe-then-append per micro-batch against the growing band index;
     # oracle replays arrival order (matched side arrived strictly
     # earlier: corpus = -1, batch k = k)

@@ -1449,6 +1449,110 @@ def test_corpus_train_shards_loader_contract(spark, sf_dir):
     }
 
 
+def test_epoch_reshuffle_permutes_and_is_stable(spark, sf_dir):
+    """Multi-epoch training reshuffle: a nonzero epoch yields an
+    INDEPENDENT deterministic permutation (most docs move shard or pos
+    vs epoch 0) while preserving the loader contract per shard
+    (contiguous pos, exact running token_offset) and byte-stability
+    within an epoch."""
+    from datapipe_spark.operators.decontam import corpus_train_shards
+
+    key = lambda r: (r["doc_id"], r["shard_id"], r["pos"], r["token_offset"])  # noqa: E731
+    e0 = {r["doc_id"]: r for r in corpus_train_shards(spark, sf_dir).collect()}
+    e1 = {r["doc_id"]: r for r in corpus_train_shards(spark, sf_dir, epoch=1).collect()}
+    e2 = {r["doc_id"]: r for r in corpus_train_shards(spark, sf_dir, epoch=2).collect()}
+    assert set(e0) == set(e1) == set(e2)  # same corpus, reordered only
+    for d in e0:  # token_count is epoch-invariant (reshuffle ≠ re-tokenize)
+        assert e0[d]["token_count"] == e1[d]["token_count"]
+    # genuinely different permutations: an 8-shard uniform rehash keeps a
+    # doc's (shard,pos) only by coincidence — require most to move, and
+    # epochs 1 and 2 to also disagree with each other
+    moved01 = sum(1 for d in e0 if key(e0[d]) != key(e1[d]))
+    moved12 = sum(1 for d in e0 if key(e1[d]) != key(e2[d]))
+    assert moved01 > 0.5 * len(e0) and moved12 > 0.5 * len(e0)
+    # per-shard loader contract holds at every epoch
+    for ep in (e1, e2):
+        by_shard: dict[int, list] = {}
+        for r in ep.values():
+            by_shard.setdefault(r["shard_id"], []).append(r)
+        for rs in by_shard.values():
+            rs.sort(key=lambda r: r["pos"])
+            assert [r["pos"] for r in rs] == list(range(1, len(rs) + 1))
+            run = 0
+            for r in rs:
+                assert r["token_offset"] == run
+                run += r["token_count"]
+    # byte-stable within an epoch
+    again = {key(r) for r in corpus_train_shards(spark, sf_dir, epoch=1).collect()}
+    assert again == {key(r) for r in e1.values()}
+
+
+def test_compact_minhash_index_preserves_probe_and_shrinks_files(spark, tmp_path):
+    """Index compaction is pure layout maintenance: after several
+    appends fragment the parts, compacting must (a) cut file counts,
+    (b) leave every part's row set, meta counts, and the exactly-once
+    watermark untouched, and (c) return the byte-identical probe
+    result."""
+    from datapipe_spark.operators import dedup_index
+    from datapipe_spark.operators.maintenance import parquet_file_count
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "mh_index")
+    dedup_index.build_minhash_index(spark, corpus, idx)
+    # three appends (one per micro-batch, watermarked) fragment each part
+    for i, (did, text) in enumerate(
+        [
+            (11, "sphinx of black quartz judge my vow tonight friends"),
+            (12, "how vexingly quick daft zebras jump around the park"),
+            (13, "the quick brown fox jumps over the lazy dog today"),  # copy
+        ]
+    ):
+        assert dedup_index.append_minhash_index(
+            spark,
+            idx,
+            spark.createDataFrame([(did, text)], ["doc_id", "text"]),
+            batch_id=i,
+        )
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    )
+    before_rows = {
+        p: sorted(map(repr, spark.read.parquet(idx + "/" + p).collect()))
+        for p in ("mem", "sigs", "bands")
+    }
+    before_files = {p: parquet_file_count(idx + "/" + p) for p in ("mem", "sigs", "bands")}
+    probe_before = sorted(
+        map(repr, dedup_index.probe_minhash_index(spark, idx, batch).collect())
+    )
+    meta_before = dedup_index._meta(spark, idx)
+
+    stats = dedup_index.compact_minhash_index(spark, idx)
+    for p in ("mem", "sigs", "bands"):
+        b, a = stats[p]
+        assert b == before_files[p] and a <= b
+        assert a < b or b == 1  # genuinely compacted unless already minimal
+        assert sorted(
+            map(repr, spark.read.parquet(idx + "/" + p).collect())
+        ) == before_rows[p]
+    assert dedup_index._meta(spark, idx) == meta_before  # counts + watermark
+    assert dedup_index.last_applied_batch(spark, idx) == 2
+    probe_after = sorted(
+        map(repr, dedup_index.probe_minhash_index(spark, idx, batch).collect())
+    )
+    assert probe_after == probe_before
+    # replayed batch still skips after compaction (exactly-once intact)
+    assert not dedup_index.append_minhash_index(
+        spark, idx, spark.createDataFrame([(13, "x y z")], ["doc_id", "text"]), batch_id=2
+    )
+
+
 def test_minhash_index_xxhash_mode_matches_md5_pairs(spark, tmp_path):
     """The engine-cheap xxhash64 index (int64 verification sets, 8-byte
     band keys) must find the same pairs at the same jaccard as the
