@@ -208,7 +208,11 @@ def file_column_ranges(path: str, column: str) -> list[tuple[str, object, object
 
 
 def write_train_shards(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_shards: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int | None = None,
+    epoch: int = 0,
 ) -> dict:
     """Materialize ``decontam.corpus_train_shards`` as the physical
     serving layout a training job reads: one ``shard_id=*/`` hive
@@ -222,12 +226,18 @@ def write_train_shards(
     so each output file is pos-sorted even when two shards hash to one
     write task (verified against parquet row order in tests). Returns
     ``{"n_shards", "n_docs", "out_dir"}``.
+
+    ``epoch`` selects which epoch's permutation to materialize (the
+    manifest's salted order key) — normally a loader just regenerates
+    the MANIFEST per epoch and reorders reads over epoch 0's physical
+    layout, but a sequential-I/O-only consumer can rewrite the layout
+    per epoch with this.
     """
     from datapipe_spark.operators.decontam import TRAIN_SHARDS, corpus_train_shards
     from datapipe_spark.sources.tables import load_table
 
     n = n_shards or TRAIN_SHARDS
-    manifest = corpus_train_shards(spark, sf_dir, n_shards=n)
+    manifest = corpus_train_shards(spark, sf_dir, n_shards=n, epoch=epoch)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tmp = out_dir.rstrip("/") + "__staging"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -1179,3 +1179,86 @@ SELECT e.vec_id, e.label,
     6) AS cos_centroid
 FROM e JOIN carr USING (label)
 """
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization of the embedding table
+    (the storage/bandwidth half of vector serving: 4×–8× smaller
+    vectors for ANN shortlists, exact rerank on the float originals) —
+    plus the per-vector reconstruction MSE that tells a pipeline
+    whether int8 is safe for its recall budget. Same quantization
+    family as the PQ codebooks (``_pq_codebooks``) but codebook-free:
+    a global (min, span) pair per dimension.
+
+    Output: ``(vec_id, codes, mse)`` where codes is the comma-joined
+    int8 vector (same driver-safe string form as ``tokenize_with_
+    vocab``) and ``q = clamp(floor((x-mn)/span*255 + 0.5), 0, 255) -
+    128``, reconstruction ``x̂ = mn + (q+128)/255·span``.
+
+    Scale shape: ONE map-side-combinable aggregate pass produces the
+    2·dim global stats (a single driver row, O(dim) state — the same
+    posture as the z-order quantile sketch); the quantize/error pass
+    is a map-only column expression over the array — no shuffle, no
+    explode (the N×dim unnest stays inside each row), no Python.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    dim = int(e.select(F.size("v")).first()[0])
+    row = e.agg(
+        *[F.min(F.element_at("v", i + 1)).alias(f"mn{i}") for i in range(dim)],
+        *[F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(dim)],
+    ).first()
+    mns = [float(row[f"mn{i}"]) for i in range(dim)]
+    spans = [float(row[f"mx{i}"]) - float(row[f"mn{i}"]) for i in range(dim)]
+    qexpr = (
+        "transform(v, (x, i) -> CASE WHEN element_at(spans, i + 1) > 0D"
+        " THEN least(255, greatest(0, cast(floor((x - element_at(mns, i + 1))"
+        " / element_at(spans, i + 1) * 255D + 0.5D) as int)))"
+        " ELSE 0 END)"
+    )
+    mse = (
+        "aggregate(transform(v, (x, i) -> "
+        "(x - (element_at(mns, i + 1) + element_at(qs, i + 1) / 255D"
+        " * element_at(spans, i + 1)))"
+        " * (x - (element_at(mns, i + 1) + element_at(qs, i + 1) / 255D"
+        " * element_at(spans, i + 1)))),"
+        f" 0D, (acc, y) -> acc + y) / {dim}D"
+    )
+    return (
+        e.withColumn("mns", F.array(*[F.lit(m) for m in mns]))
+        .withColumn("spans", F.array(*[F.lit(s) for s in spans]))
+        .withColumn("qs", F.expr(qexpr))
+        .select(
+            "vec_id",
+            F.expr("array_join(transform(qs, c -> cast(c - 128 as string)), ',')").alias(
+                "codes"
+            ),
+            F.round(F.expr(mse), 9).alias("mse"),
+        )
+    )
+
+
+EMBEDDING_QUANTIZE_INT8_SQL = """
+WITH ex AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), st AS (
+  SELECT d, MIN(x) AS mn, MAX(x) - MIN(x) AS span
+  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS d FROM ex)
+  GROUP BY d
+), sa AS (
+  SELECT list(mn ORDER BY d) AS mns, list(span ORDER BY d) AS spans FROM st
+), q AS (
+  SELECT vec_id, v, mns, spans,
+         list_transform(v, (x, i) -> CASE WHEN spans[i] > 0
+           THEN LEAST(255, GREATEST(0, CAST(FLOOR((x - mns[i]) / spans[i] * 255 + 0.5) AS INT)))
+           ELSE 0 END) AS qs
+  FROM ex, sa
+)
+SELECT vec_id,
+       array_to_string(list_transform(qs, c -> CAST(c - 128 AS VARCHAR)), ',') AS codes,
+       ROUND(list_sum(list_transform(v, (x, i) ->
+         (x - (mns[i] + qs[i] / 255.0 * spans[i]))
+         * (x - (mns[i] + qs[i] / 255.0 * spans[i])))) / len(v), 9) AS mse
+FROM q
+"""

@@ -1047,3 +1047,95 @@ SELECT pr.tok, CAST(pr.n_true AS BIGINT) AS n_true,
 FROM probed pr JOIN cells c ON pr.j = c.j AND pr.h = c.h
 GROUP BY pr.tok, pr.n_true
 """
+
+
+BPE_MERGES = 8  # merge rounds for the registry entry (fixed for determinism)
+BPE_EOW = "</w>"  # end-of-word marker (Sennrich-style)
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Distributed BPE tokenizer training — the ranked merge table
+    (``rank, left, right, merged, freq``) a subword tokenizer is built
+    from. Classic corpus→types reduction then greedy merges: symbol
+    sequences start as characters + an end-of-word marker; each round
+    merges the globally most frequent adjacent symbol pair (ties
+    broken lexically — fully deterministic).
+
+    Rows-only by design: the merge loop is an iterative fixpoint over
+    its own previous output, outside SQL's reach (the driver brief's
+    "iterative algorithms" carve-out). Output equality against a
+    pure-Python reference implementation over the full corpus is
+    pinned in tests/test_llm_ops.py instead.
+
+    Scale shape (the standard BPE trick, distributed): pair counting
+    runs over the WORD-TYPE table (one ``groupBy word`` of the corpus,
+    then weight by type frequency), never the corpus itself — on a
+    100 TB corpus the type table is millions of rows, corpus-
+    independent per round. Each round is one map-side-combinable
+    pair-count aggregation + a 1-row argmax to the driver + a map-only
+    fold applying the merge (leftmost, non-overlapping) as a pure JVM
+    array expression — no Python in the row path, driver state
+    O(n_merges). Lineage is truncated per round (localCheckpoint) so
+    plan depth stays constant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    types = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr(f"concat({chars}, array('{BPE_EOW}'))").alias("syms"), "freq"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            types.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, a, b, a + b, n))
+        def _fold(_a: str, _b: str):
+            def fold(acc, x):
+                return F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(_a))
+                    & (x == F.lit(_b)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(_a + _b)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x)))
+
+            return fold
+
+        fold = _fold(a, b)
+        types = types.select(
+            F.aggregate("syms", F.array().cast("array<string>"), fold).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, freq bigint"
+    )

@@ -95,6 +95,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup_index.dedup_cross_corpus_compacted,
         dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
     ),
+    # per-dimension affine int8 vector quantization + reconstruction mse
+    "embedding_quantize_int8": (
+        similarity.embedding_quantize_int8,
+        similarity.EMBEDDING_QUANTIZE_INT8_SQL,
+    ),
+    # distributed BPE tokenizer training — iterative merge loop, outside
+    # SQL's reach (rows-only; pure-Python reference equality tested)
+    "bpe_train_merges": (textstats.bpe_train_merges, None),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
@@ -199,8 +207,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_hopping_hourly": (ev.events_hopping_hourly, ev.EVENTS_HOPPING_HOURLY_SQL),
     # GROUPING SETS companion to orders_status_rollup (cube + bcast dim)
     "segment_status_cube": (analytics.segment_status_cube, analytics.SEGMENT_STATUS_CUBE_SQL),
-    # SCD Type-2 dimension build from the changelog (W5 companion)
-    "cdc_scd2_history": (cdcq.cdc_scd2_history, cdcq.CDC_SCD2_HISTORY_SQL),
     # incremental (cross-corpus) dedup: batch probed against the
     # persisted corpus hash / LSH-band indexes
     "dedup_cross_corpus": (dedup.dedup_cross_corpus, dedup.DEDUP_CROSS_CORPUS_SQL),
@@ -208,6 +214,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.dedup_cross_corpus_minhash,
         dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
     ),
+    # ================= TAIL (past the driver window) =================
+    # Every tail entry is driver-attested green in at least one of
+    # CORRECTNESS_r01-r06 and stays hash-checked by the committed
+    # REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
+    # --- entries demoted by the r7 rotation (attested r06 / r1-r5) ---
+    # SCD Type-2 dimension build from the changelog (W5 companion)
+    "cdc_scd2_history": (cdcq.cdc_scd2_history, cdcq.CDC_SCD2_HISTORY_SQL),
     # layout maintenance driven end to end: cluster rewrite must be
     # content-preserving under the hash oracle (skipping win is
     # stats-gated in tests)
@@ -215,11 +228,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         layout.lineitem_cluster_rewrite,
         layout.LINEITEM_CLUSTER_REWRITE_SQL,
     ),
-    # ================= TAIL (past the driver window) =================
-    # Every tail entry is driver-attested green in at least one of
-    # CORRECTNESS_r01-r06 and stays hash-checked by the committed
-    # REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
-    # --- entries demoted by the r7 rotation (attested r06 / r1-r5) ---
     "dedup_pipeline": (dedup.dedup_pipeline, dedup.DEDUP_PIPELINE_SQL),
     # persisted-band-index probe — same oracle as the inline op by
     # construction (identical texts ⟹ identical signatures ⟹ identical

@@ -1553,6 +1553,82 @@ def test_compact_minhash_index_preserves_probe_and_shrinks_files(spark, tmp_path
     )
 
 
+def test_bpe_train_merges_matches_pure_python_reference(spark, sf_dir):
+    """The distributed merge loop must reproduce, rank for rank, what a
+    textbook single-machine BPE trainer produces on the same corpus:
+    same pairs, same merge order (ties lexical), same weighted
+    frequencies — the rows-only entry's stand-in for a SQL oracle."""
+    from collections import Counter
+
+    from datapipe_spark.operators.textstats import BPE_EOW, BPE_MERGES, bpe_train_merges
+    from datapipe_spark.sources.tables import load_table
+
+    freqs = Counter(
+        w
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+        for w in r["text"].split(" ")
+        if w
+    )
+    types: dict[tuple, int] = {}
+    for w, f in freqs.items():
+        t = tuple(list(w) + [BPE_EOW])
+        types[t] = types.get(t, 0) + f
+    ref = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts: Counter = Counter()
+        for syms, f in types.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ref.append((rank, a, b, a + b, n))
+        nxt: dict[tuple, int] = {}
+        for syms, f in types.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            t = tuple(out)
+            nxt[t] = nxt.get(t, 0) + f
+        types = nxt
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["freq"])
+        for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    assert got == ref
+
+
+def test_embedding_quantize_int8_roundtrip_properties(spark, sf_dir):
+    """Codes are genuine int8 (every value in [-128, 127], extremes
+    attained per the affine range), and reconstruction error is
+    bounded by half a quantization step per dimension."""
+    from datapipe_spark.operators.similarity import embedding_quantize_int8
+    from datapipe_spark.sources.tables import load_table
+
+    rows = embedding_quantize_int8(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    all_codes = [int(c) for r in rows for c in r["codes"].split(",")]
+    assert min(all_codes) >= -128 and max(all_codes) <= 127
+    assert min(all_codes) == -128 and max(all_codes) == 127  # affine extremes
+    # per-dim |error| ≤ step/2 + float slop ⇒ mse ≤ (max_span/255/2)^2
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    dims = len(emb[0]["embedding"])
+    mx_span = max(
+        max(e["embedding"][d] for e in emb) - min(e["embedding"][d] for e in emb)
+        for d in range(dims)
+    )
+    bound = (mx_span / 255 / 2) ** 2 * 1.01
+    assert all(r["mse"] <= bound for r in rows), max(r["mse"] for r in rows)
+    assert all(r["mse"] >= 0 for r in rows)
+    assert math.isfinite(sum(r["mse"] for r in rows))
+
+
 def test_minhash_index_xxhash_mode_matches_md5_pairs(spark, tmp_path):
     """The engine-cheap xxhash64 index (int64 verification sets, 8-byte
     band keys) must find the same pairs at the same jaccard as the

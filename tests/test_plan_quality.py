@@ -334,6 +334,25 @@ def test_round5_anchor_joins_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan, fn.__name__
 
 
+def test_train_shards_single_exchange_shared_by_windows(spark, sf_dir):
+    """The shard manifest claims ONE uniform hash exchange with the
+    rank and running-token-sum windows fused on it (decontam
+    docstring). Pin it for every epoch: a second Exchange means the
+    windows stopped sharing their partitioning and the op doubled its
+    shuffle at 100 TB."""
+    import re
+
+    from datapipe_spark.operators.decontam import corpus_train_shards
+
+    for epoch in (0, 1):
+        plan = _plan(spark, corpus_train_shards(spark, sf_dir, epoch=epoch))
+        # formatted mode names each node once in the tree and once in
+        # its detail header "(n) Exchange" — count the headers
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, (epoch, plan)
+        assert len(re.findall(r"\(\d+\) Window", plan)) == 1  # windows fused
+
+
 def test_funnel_scan_prunes_to_needed_columns(spark, sf_dir):
     """The ordered funnel reads (ts, user_id, event_type) only —
     value/props must be pruned at the scan."""

@@ -36,6 +36,7 @@ ROWS_ONLY_BY_DESIGN = {
     "knn_join_ivfpq",
     "dedup_semantic_ann",
     "lineage_orders_raw",
+    "bpe_train_merges",  # iterative merge fixpoint; reference-equality tested
 }
 
 
