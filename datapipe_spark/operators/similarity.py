@@ -348,6 +348,36 @@ def append_ivf_index(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -
     ).partitionBy("qcell").parquet(index_dir.rstrip("/") + "/cells")
 
 
+def compact_ivf_index(
+    spark: SparkSession, index_dir: str, target_bytes: int | None = None
+) -> tuple:
+    """Small-file maintenance for an appended IVF index — the ANN twin
+    of ``dedup_index.compact_minhash_index``. Every ``append_ivf_
+    index`` call adds one file per touched ``qcell=`` partition; a
+    vector firehose therefore grows the cells table by O(files) per
+    batch and probe latency picks up a per-file footer tax unrelated
+    to data volume. This rewrites ``cells/`` back to ⌈bytes/target⌉
+    files while PRESERVING the hive ``qcell=`` layout (the partition
+    pruning that makes probes read only nprobe cells — re-asserted by
+    the probe plan gate after compaction in tests). ``centroids/`` is
+    never touched: the frozen quantizer IS the index contract.
+    Content-preserving atomic dir swap; returns (files_before,
+    files_after)."""
+    from datapipe_spark.operators.maintenance import (
+        TARGET_FILE_BYTES,
+        compact_parquet,
+        parquet_file_count,
+    )
+
+    cells = index_dir.rstrip("/") + "/cells"
+    before = parquet_file_count(cells)
+    after = compact_parquet(
+        spark, cells, target_bytes=target_bytes or TARGET_FILE_BYTES,
+        partition_cols=["qcell"],
+    )
+    return before, after
+
+
 def topk_ivf_index(
     spark: SparkSession,
     sf_dir: str,
@@ -1204,7 +1234,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    dim = int(e.select(F.size("v")).first()[0])
+    first = e.select(F.size("v")).first()
+    if first is None:  # empty table: nothing to fit stats on
+        return spark.createDataFrame([], "vec_id bigint, codes string, mse double")
+    dim = int(first[0])
     row = e.agg(
         *[F.min(F.element_at("v", i + 1)).alias(f"mn{i}") for i in range(dim)],
         *[F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(dim)],

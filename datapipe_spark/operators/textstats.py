@@ -1139,3 +1139,69 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, freq bigint"
     )
+
+
+# trained merge tables, memoized per (documents parquet identity,
+# n_merges) — the "model file" a tokenizer ships; O(n_merges) rows each
+_BPE_MERGE_CACHE: dict[tuple, list] = {}
+
+
+def bpe_tokenize(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Apply the trained BPE merge table to the corpus — the consumer
+    half of ``bpe_train_merges``: every document tokenized to subwords
+    by replaying the k merges in rank order (leftmost,
+    non-overlapping — byte-identical semantics to training, so
+    training words re-tokenize to exactly their final training
+    symbols).
+
+    Output ``(doc_id, n_tokens, tokens)`` with tokens space-joined
+    (driver-safe scalar, ``</w>`` marks word ends). Rows-only by
+    design: the merge table is a data-derived model (same carve-out as
+    ``lang_id_ngram``); reference equality vs a pure-Python
+    tokenizer is pinned in tests.
+
+    Scale shape: the k folds compose into ONE map-only projection —
+    k nested pure-JVM array folds, no shuffle, no Python, no extra
+    pass per merge (tokenizing 100 TB costs one scan regardless of
+    k). Driver state is the O(k) collected merge table, exactly what
+    any BPE tokenizer ships as its model file — and like a model file
+    it is trained once per dataset and memoized (keyed by the
+    documents parquet's identity, the ``_cached_corpus_index``
+    posture), so repeated tokenization pays only the map pass.
+    """
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns, n_merges)
+    if key not in _BPE_MERGE_CACHE:
+        _BPE_MERGE_CACHE[key] = (
+            bpe_train_merges(spark, sf_dir, n_merges).orderBy("rank").collect()
+        )
+    merges = _BPE_MERGE_CACHE[key]
+    docs = load_table(spark, sf_dir, "documents")
+
+    def q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    expr = (
+        "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+        f" array('{q(BPE_EOW)}'))"
+    )
+    for lvl, m in enumerate(merges):
+        a, b = q(m["left"]), q(m["right"])
+        expr = (
+            f"aggregate({expr}, cast(array() as array<string>),"
+            f" (acc{lvl}, x{lvl}) -> CASE WHEN size(acc{lvl}) > 0"
+            f" AND element_at(acc{lvl}, -1) = '{a}' AND x{lvl} = '{b}'"
+            f" THEN concat(slice(acc{lvl}, 1, size(acc{lvl}) - 1), array('{a}{b}'))"
+            f" ELSE concat(acc{lvl}, array(x{lvl})) END)"
+        )
+    toks = f"flatten(transform(filter(split(text, ' '), w -> w <> ''), w -> {expr}))"
+    return docs.selectExpr(
+        "doc_id",
+        f"cast(size({toks}) as bigint) AS n_tokens",
+        f"array_join({toks}, ' ') AS tokens",
+    )

@@ -103,6 +103,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # distributed BPE tokenizer training — iterative merge loop, outside
     # SQL's reach (rows-only; pure-Python reference equality tested)
     "bpe_train_merges": (textstats.bpe_train_merges, None),
+    # ...and its consumer: corpus tokenization with the learned merges
+    # (k folds fused into one map pass; rows-only — data-derived model)
+    "bpe_tokenize": (textstats.bpe_tokenize, None),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
@@ -210,15 +213,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # incremental (cross-corpus) dedup: batch probed against the
     # persisted corpus hash / LSH-band indexes
     "dedup_cross_corpus": (dedup.dedup_cross_corpus, dedup.DEDUP_CROSS_CORPUS_SQL),
-    "dedup_cross_corpus_minhash": (
-        dedup.dedup_cross_corpus_minhash,
-        dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
-    ),
     # ================= TAIL (past the driver window) =================
     # Every tail entry is driver-attested green in at least one of
     # CORRECTNESS_r01-r06 and stays hash-checked by the committed
     # REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
     # --- entries demoted by the r7 rotation (attested r06 / r1-r5) ---
+    "dedup_cross_corpus_minhash": (
+        dedup.dedup_cross_corpus_minhash,
+        dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
+    ),
     # SCD Type-2 dimension build from the changelog (W5 companion)
     "cdc_scd2_history": (cdcq.cdc_scd2_history, cdcq.CDC_SCD2_HISTORY_SQL),
     # layout maintenance driven end to end: cluster rewrite must be

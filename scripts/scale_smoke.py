@@ -70,6 +70,11 @@ DOC_OPS = [
     "dedup_pipeline",
     "dedup_cross_corpus_indexed",
     "corpus_train_shards",
+    # round-7 additions
+    "corpus_train_shards_epoch",
+    "dedup_cross_corpus_compacted",
+    "bpe_train_merges",
+    "bpe_tokenize",
 ]
 EMB_OPS = [
     "similarity_topk",
@@ -79,6 +84,7 @@ EMB_OPS = [
     "knn_join_ivfpq",
     "dedup_semantic_ann",
     "label_centroid_outliers",
+    "embedding_quantize_int8",
 ]
 QUADRATIC_EMB_OPS = ["embedding_near_dup", "dedup_semantic"]  # run only at R <= 10
 

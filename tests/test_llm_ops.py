@@ -277,6 +277,56 @@ def test_ivf_persisted_index_equals_inline(spark, sf_dir):
     assert top["neighbor_id"] == 10_000 and top["cosine"] >= 0.9999
 
 
+def test_compact_ivf_index_preserves_probe_and_layout(spark, sf_dir):
+    """IVF index compaction after fragmenting appends must cut file
+    counts, keep the qcell= hive layout (probe still partition-prunes),
+    leave the frozen quantizer untouched, and return the byte-identical
+    probe result."""
+    import os
+
+    from datapipe_spark.util import fresh_dir
+
+    idx_dir = fresh_dir("test_ivf_index_compact")
+    similarity.build_ivf_index(spark, sf_dir, idx_dir, nlist=10)
+    # several 1-row appends fragment the touched cell partitions
+    base = (
+        similarity.load_table(spark, sf_dir, "embeddings")
+        .limit(3)
+        .select("vec_id", similarity._as_double("embedding").alias("v"))
+        .collect()
+    )
+    for j, r in enumerate(base):
+        similarity.append_ivf_index(
+            spark,
+            idx_dir,
+            spark.createDataFrame(
+                [(20_000 + j, [x * 1.0001 + 1e-7 for x in r["v"]])],
+                "vec_id long, v array<double>",
+            ),
+        )
+    cent_before = sorted(
+        map(tuple, spark.read.parquet(idx_dir + "/centroids").collect())
+    )
+    probe_before = sorted(
+        map(tuple, similarity.topk_ivf_index(spark, sf_dir, idx_dir, nprobe=3).collect())
+    )
+    from datapipe_spark.operators.maintenance import parquet_file_count
+
+    before, after = similarity.compact_ivf_index(spark, idx_dir)
+    assert parquet_file_count(idx_dir + "/cells") == after
+    assert after < before
+    # hive layout intact and probe still partition-prunes + matches
+    assert any(d.startswith("qcell=") for d in os.listdir(idx_dir + "/cells"))
+    out = similarity.topk_ivf_index(spark, sf_dir, idx_dir, nprobe=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "qcell" in plan.split("PartitionFilters")[1][:300]
+    assert sorted(map(tuple, out.collect())) == probe_before
+    assert (
+        sorted(map(tuple, spark.read.parquet(idx_dir + "/centroids").collect()))
+        == cent_before
+    )
+
+
 def test_lang_id_output_shape(spark, sf_dir):
     out = textstats.lang_id_ngram(spark, sf_dir)
     rows = out.collect()
@@ -1599,6 +1649,45 @@ def test_bpe_train_merges_matches_pure_python_reference(spark, sf_dir):
         for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
     ]
     assert got == ref
+
+
+def test_bpe_tokenize_matches_pure_python_application(spark, sf_dir):
+    """Applying the merge table corpus-wide (one fused map pass) must
+    equal a pure-Python tokenizer replaying the same merges per word —
+    and training words must re-tokenize to their final training
+    symbols (BPE's self-consistency property)."""
+    from datapipe_spark.operators.textstats import (
+        BPE_EOW,
+        bpe_tokenize,
+        bpe_train_merges,
+    )
+    from datapipe_spark.sources.tables import load_table
+
+    merges = [
+        (r["left"], r["right"]) for r in bpe_train_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+
+    def tok(word: str) -> list:
+        out = list(word) + [BPE_EOW]
+        for a, b in merges:
+            nxt: list = []
+            for x in out:
+                if nxt and nxt[-1] == a and x == b:
+                    nxt[-1] = a + b
+                else:
+                    nxt.append(x)
+            out = nxt
+        return out
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tokens"])
+        for r in bpe_tokenize(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert set(got) == {r["doc_id"] for r in docs}
+    for r in docs:
+        ref = [t for w in r["text"].split(" ") if w for t in tok(w)]
+        assert got[r["doc_id"]] == (len(ref), " ".join(ref)), r["doc_id"]
 
 
 def test_embedding_quantize_int8_roundtrip_properties(spark, sf_dir):

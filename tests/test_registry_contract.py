@@ -37,6 +37,7 @@ ROWS_ONLY_BY_DESIGN = {
     "dedup_semantic_ann",
     "lineage_orders_raw",
     "bpe_train_merges",  # iterative merge fixpoint; reference-equality tested
+    "bpe_tokenize",  # applies the data-derived merge model; reference-tested
 }
 
 
