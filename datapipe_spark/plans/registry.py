@@ -106,6 +106,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ...and its consumer: corpus tokenization with the learned merges
     # (k folds fused into one map pass; rows-only — data-derived model)
     "bpe_tokenize": (textstats.bpe_tokenize, None),
+    # the temporal range join as Spark's BUILT-IN stream-stream interval
+    # join (watermarked both sides, engine-evicted state) — same oracle
+    # as the batch twin
+    "streaming_error_purchase_windows": (
+        stream.streaming_error_purchase_windows,
+        ev.ERROR_PURCHASE_WINDOWS_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
@@ -210,14 +217,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "events_hopping_hourly": (ev.events_hopping_hourly, ev.EVENTS_HOPPING_HOURLY_SQL),
     # GROUPING SETS companion to orders_status_rollup (cube + bcast dim)
     "segment_status_cube": (analytics.segment_status_cube, analytics.SEGMENT_STATUS_CUBE_SQL),
-    # incremental (cross-corpus) dedup: batch probed against the
-    # persisted corpus hash / LSH-band indexes
-    "dedup_cross_corpus": (dedup.dedup_cross_corpus, dedup.DEDUP_CROSS_CORPUS_SQL),
     # ================= TAIL (past the driver window) =================
     # Every tail entry is driver-attested green in at least one of
     # CORRECTNESS_r01-r06 and stays hash-checked by the committed
     # REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
     # --- entries demoted by the r7 rotation (attested r06 / r1-r5) ---
+    # incremental (cross-corpus) dedup: batch probed against the
+    # persisted corpus hash / LSH-band indexes
+    "dedup_cross_corpus": (dedup.dedup_cross_corpus, dedup.DEDUP_CROSS_CORPUS_SQL),
     "dedup_cross_corpus_minhash": (
         dedup.dedup_cross_corpus_minhash,
         dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,

@@ -322,6 +322,75 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ntz(spark.read.parquet(sink))
 
 
+def streaming_error_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal range join's streaming form, as Spark's BUILT-IN
+    stream-stream interval join — not a stateful UDF: errors and
+    purchases are two watermarked streams over the shared drop replay,
+    joined on user equality + a purchase-time interval
+    (``error_ts ≤ purchase_ts ≤ error_ts + window``). Spark buffers
+    each side in join state and evicts by watermark; with the drops
+    replaying in chronological chunks nothing is ever late, so the
+    inner join emits exactly the batch twin's rows and shares its
+    DuckDB oracle (``ERROR_PURCHASE_WINDOWS_SQL``).
+
+    State posture at 100 TB: the interval condition bounds each side's
+    buffered range to the window + watermark delay — state is
+    O(traffic × window), independent of stream lifetime, and the
+    eviction is the engine's, not application code. Contrast with
+    ``streaming_purchase_attribution``, whose per-user last-touch
+    state is the applyInPandasWithState form of a DIFFERENT join
+    (as-of, unbounded lookback)."""
+    from datapipe_spark.plans.events_queries import _ERROR_WINDOW_MINUTES
+
+    out = src.fresh_dir("ss_interval_join")
+    sink = os.path.join(out, "sink")
+
+    events = _events_stream(spark, sf_dir, sentinel=True).filter(
+        F.col("event_type") != src.SENTINEL_TYPE
+    )
+    delay = f"{_ERROR_WINDOW_MINUTES} minutes"
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user_id"),
+            F.col("event_id").alias("error_event_id"),
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", delay)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            money("value").cast("double").alias("purchase_amount"),
+        )
+        .withWatermark("purchase_ts", delay)
+    )
+    joined = purchases.join(
+        errors,
+        F.expr(
+            "user_id = e_user_id AND purchase_ts >= error_ts AND "
+            f"purchase_ts <= error_ts + INTERVAL {_ERROR_WINDOW_MINUTES} MINUTES"
+        ),
+    ).select(
+        "user_id",
+        "error_event_id",
+        "purchase_event_id",
+        ((epoch_us("purchase_ts") - epoch_us("error_ts")) / 1_000_000.0).alias(
+            "seconds_after_error"
+        ),
+        "purchase_amount",
+    )
+    with _stream_shuffle(spark):
+        _run(
+            joined.writeStream.format("parquet").option("path", sink),
+            os.path.join(out, "cp"),
+        )
+    return _ntz(spark.read.parquet(sink))
+
+
 def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4/T6 production form of the incremental corpus quality gate:
     document batches arrive as micro-batches; inside one foreachBatch

@@ -48,6 +48,20 @@ def test_streaming_attribution_equals_batch_and_oracle(spark, sf_dir):
     )
 
 
+def test_stream_stream_interval_join_equals_batch_and_oracle(spark, sf_dir):
+    """The built-in stream-stream interval join (watermarked error and
+    purchase streams, engine-evicted state) must emit exactly the
+    batch range join's rows and match its DuckDB oracle."""
+    got = jobs.streaming_error_purchase_windows(spark, sf_dir)
+    assert _rows(got) == _rows(ev.error_purchase_windows(spark, sf_dir))
+    compare_to_oracle(
+        spark,
+        jobs.streaming_error_purchase_windows,
+        ev.ERROR_PURCHASE_WINDOWS_SQL,
+        sf_dir,
+    )
+
+
 def test_streaming_dedup_restores_exactly_once(spark, sf_dir):
     from datapipe_spark.sources.tables import load_table
 
