@@ -94,3 +94,44 @@ def point_in_interval_join(
         if f.name not in extra_keys
     ]
     return inner.unionByName(unmatched.select("*", *null_cols)).drop(_ID)
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Feature-store point-in-time join: each fact row picks the
+    dimension VERSION whose effectivity window contains its timestamp
+    (``valid_from ≤ fact_ts < valid_to``, open-ended ``valid_to`` =
+    still current) — the join that keeps training features leak-free
+    by never reading a version newer than the fact. With ``how='left'``
+    facts outside every window (e.g. after a delete-tombstone closed
+    history) keep null dimension columns.
+
+    Unlike ``point_in_interval_join`` this needs NO bucketing: SCD2
+    windows are non-overlapping per key and keys are selective, so the
+    natural plan is already a KEYED equi-join on ``key`` with the
+    range as a join filter — one hash shuffle, versions-per-key
+    bounded by update frequency, no interval explosion and no BNLJ
+    (plan-gated in tests via the registry form,
+    ``plans/cdc_queries.lineitem_pit_status_rollup``). Version columns
+    keep their names; the caller resolves any collisions beforehand.
+    """
+    f = facts.alias("f")
+    v = versions.alias("v")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"v.{key}"))
+        & (F.col(f"f.{fact_ts}") >= F.col(f"v.{valid_from}"))
+        & (
+            F.col(f"v.{valid_to}").isNull()
+            | (F.col(f"f.{fact_ts}") < F.col(f"v.{valid_to}"))
+        )
+    )
+    return f.join(v, cond, how).select(
+        "f.*", *[F.col(f"v.{c}") for c in versions.columns if c != key]
+    )

@@ -237,6 +237,63 @@ FROM versions WHERE __op <> 'd'
 """
 
 
+def lineitem_pit_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct dimension enrichment — the feature-store
+    join that keeps training data leak-free: each lineitem picks the
+    order-status VERSION whose SCD2 effectivity window contains its
+    ship time (never the current status, which would leak the future
+    into features computed "as of" ship time). Items shipped after the
+    order's delete-tombstone closed its history enrich to NULL — the
+    dimension genuinely had no row then.
+
+    Composition: ``cdc_scd2_history`` (the versioned dimension) left-
+    joined on (order key, ``valid_from ≤ ship_ts < valid_to``), rolled
+    up by status × ship month so the result is audit-sized.
+
+    Scale: ONE hash shuffle on the order key for the join (versions
+    per key are bounded — ≤2 dimension rows — so the range predicate
+    filters inside each key group; no interval explosion, no BNLJ),
+    then a map-side-combinable rollup. The same plan a feature store
+    runs at 100 TB: facts shuffle once, dimension history co-partitions.
+    """
+    from datapipe_spark.operators.rangejoin import point_in_time_join
+    from datapipe_spark.sources.tables import load_table
+
+    hist = cdc_scd2_history(spark, sf_dir).select(
+        "id", "status", "valid_from", "valid_to"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("_qty"),
+    )
+    joined = point_in_time_join(li, hist, key="id", fact_ts="ship_ts")
+    return joined.groupBy(
+        F.col("status").alias("status_at_ship"),
+        F.year("ship_ts").alias("ship_year"),
+        F.month("ship_ts").alias("ship_month"),
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.sum("_qty").cast("double").alias("sum_qty"),
+    )
+
+
+LINEITEM_PIT_STATUS_ROLLUP_SQL = f"""
+WITH hist AS ({CDC_SCD2_HISTORY_SQL})
+SELECT h.status AS status_at_ship,
+       YEAR(CAST(l.l_shipdate AS TIMESTAMP)) AS ship_year,
+       MONTH(CAST(l.l_shipdate AS TIMESTAMP)) AS ship_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+LEFT JOIN hist h
+  ON l.l_orderkey = h.id
+ AND CAST(l.l_shipdate AS TIMESTAMP) >= h.valid_from
+ AND (h.valid_to IS NULL OR CAST(l.l_shipdate AS TIMESTAMP) < h.valid_to)
+GROUP BY 1, 2, 3
+"""
+
+
 def _multi_summary_sql() -> str:
     from datapipe_spark.sources.cdc import CDC_TABLES
 

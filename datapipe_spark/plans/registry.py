@@ -113,6 +113,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream.streaming_error_purchase_windows,
         ev.ERROR_PURCHASE_WINDOWS_SQL,
     ),
+    # feature-store point-in-time join: facts pick the SCD2 version
+    # valid at event time (leak-free training features)
+    "lineitem_pit_status_rollup": (
+        cdcq.lineitem_pit_status_rollup,
+        cdcq.LINEITEM_PIT_STATUS_ROLLUP_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
@@ -215,13 +221,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "error_purchase_windows": (ev.error_purchase_windows, ev.ERROR_PURCHASE_WINDOWS_SQL),
     # T5 extended: hopping (sliding) window aggregation
     "events_hopping_hourly": (ev.events_hopping_hourly, ev.EVENTS_HOPPING_HOURLY_SQL),
-    # GROUPING SETS companion to orders_status_rollup (cube + bcast dim)
-    "segment_status_cube": (analytics.segment_status_cube, analytics.SEGMENT_STATUS_CUBE_SQL),
     # ================= TAIL (past the driver window) =================
     # Every tail entry is driver-attested green in at least one of
     # CORRECTNESS_r01-r06 and stays hash-checked by the committed
     # REPLICA_SWEEP artifacts (sf0.01 + sf0.1) each round.
     # --- entries demoted by the r7 rotation (attested r06 / r1-r5) ---
+    # GROUPING SETS companion to orders_status_rollup (cube + bcast dim)
+    "segment_status_cube": (analytics.segment_status_cube, analytics.SEGMENT_STATUS_CUBE_SQL),
     # incremental (cross-corpus) dedup: batch probed against the
     # persisted corpus hash / LSH-band indexes
     "dedup_cross_corpus": (dedup.dedup_cross_corpus, dedup.DEDUP_CROSS_CORPUS_SQL),

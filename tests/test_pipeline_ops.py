@@ -545,6 +545,50 @@ def test_multi_table_changelog_topology(spark, sf_dir):
     assert ops == {"c", "u", "d"}
 
 
+def test_point_in_time_join_version_selection(spark):
+    """The generic PIT join must pick exactly the version whose window
+    contains the fact ts: before-history and after-tombstone facts get
+    null, boundary ts is inclusive-from / exclusive-to, open-ended
+    current versions match everything later."""
+    from datapipe_spark.operators.rangejoin import point_in_time_join
+
+    versions = spark.createDataFrame(
+        [
+            # key 1: v1 [10, 20), v2 [20, 30), tombstone closed at 30
+            (1, "v1", 10.0, 20.0),
+            (1, "v2", 20.0, 30.0),
+            # key 2: single open-ended current version
+            (2, "cur", 15.0, None),
+        ],
+        "id int, status string, valid_from double, valid_to double",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5.0), (1, 10.0), (1, 19.9), (1, 20.0), (1, 29.9), (1, 30.0), (1, 99.0),
+         (2, 14.9), (2, 15.0), (2, 1e6), (3, 50.0)],
+        "id int, ts double",
+    )
+    got = {
+        (r["id"], r["ts"]): r["status"]
+        for r in point_in_time_join(facts, versions, key="id", fact_ts="ts").collect()
+    }
+    assert got == {
+        (1, 5.0): None,     # before history
+        (1, 10.0): "v1",    # inclusive from
+        (1, 19.9): "v1",
+        (1, 20.0): "v2",    # exclusive to / inclusive next-from
+        (1, 29.9): "v2",
+        (1, 30.0): None,    # after tombstone closed history
+        (1, 99.0): None,
+        (2, 14.9): None,
+        (2, 15.0): "cur",   # open-ended current
+        (2, 1e6): "cur",
+        (3, 50.0): None,    # key with no dimension history at all
+    }
+    # inner form drops the no-match facts instead
+    inner = point_in_time_join(facts, versions, key="id", fact_ts="ts", how="inner")
+    assert inner.count() == sum(1 for v in got.values() if v is not None)
+
+
 def test_point_in_interval_join_equivalence_and_plan(spark):
     """Bucketed range join must equal the naive cross-join filter for
     inner AND left, and must plan as an equi-join (no nested loop)."""

@@ -334,6 +334,20 @@ def test_round5_anchor_joins_broadcast(spark, sf_dir):
         assert "CartesianProduct" not in plan, fn.__name__
 
 
+def test_pit_join_is_keyed_not_nested_loop(spark, sf_dir):
+    """The point-in-time enrichment must execute as a KEYED join on
+    the order key (hash/sort-merge/broadcast-hash) with the effectivity
+    range as a join filter — never a nested-loop or cartesian plan,
+    which is what a naive inequality-only spelling degrades to and
+    what dies first at 100 TB."""
+    from datapipe_spark.plans import cdc_queries as cdcq
+
+    plan = _plan(spark, cdcq.lineitem_pit_status_rollup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")), plan
+
+
 def test_train_shards_single_exchange_shared_by_windows(spark, sf_dir):
     """The shard manifest claims ONE uniform hash exchange with the
     rank and running-token-sum windows fused on it (decontam
