@@ -1231,9 +1231,19 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a map-only column expression over the array — no shuffle, no
     explode (the N×dim unnest stays inside each row), no Python.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
+    return quantize_int8_frame(
+        spark,
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("v")
+        ),
     )
+
+
+def quantize_int8_frame(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Frame-level form of ``embedding_quantize_int8`` over any
+    ``(vec_id, v array<double>)`` frame — the public operator; the
+    registry entry binds it to the embeddings table. Numpy-model
+    equality is property-tested over random tables."""
     first = e.select(F.size("v")).first()
     if first is None:  # empty table: nothing to fit stats on
         return spark.createDataFrame([], "vec_id bigint, codes string, mse double")

@@ -571,3 +571,120 @@ def test_dedup_pipeline_verbatim_completeness_model(spark_prop, ws):
         if same_sig:
             assert out[i]["status"] == "near_dup"
             assert out[i]["canonical_id"] <= min(same_sig)
+
+
+# --- point-in-time join property ---------------------------------------------
+
+_pit_versions = st.dictionaries(
+    st.integers(min_value=1, max_value=4),  # dimension key
+    st.tuples(
+        st.lists(
+            st.integers(min_value=0, max_value=100), min_size=1, max_size=4,
+            unique=True,
+        ),
+        st.booleans(),  # history closed by a tombstone?
+    ),
+    min_size=1,
+    max_size=4,
+)
+_pit_facts = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # key (5 = may miss history)
+        st.integers(min_value=-5, max_value=110),  # fact ts
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vspec=_pit_versions, facts=_pit_facts)
+def test_point_in_time_join_matches_brute_force(spark_prop, vspec, facts):
+    """For arbitrary non-overlapping version histories (optionally
+    tombstone-closed) and arbitrary facts, the PIT join must pick
+    exactly the version whose [valid_from, valid_to) window contains
+    the fact ts — and null where no window does."""
+    from datapipe_spark.operators.rangejoin import point_in_time_join
+
+    versions = []  # (key, label, valid_from, valid_to|None)
+    for k, (bounds, closed) in vspec.items():
+        b = sorted(bounds)
+        wins = [(b[i], b[i + 1]) for i in range(len(b) - 1)]
+        if closed:
+            # last boundary is the tombstone ts closing history; with a
+            # single boundary the history is create+delete → no rows
+            if not wins:
+                continue
+        else:
+            wins.append((b[-1], None))
+        for i, (vf, vt) in enumerate(wins):
+            versions.append((k, f"k{k}v{i}", vf, vt))
+    if not versions:
+        versions = [(1, "k1v0", 0, None)]
+
+    vdf = spark_prop.createDataFrame(
+        versions, "id int, label string, valid_from int, valid_to int"
+    )
+    fdf = spark_prop.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(facts)], "fid int, id int, ts int"
+    )
+    got = {
+        r["fid"]: r["label"]
+        for r in point_in_time_join(fdf, vdf, key="id", fact_ts="ts").collect()
+    }
+
+    def model(k, ts):
+        for kk, label, vf, vt in versions:
+            if kk == k and vf <= ts and (vt is None or ts < vt):
+                return label
+        return None
+
+    assert len(got) == len(facts)  # left join: every fact exactly once
+    for i, (k, ts) in enumerate(facts):
+        assert got[i] == model(k, ts), (k, ts, got[i], model(k, ts))
+
+
+# --- int8 quantization property ----------------------------------------------
+
+_quant_tables = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=_quant_tables)
+def test_quantize_int8_matches_numpy_model(spark_prop, vecs):
+    """Codes and reconstruction MSE must equal a numpy reference of the
+    same affine formula — including constant dimensions (span 0 → code
+    -128, zero error contribution) and extreme values."""
+    import numpy as np
+
+    from datapipe_spark.operators.similarity import quantize_int8_frame
+
+    e = spark_prop.createDataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>",
+    )
+    got = {r["vec_id"]: r for r in quantize_int8_frame(spark_prop, e).collect()}
+
+    x = np.asarray(vecs, dtype=np.float64)
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    span = mx - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor((x - mn) / span * 255 + 0.5)
+    q = np.where(span > 0, np.clip(q, 0, 255), 0).astype(int)
+    xhat = mn + q / 255.0 * span
+    mse = ((x - xhat) ** 2).sum(axis=1) / x.shape[1]
+
+    assert set(got) == set(range(len(vecs)))
+    for i in range(len(vecs)):
+        assert got[i]["codes"] == ",".join(str(c - 128) for c in q[i])
+        assert abs(got[i]["mse"] - mse[i]) <= 1e-9 + 1e-6 * abs(mse[i])
