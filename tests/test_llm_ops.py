@@ -1830,3 +1830,68 @@ def test_minhash_bucket_guard_inactive_at_oracle_scale(spark, sf_dir):
     default = {tuple(r) for r in dedup_pipeline_frame(d).collect()}
     unguarded = {tuple(r) for r in dedup_pipeline_frame(d, bucket_cap=10**9).collect()}
     assert default == unguarded
+
+
+def test_bpe_train_merges_degenerate_corpora(spark):
+    """Single-char words exhaust merges (char+EOW pair only) and the
+    loop must stop early instead of erroring; n_merges=0 returns an
+    empty, correctly-typed table."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("s")
+        ).withColumn("n_chars", F.length("text")).write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = ts.bpe_train_merges(spark, d, n_merges=10).collect()
+        # 'a'+EOW and 'b'+EOW are the only possible merges; loop stops
+        assert [(r["rank"], r["merged"]) for r in out] == [
+            (1, f"a{ts.BPE_EOW}"),
+            (2, f"b{ts.BPE_EOW}"),
+        ]
+        assert ts.bpe_train_merges(spark, d, n_merges=0).count() == 0
+
+
+def test_quantize_int8_single_vector_all_constant(spark):
+    """One vector ⇒ every dimension constant ⇒ all codes -128 and
+    exact reconstruction (mse 0)."""
+    from datapipe_spark.operators.similarity import quantize_int8_frame
+
+    e = spark.createDataFrame([(7, [1.5, -2.0, 0.0])], "vec_id long, v array<double>")
+    rows = quantize_int8_frame(spark, e).collect()
+    assert len(rows) == 1
+    assert rows[0]["codes"] == "-128,-128,-128"
+    assert rows[0]["mse"] == 0.0
+
+
+def test_compact_minhash_index_never_appended_is_noop_safe(spark, tmp_path):
+    """Compacting a freshly built (never appended) index must succeed,
+    stay content-identical, and leave the meta contract untouched."""
+    from datapipe_spark.operators import dedup_index
+
+    idx = str(tmp_path / "mh_fresh")
+    dedup_index.build_minhash_index(
+        spark,
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            ["doc_id", "text"],
+        ),
+        idx,
+    )
+    meta = dedup_index._meta(spark, idx)
+    rows = {
+        p: sorted(map(repr, spark.read.parquet(f"{idx}/{p}").collect()))
+        for p in ("mem", "sigs", "bands")
+    }
+    dedup_index.compact_minhash_index(spark, idx)
+    assert dedup_index._meta(spark, idx) == meta
+    for p in ("mem", "sigs", "bands"):
+        assert sorted(map(repr, spark.read.parquet(f"{idx}/{p}").collect())) == rows[p]
