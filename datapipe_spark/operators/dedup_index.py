@@ -81,6 +81,74 @@ def _write_parts(
     )
 
 
+_JOURNAL = "commit-pending.json"
+
+
+def _prepare_commit(
+    index_dir: str, mem: DataFrame, sigs: DataFrame, new_meta: dict
+) -> str:
+    """First half of the atomic append commit (the r7 advisory's torn-
+    append fix): write the batch's mem/sigs/bands delta files into a
+    hidden ``.staging-*`` dir — readers address the part dirs directly,
+    so staged data is invisible — then durably record the commit as a
+    journal (atomic rename): the exact file moves plus the meta the
+    commit must leave behind. Once the journal exists the commit WILL
+    happen: ``_roll_forward`` (called by every append/probe entry)
+    finishes it idempotently after any crash. Returns the journal path."""
+    import json
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    stage = _p(index_dir, f".staging-{token}")
+    _write_parts(mem, sigs, stage, "overwrite")
+    moves = []
+    for part in ("mem", "sigs", "bands"):
+        sdir = _p(stage, part)
+        for name in sorted(os.listdir(sdir)):
+            if name.startswith("part-"):
+                # token prefix keeps names unique in the live dir even
+                # across replays of the same batch
+                moves.append(
+                    [os.path.join(sdir, name), _p(index_dir, f"{part}/{token}-{name}")]
+                )
+    journal = {"stage": stage, "moves": moves, "meta": new_meta}
+    tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(journal, f)
+    jp = _p(index_dir, _JOURNAL)
+    os.replace(tmp, jp)
+    return jp
+
+
+def _roll_forward(index_dir: str) -> bool:
+    """Second half / crash recovery: if a commit journal exists, finish
+    its commit — move every staged file still in the staging dir (a
+    move whose source is gone already happened), rewrite ``meta.json``
+    from the journal snapshot, then retire the journal. Every step is
+    idempotent, so a crash anywhere inside roll-forward just rolls
+    forward again on the next entry. Without a journal, staged dirs are
+    debris from a crash BEFORE the commit point — their batch never
+    committed (watermark unmoved ⟹ it will be replayed wholesale) — so
+    they are deleted. Single-writer by contract (one streaming query
+    owns an index); returns True if a pending commit was completed."""
+    import json
+
+    jp = _p(index_dir, _JOURNAL)
+    pending = os.path.exists(jp)
+    if pending:
+        with open(jp) as f:
+            j = json.load(f)
+        for src, dst in j["moves"]:
+            if os.path.exists(src):
+                os.replace(src, dst)
+        _write_meta(index_dir, j["meta"])
+        os.remove(jp)
+    for name in os.listdir(index_dir):
+        if name.startswith(".staging-"):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+    return pending
+
+
 def _meta_hash_of(sigs: DataFrame) -> str:
     # xxhash64 verification sets are int64; md5 keeps raw shingle strings
     return "md5" if dict(sigs.dtypes)["_sh"] == "array<string>" else "xxhash64"
@@ -179,14 +247,21 @@ def append_minhash_index(
     extended to the index mutation). Monotonically increasing per
     caller stream: an append with ``batch_id`` ≤ the recorded
     high-watermark is a committed batch being replayed after a crash —
-    it is skipped entirely (returns False); a successful append
-    advances ``last_batch_id`` in ``meta.json`` (atomic rename) as the
-    LAST step, so the watermark only ever claims batches whose band/
-    sig/mem rows are fully on disk. A crash after the append but
-    before the framework's checkpoint commit — the double-append
-    window this closes — replays the batch and hits the skip path.
+    it is skipped entirely (returns False). The append itself is a
+    TWO-PHASE commit (r7 advisory fix — the previous sequential part
+    appends left a mid-append crash window that replayed into
+    duplicates): delta files are staged invisibly, then a commit
+    journal (atomic rename) records the moves + the new meta including
+    the advanced watermark, then roll-forward moves the files and
+    rewrites meta. A crash before the journal leaves only invisible
+    staging debris (cleaned on the next entry; the batch replays and
+    appends once); a crash after the journal is completed idempotently
+    by the recovery that runs at every append/probe entry, after which
+    the replay hits the skip path. There is no interleaving in which a
+    batch's rows land twice or the watermark claims rows not on disk.
     Returns True if the append was applied, False if skipped.
     """
+    _roll_forward(index_dir)
     meta = _meta(spark, index_dir)
     if batch_id is not None and int(meta.get("last_batch_id", -1)) >= batch_id:
         return False
@@ -240,9 +315,9 @@ def append_minhash_index(
             "doc_id", F.col("sh").alias("_sh"), "signature"
         ).join(F.broadcast(new_reps), "doc_id")
     sigs = rep_sigs.localCheckpoint(eager=True)
-    _write_parts(mem, sigs, index_dir, "append")
-    # keep the meta contract current (append deltas are already counted
-    # in the checkpointed frames — no table rescan)
+    # meta deltas are counted on the checkpointed frames — no table
+    # rescan — BEFORE the commit point, so the journaled meta snapshot
+    # is final
     new_meta = {
         "hash": h,
         "n_docs": meta["n_docs"] + mem.count(),
@@ -252,7 +327,8 @@ def append_minhash_index(
         new_meta["last_batch_id"] = batch_id
     elif "last_batch_id" in meta:
         new_meta["last_batch_id"] = meta["last_batch_id"]
-    _write_meta(index_dir, new_meta)
+    _prepare_commit(index_dir, mem, sigs, new_meta)
+    _roll_forward(index_dir)
     return True
 
 
@@ -368,6 +444,7 @@ def _probe_plan(
     """The probe's un-materialized plan + its two batch-side caches —
     split out so plan-shape tests can inspect the joins before the
     eager checkpoint hides them."""
+    _roll_forward(index_dir)  # complete any crashed append first
     h = _meta(spark, index_dir)["hash"]
     bmem = _collapse_exact(batch_docs.select("doc_id", "text")).persist()
     bsigs = (

@@ -408,13 +408,18 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Output: ``(new_doc_id, matched_doc_id, jaccard)``
     where matched is a corpus doc or an earlier-batch doc —
     DuckDB-oracled by ``DEDUP_CROSS_CORPUS_STREAM_SQL``'s arrival-order
-    replay. Exactly-once (r6 caveat closed): the index meta carries a
-    batch-id high-watermark (reference T10's idempotent posture,
-    data-ingestion design.md:54, extended to the index mutation) —
-    replayed batches ≤ the watermark are skipped; the sink itself is a
-    per-batch overwrite dir, so a pre-append crash replaces rather
-    than duplicates its probe output (replay test:
-    tests/test_streaming.py::test_index_append_replay_is_exactly_once).
+    replay. Exactly-once: the index meta carries a batch-id
+    high-watermark (reference T10's idempotent posture, data-ingestion
+    design.md:54, extended to the index mutation) — replayed batches ≤
+    the watermark are skipped — and the append itself is a journaled
+    two-phase commit (r8: staged delta files + commit journal +
+    idempotent roll-forward), so even a crash MID-append either never
+    committed (replay re-appends once) or is completed by recovery and
+    then skipped; the sink itself is a per-batch overwrite dir, so a
+    pre-append crash replaces rather than duplicates its probe output
+    (replay + torn-commit tests:
+    tests/test_streaming.py::test_index_append_replay_is_exactly_once,
+    ::test_torn_index_append_commit_recovers_exactly_once).
     """
     import shutil
 

@@ -471,6 +471,87 @@ def test_index_append_replay_is_exactly_once(spark, tmp_path):
     assert last_applied_batch(spark, idx) == 1
 
 
+def test_torn_index_append_commit_recovers_exactly_once(spark, tmp_path, monkeypatch):
+    """r7 advisory (medium): a crash MID-append — after some delta
+    files already moved into the live part dirs but before the
+    watermark advanced — previously replayed into permanent duplicate
+    index rows. The append is now a journaled two-phase commit:
+    simulate the torn state by crashing roll-forward after its first
+    file move, then replay the batch after "restart" and require the
+    index to equal a never-crashed twin exactly."""
+    import json
+
+    import pytest
+
+    from datapipe_spark.operators import dedup_index as di
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = mk(
+        [
+            (i, f"corpus document number {i} holding plenty of distinct "
+                f"shingle words alpha beta gamma {i * 7} delta")
+            for i in range(4)
+        ]
+    )
+    batch = mk(
+        [
+            (100, "corpus document number 2 holding plenty of distinct "
+                  "shingle words alpha beta gamma 14 delta"),  # near-dup of 2
+            (101, "an entirely fresh batch document with its own novel "
+                  "words epsilon zeta eta theta iota kappa"),
+        ]
+    )
+    idx_clean, idx_torn = str(tmp_path / "clean"), str(tmp_path / "torn")
+    for idx in (idx_clean, idx_torn):
+        di.build_minhash_index(spark, corpus, idx)
+    assert di.append_minhash_index(spark, idx_clean, batch, batch_id=0) is True
+
+    real_rf = di._roll_forward
+
+    def crash_mid_commit(index_dir):
+        jp = di._p(index_dir, di._JOURNAL)
+        if not os.path.exists(jp):  # the entry-recovery call: run real
+            return real_rf(index_dir)
+        with open(jp) as f:
+            j = json.load(f)
+        src, dst = j["moves"][0]
+        os.replace(src, dst)  # one delta file lands; watermark does not
+        raise RuntimeError("simulated crash mid-commit")
+
+    monkeypatch.setattr(di, "_roll_forward", crash_mid_commit)
+    with pytest.raises(RuntimeError, match="mid-commit"):
+        di.append_minhash_index(spark, idx_torn, batch, batch_id=0)
+    monkeypatch.undo()
+
+    # torn state on disk: journal present, commit incomplete
+    assert os.path.exists(di._p(idx_torn, di._JOURNAL))
+    assert di.last_applied_batch(spark, idx_torn) == -1
+
+    # replay after restart: entry recovery completes the journaled
+    # commit (idempotent moves + meta), then the watermark skips the
+    # re-append — applied exactly once
+    assert di.append_minhash_index(spark, idx_torn, batch, batch_id=0) is False
+    assert di.last_applied_batch(spark, idx_torn) == 0
+    assert not os.path.exists(di._p(idx_torn, di._JOURNAL))
+    assert not [n for n in os.listdir(idx_torn) if n.startswith(".staging-")]
+
+    for part in ("mem", "sigs", "bands"):
+        clean = sorted(map(tuple, spark.read.parquet(di._p(idx_clean, part)).collect()))
+        torn = sorted(map(tuple, spark.read.parquet(di._p(idx_torn, part)).collect()))
+        assert torn == clean, f"{part} diverged from the never-crashed twin"
+
+    # crash BEFORE the commit point leaves only invisible staging
+    # debris: the batch never committed, replays wholesale, and the
+    # debris is swept by the next entry
+    os.makedirs(os.path.join(idx_torn, ".staging-deadbeef", "mem"))
+    nxt = mk([(200, "another novel batch document lambda mu nu xi omicron pi")])
+    assert di.append_minhash_index(spark, idx_torn, nxt, batch_id=1) is True
+    assert not [n for n in os.listdir(idx_torn) if n.startswith(".staging-")]
+    assert di.last_applied_batch(spark, idx_torn) == 1
+
+
 def test_live_trigger_probe_then_append_mutates_index(spark, tmp_path):
     """r6 verdict ask #6: the probe-then-append corpus gate under a
     LIVE processingTime trigger (not availableNow replay) — two drops
