@@ -1052,9 +1052,85 @@ GROUP BY pr.tok, pr.n_true
 BPE_MERGES = 8  # merge rounds for the registry entry (fixed for determinism)
 BPE_EOW = "</w>"  # end-of-word marker (Sennrich-style)
 
+# Dispatch ceilings for the two big-k paths (r7 verdict ask #2):
+# - training: past this k, one cluster round-trip per merge stops
+#   paying for itself — switch to the hybrid trainer (one distributed
+#   corpus→types reduction, then the textbook merge loop driver-side
+#   on the collected type table, the HF-tokenizers train split);
+# - tokenizing: past this k, the k-nested-fold Catalyst expression
+#   tree stops analyzing/compiling sanely — switch to the broadcast
+#   merge-table Arrow path (``_bpe_tokenize_arrow``).
+_BPE_LOOP_MAX = 32
+_BPE_FOLD_MAX = 32
+# the hybrid trainer collects the TYPE table (distinct words), never
+# the corpus: ~10⁶-10⁸ rows at 100 TB. Over this cap we refuse loudly
+# rather than OOM the driver — raise the cap, sample types, or run the
+# per-round distributed loop (strategy="loop") instead.
+_BPE_TYPES_COLLECT_CAP = 2_000_000
+
+
+def _bpe_apply_word(word: str, merges: list) -> list:
+    """Reference merge replay for ONE word: rank order, each merge
+    applied in a single leftmost non-overlapping left-to-right pass —
+    byte-identical semantics to the JVM fold in ``bpe_tokenize`` and
+    the pure-Python reference in tests. ``merges`` is [(left, right,
+    merged), ...] in rank order."""
+    syms = list(word)
+    syms.append(BPE_EOW)
+    present = set(syms)
+    for a, b, ab in merges:
+        if a not in present or b not in present:
+            continue
+        out: list = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = ab
+            else:
+                out.append(x)
+        if len(out) != len(syms):
+            present.add(ab)
+            syms = out
+    return syms
+
+
+def _bpe_train_driver(types: dict, n_merges: int) -> list:
+    """Textbook BPE merge loop over a (symbol-tuple → weight) type
+    table — the driver half of the hybrid trainer. Same argmax and
+    tie-break ((freq desc, left, right) — fully deterministic) and the
+    same leftmost non-overlapping fold as the distributed loop, so the
+    two strategies are rank-for-rank interchangeable (equality-tested
+    at the dispatch boundary)."""
+    from collections import Counter
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, f in types.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, a + b, int(n)))
+        nxt: dict = {}
+        for syms, f in types.items():
+            out: list = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            t = tuple(out)
+            nxt[t] = nxt.get(t, 0) + f
+        types = nxt
+    return merges
+
 
 def bpe_train_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_MERGES,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Distributed BPE tokenizer training — the ranked merge table
     (``rank, left, right, merged, freq``) a subword tokenizer is built
@@ -1079,21 +1155,47 @@ def bpe_train_merges(
     array expression — no Python in the row path, driver state
     O(n_merges). Lineage is truncated per round (localCheckpoint) so
     plan depth stays constant.
+
+    ``strategy`` (r7 verdict ask #2 — a real 32k-merge vocabulary
+    needs thousands of rounds, and one cluster round-trip per merge
+    stops making sense past a few dozen): ``"loop"`` forces the
+    per-round distributed form above; ``"driver"`` runs ONE
+    distributed corpus→types reduction, collects the type table
+    (cap-guarded — it is vocabulary-sized, never corpus-sized), and
+    trains the merge loop driver-side (``_bpe_train_driver``) — the
+    HF-tokenizers split, identical output by construction (same
+    argmax, same tie-break, same fold; equality-tested). ``"auto"``
+    picks loop for k ≤ ``_BPE_LOOP_MAX``, driver past it.
     """
+    if strategy == "auto":
+        strategy = "loop" if n_merges <= _BPE_LOOP_MAX else "driver"
     docs = load_table(spark, sf_dir, "documents")
-    chars = (
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
-    )
-    types = (
+    word_types = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
-        .select(
-            F.expr(f"concat({chars}, array('{BPE_EOW}'))").alias("syms"), "freq"
-        )
-        .localCheckpoint(eager=True)
     )
+    schema = "rank int, left string, right string, merged string, freq bigint"
+    if strategy == "driver":
+        rows = word_types.limit(_BPE_TYPES_COLLECT_CAP + 1).collect()
+        if len(rows) > _BPE_TYPES_COLLECT_CAP:
+            raise ValueError(
+                f"type table exceeds the {_BPE_TYPES_COLLECT_CAP}-row driver "
+                "cap — raise _BPE_TYPES_COLLECT_CAP, pre-sample the types, or "
+                "use strategy='loop'"
+            )
+        tt: dict = {}
+        for r in rows:
+            t = tuple([*r["word"], BPE_EOW])
+            tt[t] = tt.get(t, 0) + int(r["freq"])
+        return spark.createDataFrame(_bpe_train_driver(tt, n_merges), schema)
+    chars = (
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    types = word_types.select(
+        F.expr(f"concat({chars}, array('{BPE_EOW}'))").alias("syms"), "freq"
+    ).localCheckpoint(eager=True)
     merges = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -1136,9 +1238,7 @@ def bpe_train_merges(
             F.aggregate("syms", F.array().cast("array<string>"), fold).alias("syms"),
             "freq",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "rank int, left string, right string, merged string, freq bigint"
-    )
+    return spark.createDataFrame(merges, schema)
 
 
 # trained merge tables, memoized per (documents parquet identity,
@@ -1162,12 +1262,22 @@ def bpe_tokenize(
     ``lang_id_ngram``); reference equality vs a pure-Python
     tokenizer is pinned in tests.
 
-    Scale shape: the k folds compose into ONE map-only projection —
-    k nested pure-JVM array folds, no shuffle, no Python, no extra
-    pass per merge (tokenizing 100 TB costs one scan regardless of
-    k). Driver state is the O(k) collected merge table, exactly what
-    any BPE tokenizer ships as its model file — and like a model file
-    it is trained once per dataset and memoized (keyed by the
+    Scale shape, two regimes (r7 verdict ask #2): for k ≤
+    ``_BPE_FOLD_MAX`` the k folds compose into ONE map-only
+    projection — k nested pure-JVM array folds, no shuffle, no
+    Python, no extra pass per merge. The expression tree is O(k)
+    though, so past the ceiling Catalyst analysis/codegen would fall
+    over long before a real 32k-merge vocabulary — there the merge
+    table is broadcast into ONE Arrow-batched ``mapInPandas`` pass
+    (``_bpe_tokenize_arrow``): still a single corpus scan, no
+    shuffle, with per-batch word-TYPE memoization so the per-word
+    replay cost is paid once per distinct word, not once per token
+    (Zipf makes that the dominant savings on real text). Semantics
+    are byte-identical across the boundary (equality-tested at k =
+    ``_BPE_FOLD_MAX`` and against the pure-Python reference at
+    k=1024). Driver state is the O(k) collected merge table, exactly
+    what any BPE tokenizer ships as its model file — and like a model
+    file it is trained once per dataset and memoized (keyed by the
     documents parquet's identity, the ``_cached_corpus_index``
     posture), so repeated tokenization pays only the map pass.
     """
@@ -1182,6 +1292,10 @@ def bpe_tokenize(
         )
     merges = _BPE_MERGE_CACHE[key]
     docs = load_table(spark, sf_dir, "documents")
+    if len(merges) > _BPE_FOLD_MAX:
+        return _bpe_tokenize_arrow(
+            docs, [(m["left"], m["right"], m["merged"]) for m in merges]
+        )
 
     def q(s: str) -> str:
         return s.replace("\\", "\\\\").replace("'", "\\'")
@@ -1204,4 +1318,44 @@ def bpe_tokenize(
         "doc_id",
         f"cast(size({toks}) as bigint) AS n_tokens",
         f"array_join({toks}, ' ') AS tokens",
+    )
+
+
+def _bpe_tokenize_arrow(docs: DataFrame, merges: list) -> DataFrame:
+    """Large-k tokenizer path: the rank-ordered merge table — the O(k)
+    model file — is broadcast and replayed per WORD TYPE inside one
+    Arrow-batched ``mapInPandas`` pass. Map-only (no shuffle, one
+    corpus scan, plan size O(1) in k); a per-batch ``word →
+    (n_tokens, joined)`` memo means each distinct word pays the
+    O(k·len) replay once per batch regardless of its corpus frequency.
+    Output schema and semantics identical to the nested-fold path
+    (``_bpe_apply_word`` mirrors the JVM fold exactly)."""
+    import pandas as pd
+
+    bc = docs.sparkSession.sparkContext.broadcast(merges)
+
+    def tokenize(batches):
+        ms = bc.value
+        memo: dict = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_out, t_out = [], []
+            for text in pdf["text"]:
+                toks: list = []
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    got = memo.get(w)
+                    if got is None:
+                        got = memo[w] = _bpe_apply_word(w, ms)
+                    toks.extend(got)
+                n_out.append(len(toks))
+                t_out.append(" ".join(toks))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_tokens": n_out, "tokens": t_out}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        tokenize, "doc_id long, n_tokens bigint, tokens string"
     )
