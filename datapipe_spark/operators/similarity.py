@@ -1331,21 +1331,66 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# past this dim the flat stats pass would put 2·dim aggregate
+# expressions in one plan (thousands at embedding dim 1024+) — switch
+# to posexplode + groupBy(pos): one map-side-combinable shuffle of
+# N·dim value rows down to dim groups (r7 verdict ask #4)
+_INT8_FLAT_AGG_MAX_DIM = 128
+
+
 def quantize_int8_frame(spark: SparkSession, e: DataFrame) -> DataFrame:
     """Frame-level form of ``embedding_quantize_int8`` over any
     ``(vec_id, v array<double>)`` frame — the public operator; the
     registry entry binds it to the embeddings table. Numpy-model
-    equality is property-tested over random tables."""
-    first = e.select(F.size("v")).first()
-    if first is None:  # empty table: nothing to fit stats on
-        return spark.createDataFrame([], "vec_id bigint, codes string, mse double")
-    dim = int(first[0])
-    row = e.agg(
-        *[F.min(F.element_at("v", i + 1)).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(dim)],
+    equality is property-tested over random tables (incl. dim 1024 on
+    the exploded stats path).
+
+    Contract (r7 advisory): vectors are non-null and fixed-dimension;
+    one map-side-combinable guard scan verifies both and fails fast
+    with a clear error instead of a mid-plan TypeError or silently
+    truncated stats. Stats fitting is then either a single flat
+    aggregate row (dim ≤ ``_INT8_FLAT_AGG_MAX_DIM``: 2·dim agg
+    expressions, no shuffle) or a posexplode + groupBy(pos) pass
+    (one bounded shuffle, O(dim) driver rows) — identical outputs,
+    equality-tested at the boundary.
+    """
+    guard = e.agg(
+        F.min(F.size("v")).alias("_dmin"),
+        F.max(F.size("v")).alias("_dmax"),
+        F.count("*").alias("_n"),
+        F.count("v").alias("_nv"),
     ).first()
-    mns = [float(row[f"mn{i}"]) for i in range(dim)]
-    spans = [float(row[f"mx{i}"]) - float(row[f"mn{i}"]) for i in range(dim)]
+    if guard["_n"] == 0:  # empty table: nothing to fit stats on
+        return spark.createDataFrame([], "vec_id bigint, codes string, mse double")
+    if guard["_nv"] != guard["_n"]:
+        raise ValueError(
+            f"quantize_int8_frame: {guard['_n'] - guard['_nv']} null vector(s) — "
+            "vectors must be non-null array<double>"
+        )
+    if guard["_dmin"] != guard["_dmax"] or guard["_dmin"] <= 0:
+        raise ValueError(
+            "quantize_int8_frame: ragged/empty dimensions "
+            f"(size range [{guard['_dmin']}, {guard['_dmax']}]) — "
+            "fixed-dimension contract"
+        )
+    dim = int(guard["_dmin"])
+    if dim <= _INT8_FLAT_AGG_MAX_DIM:
+        row = e.agg(
+            *[F.min(F.element_at("v", i + 1)).alias(f"mn{i}") for i in range(dim)],
+            *[F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(dim)],
+        ).first()
+        mns = [float(row[f"mn{i}"]) for i in range(dim)]
+        spans = [float(row[f"mx{i}"]) - float(row[f"mn{i}"]) for i in range(dim)]
+    else:
+        stats = (
+            e.select(F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .collect()
+        )
+        by_pos = {int(r["pos"]): r for r in stats}
+        mns = [float(by_pos[i]["mn"]) for i in range(dim)]
+        spans = [float(by_pos[i]["mx"]) - float(by_pos[i]["mn"]) for i in range(dim)]
     qexpr = (
         "transform(v, (x, i) -> CASE WHEN element_at(spans, i + 1) > 0D"
         " THEN least(255, greatest(0, cast(floor((x - element_at(mns, i + 1))"

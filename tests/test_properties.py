@@ -688,3 +688,72 @@ def test_quantize_int8_matches_numpy_model(spark_prop, vecs):
     for i in range(len(vecs)):
         assert got[i]["codes"] == ",".join(str(c - 128) for c in q[i])
         assert abs(got[i]["mse"] - mse[i]) <= 1e-9 + 1e-6 * abs(mse[i])
+
+def test_quantize_int8_dim1024_exploded_stats_path(spark_prop):
+    """r7 verdict ask #4 'Done' gate: at embedding dim 1024 the stats
+    pass runs posexplode+groupBy(pos) (the flat form would be 2048
+    aggregate expressions in one plan) and must equal the numpy model —
+    and the two stats paths must agree exactly at a shared dim."""
+    import numpy as np
+
+    from datapipe_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    dim, n = 1024, 40
+    x = np.round(rng.uniform(-50, 50, size=(n, dim)), 6)
+    e = spark_prop.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, v array<double>",
+    )
+    assert dim > sim._INT8_FLAT_AGG_MAX_DIM
+    got = {r["vec_id"]: r for r in sim.quantize_int8_frame(spark_prop, e).collect()}
+
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    span = mx - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor((x - mn) / span * 255 + 0.5)
+    q = np.where(span > 0, np.clip(q, 0, 255), 0).astype(int)
+    xhat = mn + q / 255.0 * span
+    mse = ((x - xhat) ** 2).sum(axis=1) / dim
+    for i in range(n):
+        assert got[i]["codes"] == ",".join(str(c - 128) for c in q[i])
+        assert abs(got[i]["mse"] - mse[i]) <= 1e-9 + 1e-6 * abs(mse[i])
+
+
+def test_quantize_int8_stats_paths_agree_at_boundary(spark_prop, monkeypatch):
+    """Flat-aggregate vs exploded stats must be bit-identical on the
+    same frame (the dispatch is a plan-size decision, not a semantic
+    one)."""
+    import numpy as np
+
+    from datapipe_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    x = np.round(rng.uniform(-5, 5, size=(25, 16)), 6)
+    e = spark_prop.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, v array<double>",
+    )
+    flat = sorted(map(tuple, sim.quantize_int8_frame(spark_prop, e).collect()))
+    monkeypatch.setattr(sim, "_INT8_FLAT_AGG_MAX_DIM", 0)
+    exploded = sorted(map(tuple, sim.quantize_int8_frame(spark_prop, e).collect()))
+    assert exploded == flat
+
+
+def test_quantize_int8_rejects_null_and_ragged_vectors(spark_prop):
+    """r7 advisory: a null first vector or ragged dimensions must fail
+    fast with a clear contract error, not a mid-plan TypeError."""
+    import pytest
+
+    from datapipe_spark.operators import similarity as sim
+
+    nulls = spark_prop.createDataFrame(
+        [(0, None), (1, [1.0, 2.0])], "vec_id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="null vector"):
+        sim.quantize_int8_frame(spark_prop, nulls)
+    ragged = spark_prop.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], "vec_id long, v array<double>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        sim.quantize_int8_frame(spark_prop, ragged)
