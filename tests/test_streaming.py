@@ -365,6 +365,83 @@ def test_watermark_drops_late_event_and_evicts_state(spark, tmp_path):
     assert last_state <= 1, progresses[-1]
 
 
+def test_live_trigger_interval_join_evicts_state_and_drops_late(spark, tmp_path):
+    """r7 verdict ask #5: the stream-stream interval join under a LIVE
+    ``processingTime`` trigger (the registry form replays availableNow,
+    where nothing is ever late). Drops arrive while the query runs:
+
+      drop A  error e1 00:00 + purchase p1 00:10 (same user) → pair
+      drop B  error e2 02:00 + purchase p2 02:05 → pair; BOTH side
+              watermarks advance to ~01:35, so e1's buffered state
+              (error_ts + 30 min < watermark) is engine-evicted
+      drop C  LATE purchase p3 00:20 — inside e1's window by event
+              time, but behind the watermark → dropped by the engine,
+              no third pair ever appears
+
+    Asserts exact row parity with the hand-computed batch twin over
+    the on-time events, plus the negative case via the state
+    operator's ``numRowsDroppedByWatermark`` counter."""
+    import datetime as dt
+
+    drops, sink, cp = (str(tmp_path / d) for d in ("drops", "sink", "cp"))
+    base = dt.datetime(2024, 1, 1)
+    row = lambda eid, minutes, etype, val=None: (  # noqa: E731
+        eid, base + dt.timedelta(minutes=minutes), 1, etype, val, None,
+    )
+
+    def write_drop(i: int, rows) -> None:
+        p = os.path.join(drops, f"drop_{i:02d}")
+        spark.createDataFrame(rows, src.EVENT_SCHEMA).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1_700_000_000 + i * 10,) * 2)
+
+    write_drop(0, [row(1, 0, "error"), row(2, 10, "purchase", 20.0)])
+    stream = src.read_event_stream(spark, drops, files_per_trigger=1)
+    joined = jobs.interval_join_error_purchases(stream)
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {tuple(r) for r in spark.read.parquet(sink).collect()}
+        assert {(r[1], r[2]) for r in first} == {(1, 2)}, first
+
+        write_drop(1, [row(3, 120, "error"), row(4, 125, "purchase", 30.0)])
+        q.processAllAvailable()
+        second = {(r[1], r[2]) for r in spark.read.parquet(sink).collect()}
+        assert second == {(1, 2), (3, 4)}, second
+
+        # late purchase: event-time inside e1's window, arrival behind
+        # the ~01:35 watermark — must be dropped, not joined
+        write_drop(2, [row(5, 20, "purchase", 40.0)])
+        q.processAllAvailable()
+        final = {(r[1], r[2]) for r in spark.read.parquet(sink).collect()}
+        assert final == {(1, 2), (3, 4)}, final
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        assert dropped >= 1, "late purchase must be dropped by the watermark"
+    finally:
+        q.stop()
+
+    # hand-computed batch twin over the on-time events: exact amounts
+    # and second offsets
+    by_pair = {
+        (r["error_event_id"], r["purchase_event_id"]): r
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert by_pair[(1, 2)]["seconds_after_error"] == 600.0
+    assert by_pair[(1, 2)]["purchase_amount"] == 20.0
+    assert by_pair[(3, 4)]["seconds_after_error"] == 300.0
+    assert by_pair[(3, 4)]["purchase_amount"] == 30.0
+
+
 def test_streaming_cross_corpus_dedup_oracle_and_arrival_order(spark, sf_dir):
     """The incremental probe-then-append pipeline equals the
     arrival-order oracle, and every emitted pair's matched side arrived
