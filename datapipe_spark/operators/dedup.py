@@ -506,18 +506,41 @@ def banded_pair_candidates(
         & (F.col("a.band_key") == F.col("b.band_key"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    widths = bands.groupBy("band_id", "band_key").agg(
-        F.count("*").alias("_bc"), F.min("doc_id").alias("_star")
+    # ONE aggregation serves both the activation probe and the
+    # wide-bucket set (r7 advisory: the previous max-width probe plus
+    # the activated arm's re-aggregation cost two passes over bands):
+    # over-cap buckets are collected directly — empty ⟹ inactive, and
+    # the rows ARE the broadcast side of the star arm
+    wide_rows = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("_bc"), F.min("doc_id").alias("_star"))
+        .filter(F.col("_bc") > bucket_cap)
+        .select("band_id", "band_key", "_star")
+        .collect()
     )
-    max_width = widths.agg(F.max("_bc")).first()[0]
-    if max_width is None or max_width <= bucket_cap:
+    if not wide_rows:
         cand = a.join(b, pairwise_cond).select(
             F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
         )
     else:
         GUARD_ACTIVATIONS["minhash_band_cap"] += 1
-        wide = widths.filter(F.col("_bc") > bucket_cap).select(
-            "band_id", "band_key", "_star"
+        # r7 advisory: surface the star-degrade loudly — if an oracled
+        # form ever runs a corpus dense enough to activate, a hash
+        # mismatch must be traceable to the guard, not a mystery
+        # (tests additionally pin the oracled forms guard-inactive at
+        # the driver's data scales)
+        import warnings
+
+        warnings.warn(
+            f"minhash band-bucket guard ACTIVE: {len(wide_rows)} bucket(s) "
+            f"over cap {bucket_cap} degrade to star candidates — output "
+            "diverges from the unguarded/oracle pair set",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        wide = bands.sparkSession.createDataFrame(
+            wide_rows, "band_id int, band_key " + dict(bands.dtypes)["band_key"]
+            + ", _star long"
         )
         # over-cap keys are rare by construction — broadcast them
         tagged = bands.join(F.broadcast(wide), ["band_id", "band_key"], "left")
@@ -1276,6 +1299,15 @@ def simhash_dedup_frame(
             _expand_rep_pairs(rep_pairs, mem, "hamming", F.lit(0)), mem, sh
         )
     GUARD_ACTIVATIONS["simhash_band_cap"] += 1
+    import warnings
+
+    warnings.warn(
+        f"simhash band guard ACTIVE: widest bucket {max_width} > cap "
+        f"{bucket_cap} — guarded candidate generation engaged (r7 advisory: "
+        "loud marker so an oracle mismatch is traceable to the guard)",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     # SECOND collapse level — identical FINGERPRINTS (the hole in a
     # purely band-keyed guard): a near-verbatim mega-cluster (1-2-token
     # edits, so NOT collapsed by _collapse_exact) agrees on the

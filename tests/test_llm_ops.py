@@ -1928,10 +1928,14 @@ def test_minhash_bucket_guard_forced_activation(spark):
         [(i, f"{base} closing remark number {i}") for i in range(n)],
         "doc_id long, text string",
     )
+    import pytest
+
     sigs = minhash_signatures(docs)
     bands = band_rows(sigs)
     unguarded = banded_pair_candidates(bands, bucket_cap=10**9).count()
-    forced = banded_pair_candidates(bands, bucket_cap=4).count()
+    # r7 advisory: activation must be a loud, distinguishable marker
+    with pytest.warns(RuntimeWarning, match="band-bucket guard ACTIVE"):
+        forced = banded_pair_candidates(bands, bucket_cap=4).count()
     # the mill is one wide bucket in (nearly) every band: the star arm
     # emits O(n) candidates where the pairwise join emits O(n^2)
     assert unguarded >= n * (n - 1) // 2  # genuinely quadratic without guard
@@ -1949,14 +1953,33 @@ def test_minhash_bucket_guard_inactive_at_oracle_scale(spark, sf_dir):
     """The default cap must not alter oracled output: the widest
     documents band bucket at oracle scale sits far below
     MINHASH_BUCKET_CAP, so guarded and unguarded decisions are
-    identical (the CORRECTNESS hash for dedup_pipeline is unchanged)."""
-    from datapipe_spark.operators.dedup import dedup_pipeline_frame
+    identical (the CORRECTNESS hash for dedup_pipeline is unchanged).
+    r7 advisory extension: the oracled minhash registry forms are
+    additionally pinned guard-INACTIVE via the activation counters —
+    if the driver's corpus ever densifies enough to trip a guard, this
+    fails first with the cause named, instead of a mystery hash
+    mismatch in the sweep."""
+    from datapipe_spark.operators.dedup import (
+        GUARD_ACTIVATIONS,
+        dedup_cross_corpus_minhash,
+        dedup_pipeline_frame,
+        minhash_dedup,
+        simhash_dedup,
+    )
     from datapipe_spark.sources.tables import load_table
 
+    before = dict(GUARD_ACTIVATIONS)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     default = {tuple(r) for r in dedup_pipeline_frame(d).collect()}
     unguarded = {tuple(r) for r in dedup_pipeline_frame(d, bucket_cap=10**9).collect()}
     assert default == unguarded
+    assert minhash_dedup(spark, sf_dir).count() > 0
+    assert dedup_cross_corpus_minhash(spark, sf_dir).count() > 0
+    assert simhash_dedup(spark, sf_dir).count() > 0
+    assert GUARD_ACTIVATIONS == before, (
+        "an oracled form tripped a band guard at oracle scale — its "
+        "output now diverges from the committed DuckDB oracle"
+    )
 
 
 def test_bpe_train_merges_degenerate_corpora(spark):
