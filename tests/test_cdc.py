@@ -105,3 +105,75 @@ def test_archive_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     # partition filter must reach the scan, not a post-filter
     assert one_year.count() == log.filter(F.year("__source_ts_ms") == 1995).count()
     assert "PartitionFilters: [isnotnull(year" in plan or "year#" in plan
+
+
+def test_scd2_store_matches_batch_oracle(spark, sf_dir):
+    """r7 verdict ask #8: the materialized store — initial load + CDC
+    tail applied incrementally — must reproduce the one-shot batch
+    SCD2 build under the same DuckDB oracle."""
+    from datapipe_spark.operators.scd2 import scd2_dimension_store
+
+    compare_to_oracle(spark, scd2_dimension_store, cq.CDC_SCD2_HISTORY_SQL, sf_dir)
+
+
+def test_scd2_store_split_invariance_and_replay(spark, sf_dir, tmp_path):
+    """The incremental writer's contract: (a) ANY per-key-ordered
+    increment split yields the same history as the full batch build,
+    (b) a replayed batch_id is skipped wholesale with the store
+    untouched, (c) a crash between the current-swap and the watermark
+    write recovers to the exact same store on replay."""
+    from datapipe_spark.operators import scd2
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    want = {tuple(r) for r in cq.cdc_scd2_history(spark, sf_dir).collect()}
+
+    # (a) three-way split by op keeps per-key LSN order (c < u < d)
+    d3 = str(tmp_path / "s3way")
+    scd2.scd2_init(spark, d3)
+    for i, op in enumerate(("c", "u", "d")):
+        scd2.scd2_upsert(spark, d3, log.filter(F.col("__op") == op), batch_id=i)
+    got3 = {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()}
+    assert got3 == want
+
+    # (b) replay skip: re-applying the last increment changes nothing
+    assert scd2.scd2_upsert(spark, d3, log.filter("__op = 'd'"), batch_id=2) is False
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == want
+
+    # (c) torn swap: simulate a crash after the closed-dir commit and
+    # current swap but before the watermark write, then replay
+    dt = str(tmp_path / "storn")
+    scd2.scd2_init(spark, dt)
+    scd2.scd2_upsert(spark, dt, log.filter("__op = 'c'"), batch_id=0)
+    meta_before = scd2._meta(dt)
+    scd2.scd2_upsert(spark, dt, log.filter("__op != 'c'"), batch_id=1)
+    scd2._write_meta(dt, meta_before)  # wind the watermark back = torn state
+    assert scd2.scd2_upsert(spark, dt, log.filter("__op != 'c'"), batch_id=1) is True
+    gott = {tuple(r) for r in scd2.scd2_read_history(spark, dt).collect()}
+    assert gott == want
+    assert scd2._meta(dt)["last_batch_id"] == 1
+
+    # (c') torn mid-swap: current/ missing, current.old/ present
+    import os as _os
+
+    cur, old = scd2._p(dt, "current"), scd2._p(dt, "current.old")
+    _os.rename(cur, old)
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, dt).collect()} == want
+
+
+def test_scd2_store_current_slice_is_type1(spark, sf_dir, tmp_path):
+    """current/ must equal the Type-1 compaction keyed view: one open
+    row per live key, none for tombstoned keys — the compact slice a
+    feature server reads."""
+    from datapipe_spark.operators import scd2
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "scur")
+    scd2.scd2_init(spark, d)
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'c'"), batch_id=0)
+    scd2.scd2_upsert(spark, d, log.filter("__op != 'c'"), batch_id=1)
+    cur = spark.read.parquet(scd2._p(d, "current"))
+    latest = cdc.compact_latest(cdc.synth_changelog(spark, sf_dir))
+    assert cur.filter(~F.col("is_current")).count() == 0
+    got = {(r["id"], r["status"], r["__source_lsn"]) for r in cur.collect()}
+    want_cur = {(r["id"], r["status"], r["__source_lsn"]) for r in latest.collect()}
+    assert got == want_cur
