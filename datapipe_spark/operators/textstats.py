@@ -1242,8 +1242,41 @@ def bpe_train_merges(
 
 
 # trained merge tables, memoized per (documents parquet identity,
-# n_merges) — the "model file" a tokenizer ships; O(n_merges) rows each
+# n_merges) — the "model file" a tokenizer ships; O(n_merges) rows
+# each. Two layers (r8, the persisted-quantizer posture from
+# similarity.py): a process dict, then a JSON sidecar on disk keyed by
+# the corpus identity — a second SESSION tokenizes without retraining.
 _BPE_MERGE_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
+    import hashlib
+    import json
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns, n_merges)
+    if key in _BPE_MERGE_CACHE:
+        return _BPE_MERGE_CACHE[key]
+    root = os.environ.get("SPARK_GRAFT_MODEL_DIR", "/tmp/datapipe_spark_bpe")
+    h = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    path = os.path.join(root, f"merges-{h}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            merges = json.load(f)
+    else:
+        merges = [
+            {k: r[k] for k in ("rank", "left", "right", "merged", "freq")}
+            for r in bpe_train_merges(spark, sf_dir, n_merges).orderBy("rank").collect()
+        ]
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, f"merges-{h}.tmp-{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(merges, f)
+        os.replace(tmp, path)
+    _BPE_MERGE_CACHE[key] = merges
+    return merges
 
 
 def bpe_tokenize(
@@ -1281,16 +1314,7 @@ def bpe_tokenize(
     documents parquet's identity, the ``_cached_corpus_index``
     posture), so repeated tokenization pays only the map pass.
     """
-    import os
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = (os.path.abspath(src), st.st_size, st.st_mtime_ns, n_merges)
-    if key not in _BPE_MERGE_CACHE:
-        _BPE_MERGE_CACHE[key] = (
-            bpe_train_merges(spark, sf_dir, n_merges).orderBy("rank").collect()
-        )
-    merges = _BPE_MERGE_CACHE[key]
+    merges = _bpe_merges_for(spark, sf_dir, n_merges)
     docs = load_table(spark, sf_dir, "documents")
     if len(merges) > _BPE_FOLD_MAX:
         return _bpe_tokenize_arrow(

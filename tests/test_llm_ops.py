@@ -1717,6 +1717,24 @@ def test_quantizer_models_persist_no_retrain(spark, sf_dir, tmp_path, monkeypatc
     assert [f for f in os.listdir(tmp_path / "qmodels") if f.endswith(".npz")]
 
 
+def test_bpe_merge_model_persists_no_retrain(spark, sf_dir, tmp_path, monkeypatch):
+    """The trained merge table is a model file: a fresh session (process
+    memo cleared) must reload it from the disk sidecar, never retrain —
+    same contract as the persisted PQ/IVF quantizers."""
+    from datapipe_spark.operators import textstats as ts
+
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", str(tmp_path / "bpe_models"))
+    ts._BPE_MERGE_CACHE.clear()
+    first = sorted(map(tuple, ts.bpe_tokenize(spark, sf_dir).collect()))
+    ts._BPE_MERGE_CACHE.clear()  # simulate a fresh session
+
+    def boom(*_a, **_k):
+        raise AssertionError("BPE retrained despite persisted merge model")
+
+    monkeypatch.setattr(ts, "bpe_train_merges", boom)
+    assert sorted(map(tuple, ts.bpe_tokenize(spark, sf_dir).collect())) == first
+
+
 def test_bpe_driver_trainer_equals_distributed_loop(spark, sf_dir):
     """The hybrid trainer's dispatch boundary (r7 verdict ask #2):
     strategy='driver' (one corpus→types reduction + driver merge loop)
