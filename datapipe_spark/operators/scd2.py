@@ -113,25 +113,12 @@ def _normalize_increment(inc: DataFrame) -> DataFrame:
     )
 
 
-def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_id: int) -> bool:
-    """Apply one changelog increment: close the open version of every
-    touched key whose history advanced, open the new latest version,
-    drop keys whose increment ends in a delete tombstone (the tombstone
-    bounds the prior version's validity but is not a dimension row —
-    same semantics as ``cdc_scd2_history``).
-
-    Cost shape at 100 TB: the increment's touched-key set broadcasts
-    into the ``current/`` scan (map-side probe — the dimension is never
-    shuffled on more than the touched keys), the version re-chain is
-    one hash shuffle of O(touched keys × versions-in-increment) rows,
-    ``closed/`` is append-only, and the ``current/`` rewrite is
-    O(live keys) — the same copy-on-write a MERGE INTO an Iceberg SCD2
-    table performs. Returns True if applied, False if skipped (replay).
-    """
-    _recover(dim_dir)
-    meta = _meta(dim_dir)
-    if batch_id <= int(meta.get("last_batch_id", -1)):
-        return False
+def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame):
+    """The upsert's un-materialized plans — split out so the plan gate
+    can assert the dimension store is only ever map-side probed (the
+    touched-key set broadcasts into BOTH ``current/`` scans; the store
+    is the big side by definition and must never shuffle on more than
+    the touched keys). Returns ``(chained, cur_untouched)``."""
     inc = _normalize_increment(increment).localCheckpoint(eager=True)
     touched = inc.select("id").distinct()
     cur = spark.read.parquet(_p(dim_dir, "current"))
@@ -153,8 +140,31 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
         )
         .filter(F.col("__op") != "d")
         .select(*_HISTORY_COLS)
-        .localCheckpoint(eager=True)
     )
+    return chained, cur_untouched
+
+
+def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_id: int) -> bool:
+    """Apply one changelog increment: close the open version of every
+    touched key whose history advanced, open the new latest version,
+    drop keys whose increment ends in a delete tombstone (the tombstone
+    bounds the prior version's validity but is not a dimension row —
+    same semantics as ``cdc_scd2_history``).
+
+    Cost shape at 100 TB: the increment's touched-key set broadcasts
+    into the ``current/`` scan (map-side probe — the dimension is never
+    shuffled on more than the touched keys), the version re-chain is
+    one hash shuffle of O(touched keys × versions-in-increment) rows,
+    ``closed/`` is append-only, and the ``current/`` rewrite is
+    O(live keys) — the same copy-on-write a MERGE INTO an Iceberg SCD2
+    table performs. Returns True if applied, False if skipped (replay).
+    """
+    _recover(dim_dir)
+    meta = _meta(dim_dir)
+    if batch_id <= int(meta.get("last_batch_id", -1)):
+        return False
+    chained, cur_untouched = _merge_plan(spark, dim_dir, increment)
+    chained = chained.localCheckpoint(eager=True)
     closed_dir = _p(dim_dir, f"closed/inc={batch_id}")
     if not os.path.exists(closed_dir):
         # committed closed dirs are never regenerated: after a

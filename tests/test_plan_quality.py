@@ -467,3 +467,30 @@ def test_minhash_index_probe_cost_flat_in_corpus_size(spark, sf_dir, tmp_path):
     # keys, but anything near-linear (≥3×) means the index side is
     # being scanned/shuffled per probe — the regression this gates
     assert walls["10x"] <= max(3 * walls["1x"], walls["1x"] + 1.5), walls
+
+
+def test_scd2_upsert_broadcasts_touched_keys_into_store_scans(spark, sf_dir, tmp_path):
+    """The SCD2 store's merge must only ever map-side probe current/:
+    the increment's touched-key set broadcasts into BOTH store scans
+    (the rep-resolution posture of the minhash index probe) — per-
+    upsert cost tracks the increment, never the store."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import scd2
+    from datapipe_spark.sources.cdc import synth_changelog
+
+    log = synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "scd2_plan")
+    scd2.scd2_init(spark, d)
+    scd2.scd2_upsert(spark, d, log.filter(F.col("__op") == "c"), batch_id=0)
+    chained, cur_untouched = scd2._merge_plan(
+        spark, d, log.filter(F.col("__op") != "c")
+    )
+    for df, label in ((chained, "chain"), (cur_untouched, "untouched")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, (label, plan)
+        assert "SortMergeJoin" not in plan.split("Window")[0] or label == "chain", (
+            label,
+            plan,
+        )
+        assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, label
