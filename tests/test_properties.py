@@ -757,3 +757,89 @@ def test_quantize_int8_rejects_null_and_ragged_vectors(spark_prop):
     )
     with pytest.raises(ValueError, match="ragged"):
         sim.quantize_int8_frame(spark_prop, ragged)
+
+
+# --- SCD2 incremental store property ------------------------------------------
+
+_scd2_ops = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),  # key
+        st.sampled_from(["c", "u", "u", "d"]),  # op (updates weighted)
+        st.integers(min_value=0, max_value=99),  # payload → status/amount
+    ),
+    min_size=1,
+    max_size=30,
+)
+_scd2_splits = st.lists(st.integers(min_value=1, max_value=29), max_size=3)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(op_seq=_scd2_ops, splits=_scd2_splits)
+def test_scd2_store_random_increments_match_model(
+    spark_prop, tmp_path_factory, op_seq, splits
+):
+    """Any LSN-ordered increment split applied through the store must
+    equal an independent Python SCD2 model over the whole changelog:
+    per key, versions chain by LSN, valid_to = next version's ts,
+    delete rows bound validity but emit nothing, is_current marks the
+    open non-deleted version."""
+    from datapipe_spark.operators import scd2
+
+    rows = [
+        (
+            key,
+            key * 10,  # user_id
+            f"s{payload % 5}",  # status
+            str(payload) + ".25",  # total_amount (CDC string decimal)
+            BASE_TS + datetime.timedelta(days=lsn - 1),  # created_at (unused)
+            op,
+            BASE_TS + datetime.timedelta(minutes=lsn),  # __ts_ms
+            lsn,
+        )
+        for lsn, (key, op, payload) in enumerate(op_seq, start=1)
+    ]
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    # model: full chain per key in lsn order
+    want = set()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    for key, krows in by_key.items():
+        krows.sort(key=lambda r: r[7])
+        for i, r in enumerate(krows):
+            nxt = krows[i + 1][6] if i + 1 < len(krows) else None
+            if r[5] == "d":
+                continue
+            want.add(
+                (
+                    r[0], r[1], r[2], float(r[3]),
+                    r[6].isoformat(),
+                    nxt.isoformat() if nxt else None,
+                    nxt is None,  # is_current: open and not deleted
+                    r[7],
+                )
+            )
+    d = str(tmp_path_factory.mktemp("scd2_prop"))
+    scd2.scd2_init(spark_prop, d)
+    cuts = sorted({c for c in splits if c < len(rows)})
+    bounds = [0, *cuts, len(rows)]
+    for b, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        chunk = rows[lo:hi]
+        if not chunk:
+            continue
+        scd2.scd2_upsert(
+            spark_prop, d, spark_prop.createDataFrame(chunk, schema), batch_id=b
+        )
+    got = {
+        (
+            r["id"], r["user_id"], r["status"], r["total_amount"],
+            r["valid_from"].isoformat(),
+            r["valid_to"].isoformat() if r["valid_to"] else None,
+            r["is_current"], r["__source_lsn"],
+        )
+        for r in scd2.scd2_read_history(spark_prop, d).collect()
+    }
+    assert got == want
