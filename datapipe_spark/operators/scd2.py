@@ -2,9 +2,13 @@
 
 ``plans.cdc_queries.cdc_scd2_history`` computes the Type-2 dimension on
 the fly from the full changelog; a feature store MATERIALIZES it and
-maintains it from changelog increments (r7 verdict ask #8; reference
-archival layer's "latest state vs full history" split, s3-sink + batch
-design). Layout under ``dim_dir``::
+maintains it from changelog increments (r7 verdict ask #8; the
+reference's "latest state vs full history" split — its S3 archival
+connector keeps the raw changelog,
+1-data-ingestion-pipeline/task10-s3-sink-connector-config.json, and
+its Iceberg tables retain snapshot history,
+2-batch-analytics-layer/task6-ecommerce-tables-config.yaml:56-57).
+Layout under ``dim_dir``::
 
     meta.json            {"last_batch_id": N}   upsert high-watermark
     current/             the OPEN version per live key (swapped
