@@ -207,6 +207,56 @@ def scd2_read_history(spark: SparkSession, dim_dir: str) -> DataFrame:
     return cur.select(*_HISTORY_COLS)
 
 
+def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the materialized store for a testdata dir
+    (the ``_cached_corpus_index`` posture): keyed by the orders
+    parquet's identity, built privately, published with one atomic
+    rename. The feature-store READ path (``lineitem_pit_stored``)
+    probes this; the registry build entry deliberately rebuilds from
+    scratch each call — it is attesting the incremental writer."""
+    import hashlib
+
+    from datapipe_spark.sources.cdc import synth_changelog
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v1".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get("SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2")
+    out = os.path.join(root, key)
+    if not os.path.exists(os.path.join(out, "_READY")):
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        log = synth_changelog(spark, sf_dir)
+        scd2_init(spark, tmp)
+        scd2_upsert(spark, tmp, log.filter(F.col("__op") == "c"), batch_id=0)
+        scd2_upsert(spark, tmp, log.filter(F.col("__op") != "c"), batch_id=1)
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.makedirs(root, exist_ok=True)
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return out
+
+
+def lineitem_pit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store READ path end-to-end: the point-in-time
+    status rollup served from the MATERIALIZED dimension store instead
+    of an on-the-fly SCD2 build — the plan a feature platform actually
+    runs (facts shuffle once; the dimension history is a parquet scan
+    of current ∪ closed). Shares ``LINEITEM_PIT_STATUS_ROLLUP_SQL``:
+    the hash oracle attests store materialization + incremental upsert
+    + PIT join compose to exactly the on-the-fly answer."""
+    from datapipe_spark.plans.cdc_queries import _pit_status_rollup
+
+    hist = scd2_read_history(spark, _cached_scd2_store(spark, sf_dir)).select(
+        "id", "status", "valid_from", "valid_to"
+    )
+    return _pit_status_rollup(spark, sf_dir, hist)
+
+
 def scd2_dimension_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form (r7 verdict ask #8): build the materialized store
     from a realistic two-increment arrival — the initial load (every

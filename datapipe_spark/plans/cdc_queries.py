@@ -256,12 +256,19 @@ def lineitem_pit_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a map-side-combinable rollup. The same plan a feature store
     runs at 100 TB: facts shuffle once, dimension history co-partitions.
     """
-    from datapipe_spark.operators.rangejoin import point_in_time_join
-    from datapipe_spark.sources.tables import load_table
-
     hist = cdc_scd2_history(spark, sf_dir).select(
         "id", "status", "valid_from", "valid_to"
     )
+    return _pit_status_rollup(spark, sf_dir, hist)
+
+
+def _pit_status_rollup(spark: SparkSession, sf_dir: str, hist: DataFrame) -> DataFrame:
+    """The fact-side half, shared with the materialized-store form
+    (``lineitem_pit_stored``): PIT-join lineitems to ANY SCD2 history
+    frame and roll up by status × ship month."""
+    from datapipe_spark.operators.rangejoin import point_in_time_join
+    from datapipe_spark.sources.tables import load_table
+
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("id"),
         F.col("l_shipdate").cast("timestamp").alias("ship_ts"),

@@ -113,11 +113,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.lineitem_pit_status_rollup,
         cdcq.LINEITEM_PIT_STATUS_ROLLUP_SQL,
     ),
-    # --- r8 addition ---------------------------------------------------
+    # --- r8 additions --------------------------------------------------
     # materialized SCD2 dimension store: initial load + CDC-tail upsert
     # (exactly-once by idempotent per-increment artifacts), read back
     # under the batch build's hash oracle
     "scd2_dimension_store": (scd2.scd2_dimension_store, cdcq.CDC_SCD2_HISTORY_SQL),
+    # ...and its consumer: the PIT feature rollup served from the
+    # materialized store (the feature-store read path), same oracle as
+    # the on-the-fly form
+    "lineitem_pit_stored": (
+        scd2.lineitem_pit_stored,
+        cdcq.LINEITEM_PIT_STATUS_ROLLUP_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

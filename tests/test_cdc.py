@@ -177,3 +177,23 @@ def test_scd2_store_current_slice_is_type1(spark, sf_dir, tmp_path):
     got = {(r["id"], r["status"], r["__source_lsn"]) for r in cur.collect()}
     want_cur = {(r["id"], r["status"], r["__source_lsn"]) for r in latest.collect()}
     assert got == want_cur
+
+
+def test_lineitem_pit_stored_matches_oracle_and_reuses_store(spark, sf_dir, monkeypatch, tmp_path):
+    """The feature-store READ path: the PIT rollup served from the
+    materialized store equals the on-the-fly oracle, and a second call
+    reuses the cached store (no rebuild — booby-trap gated)."""
+    from datapipe_spark.operators import scd2
+
+    monkeypatch.setenv("SPARK_GRAFT_SCD2_DIR", str(tmp_path / "scd2_cache"))
+    compare_to_oracle(
+        spark, scd2.lineitem_pit_stored, cq.LINEITEM_PIT_STATUS_ROLLUP_SQL, sf_dir
+    )
+    first = {tuple(r) for r in scd2.lineitem_pit_stored(spark, sf_dir).collect()}
+
+    def boom(*_a, **_k):
+        raise AssertionError("store rebuilt despite cache")
+
+    monkeypatch.setattr(scd2, "scd2_upsert", boom)
+    again = {tuple(r) for r in scd2.lineitem_pit_stored(spark, sf_dir).collect()}
+    assert again == first
