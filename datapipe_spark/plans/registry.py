@@ -125,6 +125,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         scd2.lineitem_pit_stored,
         cdcq.LINEITEM_PIT_STATUS_ROLLUP_SQL,
     ),
+    # ...and the store maintained from a STREAMING changelog: per-batch
+    # exactly-once SCD2 upserts via foreachBatch (the Debezium→dimension
+    # merge pipeline), read back under the same batch-build oracle
+    "streaming_scd2_upserts": (stream.streaming_scd2_upserts, cdcq.CDC_SCD2_HISTORY_SQL),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

@@ -509,6 +509,50 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_scd2_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + W5 + T10 composed into the pipeline a warehouse actually
+    runs: the CDC changelog arrives as micro-batches (creates first,
+    then the update/delete tail — per-key LSN order preserved, the
+    Debezium per-key-ordering contract) and each ``foreachBatch``
+    applies an exactly-once SCD2 upsert to the MATERIALIZED dimension
+    store (``operators.scd2``): open versions close, new versions
+    open, tombstones end history. The store's batch-id watermark makes
+    replayed batches no-ops (the same posture as the band-index gate,
+    ``streaming_dedup_cross_corpus``), and the upsert itself is
+    crash-recoverable (idempotent per-increment artifacts). Reading
+    the full history back shares ``CDC_SCD2_HISTORY_SQL`` — the hash
+    oracle attests stream + store + upsert compose to exactly the
+    one-shot batch build."""
+    from datapipe_spark.operators import scd2
+    from datapipe_spark.sources.cdc import synth_changelog
+
+    out = src.fresh_dir("scd2_stream")
+    dim, drops = os.path.join(out, "dim"), os.path.join(out, "drops")
+
+    log = synth_changelog(spark, sf_dir)
+    base_mtime = time.time()
+    for i, op in enumerate(("c", "u", "d")):
+        p = os.path.join(drops, f"drop_{i:02d}")
+        log.filter(F.col("__op") == op).coalesce(1).write.mode("overwrite").parquet(p)
+        for name in sorted(os.listdir(p)):
+            if name.endswith(".parquet"):
+                os.utime(os.path.join(p, name), (base_mtime + i, base_mtime + i))
+
+    scd2.scd2_init(spark, dim)
+    stream = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drops, "drop_*"))
+    )
+
+    def apply_upsert(bdf: DataFrame, bid: int) -> None:
+        scd2.scd2_upsert(spark, dim, bdf, batch_id=bid)
+
+    with _stream_shuffle(spark):
+        _run(stream.writeStream.foreachBatch(apply_upsert), os.path.join(out, "cp"))
+    return scd2.scd2_read_history(spark, dim)
+
+
 def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/T9/S11/T6: raw JSON value stream → parse → validation split →
     valid events sink + DLQ sink, both written from one foreachBatch

@@ -731,3 +731,12 @@ def test_live_trigger_probe_then_append_mutates_index(spark, tmp_path):
     # batch 1's doc 20 is verbatim batch 0's doc 10 → must match it,
     # proving the live append made batch 0 probe-able before batch 1 ran
     assert (20, 10) in matches, matches
+
+
+def test_streaming_scd2_upserts_equals_batch_oracle(spark, sf_dir):
+    """The CDC→dimension merge pipeline: micro-batched changelog,
+    exactly-once per-batch SCD2 upserts, full history read-back equal
+    to the one-shot batch build's oracle."""
+    from datapipe_spark.plans.cdc_queries import CDC_SCD2_HISTORY_SQL
+
+    compare_to_oracle(spark, jobs.streaming_scd2_upserts, CDC_SCD2_HISTORY_SQL, sf_dir)
