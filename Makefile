@@ -3,7 +3,7 @@
 
 STRESS_OPS ?= dedup_exact,dedup_minhash_lsh,dedup_simhash,dedup_pipeline,dedup_cross_corpus,dedup_cross_corpus_minhash,dedup_cross_corpus_indexed,corpus_train_shards
 
-.PHONY: test bench sweep stress stress-100
+.PHONY: test bench sweep stress stress-100 stress-r8
 
 test:
 	python -m pytest tests/ -x -q
@@ -24,3 +24,8 @@ stress:
 # output ops stay at 30× where their true pair lists remain bounded
 stress-100:
 	SMOKE_OPS=dedup_exact,dedup_minhash_lsh,dedup_pipeline,dedup_cross_corpus_indexed,corpus_train_shards python scripts/scale_smoke.py 100
+
+# round-8 additions: PIT hot-key versions decade + stream-stream
+# interval-join state vs window width (SCALING.md round-8 table)
+stress-r8:
+	python scripts/stress_r8.py
