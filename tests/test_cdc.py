@@ -197,3 +197,56 @@ def test_lineitem_pit_stored_matches_oracle_and_reuses_store(spark, sf_dir, monk
     monkeypatch.setattr(scd2, "scd2_upsert", boom)
     again = {tuple(r) for r in scd2.lineitem_pit_stored(spark, sf_dir).collect()}
     assert again == first
+
+
+def test_scd2_store_edge_increments(spark, tmp_path):
+    """Degenerate increments must be clean no-ops or partial applies:
+    an EMPTY increment advances the watermark without touching rows; a
+    delete for a never-seen key contributes nothing; an increment of
+    only-creates closes nothing (empty closed/inc=N stays readable)."""
+    from datapipe_spark.operators import scd2
+
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    d = str(tmp_path / "edges")
+    scd2.scd2_init(spark, d)
+
+    # only-creates: closed/inc=0 is empty but must stay readable
+    creates = spark.createDataFrame(
+        [(1, 10, "A", "5.00", t(0), "c", t(1), 1), (2, 20, "A", "6.00", t(0), "c", t(2), 2)],
+        schema,
+    )
+    assert scd2.scd2_upsert(spark, d, creates, batch_id=0) is True
+    hist = scd2.scd2_read_history(spark, d)
+    assert hist.count() == 2 and hist.filter("NOT is_current").count() == 0
+
+    # empty increment: watermark advances, rows untouched
+    empty = spark.createDataFrame([], schema)
+    assert scd2.scd2_upsert(spark, d, empty, batch_id=1) is True
+    assert scd2._meta(d)["last_batch_id"] == 1
+    assert scd2.scd2_read_history(spark, d).count() == 2
+
+    # delete for a never-seen key: nothing opens, nothing closes
+    ghost_d = spark.createDataFrame([(99, 0, "X", "0.00", t(0), "d", t(3), 3)], schema)
+    assert scd2.scd2_upsert(spark, d, ghost_d, batch_id=2) is True
+    got = {(r["id"], r["is_current"]) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == {(1, True), (2, True)}
+
+
+def test_lineitem_pit_stored_plan_is_keyed_join(spark, sf_dir, monkeypatch, tmp_path):
+    """The stored-PIT read path must keep the keyed equi-join plan
+    (same gate as the on-the-fly form): no BNLJ/cartesian."""
+    from datapipe_spark.operators import scd2
+
+    monkeypatch.setenv("SPARK_GRAFT_SCD2_DIR", str(tmp_path / "scd2_plan_cache"))
+    df = scd2.lineitem_pit_stored(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan

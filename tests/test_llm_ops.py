@@ -2063,3 +2063,15 @@ def test_compact_minhash_index_never_appended_is_noop_safe(spark, tmp_path):
     assert dedup_index._meta(spark, idx) == meta
     for p in ("mem", "sigs", "bands"):
         assert sorted(map(repr, spark.read.parquet(f"{idx}/{p}").collect())) == rows[p]
+
+
+def test_bpe_driver_trainer_cap_raises_clearly(spark, sf_dir, monkeypatch):
+    """The hybrid trainer's type-table collect cap must refuse loudly
+    (with remediation named) instead of OOMing the driver."""
+    import pytest
+
+    from datapipe_spark.operators import textstats as ts
+
+    monkeypatch.setattr(ts, "_BPE_TYPES_COLLECT_CAP", 5)
+    with pytest.raises(ValueError, match="driver.*cap|cap.*driver"):
+        ts.bpe_train_merges(spark, sf_dir, n_merges=100, strategy="driver")
