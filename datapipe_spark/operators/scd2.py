@@ -50,16 +50,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# stored rows additionally carry _written_inc — the batch that WROTE
+# the version (its closing batch is the closed/inc= partition it lands
+# in). Together they are the lineage that makes `scd2_as_of` (Iceberg
+# time travel on this artifact) a pure metadata reconstruction.
 _STORE_SCHEMA = (
     "id long, user_id long, status string, total_amount double, "
     "valid_from timestamp, valid_to timestamp, is_current boolean, "
-    "__source_lsn long"
+    "__source_lsn long, _written_inc int"
 )
 
 _HISTORY_COLS = [
     "id", "user_id", "status", "total_amount",
     "valid_from", "valid_to", "is_current", "__source_lsn",
 ]
+
+_STORE_COLS = [*_HISTORY_COLS, "_written_inc"]
 
 
 def _p(dim_dir: str, part: str) -> str:
@@ -117,23 +123,29 @@ def _normalize_increment(inc: DataFrame) -> DataFrame:
     )
 
 
-def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame):
+def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_id: int):
     """The upsert's un-materialized plans — split out so the plan gate
     can assert the dimension store is only ever map-side probed (the
     touched-key set broadcasts into BOTH ``current/`` scans; the store
     is the big side by definition and must never shuffle on more than
     the touched keys). Returns ``(chained, cur_untouched)``."""
-    inc = _normalize_increment(increment).localCheckpoint(eager=True)
+    inc = (
+        _normalize_increment(increment)
+        .withColumn("_written_inc", F.lit(batch_id).cast("int"))
+        .localCheckpoint(eager=True)
+    )
     touched = inc.select("id").distinct()
     cur = spark.read.parquet(_p(dim_dir, "current"))
     cur_untouched = cur.join(F.broadcast(touched), "id", "left_anti")
-    # stored open rows re-enter the chain as pseudo-log rows; a replay
-    # against an already-swapped current/ makes them (id, lsn) twins of
-    # increment rows — the dedupe collapses them (op differs only in
-    # label, never 'd' for a stored row, so chain behavior is identical)
+    # stored open rows re-enter the chain as pseudo-log rows, KEEPING
+    # their original _written_inc lineage; a replay against an
+    # already-swapped current/ makes them (id, lsn) twins of increment
+    # rows — the dedupe collapses them (op differs only in label, never
+    # 'd' for a stored row, and a twin's _written_inc is necessarily
+    # this batch's id, so either survivor is identical)
     pseudo = cur.join(F.broadcast(touched), "id").select(
         "id", "user_id", "status", "total_amount", "valid_from",
-        F.lit("u").alias("__op"), "__source_lsn",
+        F.lit("u").alias("__op"), "__source_lsn", "_written_inc",
     )
     merged = pseudo.unionByName(inc).dropDuplicates(["id", "__source_lsn"])
     w = Window.partitionBy("id").orderBy("__source_lsn")
@@ -143,7 +155,7 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame):
             "is_current", F.col("valid_to").isNull() & (F.col("__op") != "d")
         )
         .filter(F.col("__op") != "d")
-        .select(*_HISTORY_COLS)
+        .select(*_STORE_COLS)
     )
     return chained, cur_untouched
 
@@ -167,7 +179,7 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     meta = _meta(dim_dir)
     if batch_id <= int(meta.get("last_batch_id", -1)):
         return False
-    chained, cur_untouched = _merge_plan(spark, dim_dir, increment)
+    chained, cur_untouched = _merge_plan(spark, dim_dir, increment, batch_id)
     chained = chained.localCheckpoint(eager=True)
     closed_dir = _p(dim_dir, f"closed/inc={batch_id}")
     if not os.path.exists(closed_dir):
@@ -178,7 +190,7 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
         chained.filter(~F.col("is_current")).write.mode("overwrite").parquet(tmp)
         os.makedirs(_p(dim_dir, "closed"), exist_ok=True)
         os.rename(tmp, closed_dir)
-    new_current = cur_untouched.select(*_HISTORY_COLS).unionByName(
+    new_current = cur_untouched.select(*_STORE_COLS).unionByName(
         chained.filter("is_current")
     )
     tmp_cur = _p(dim_dir, f"current.tmp-{batch_id}-{os.getpid()}")
@@ -207,6 +219,60 @@ def scd2_read_history(spark: SparkSession, dim_dir: str) -> DataFrame:
     return cur.select(*_HISTORY_COLS)
 
 
+def scd2_as_of(spark: SparkSession, dim_dir: str, batch_id: int) -> DataFrame:
+    """Time travel (Iceberg ``VERSION AS OF``, on OUR artifact): the
+    dimension history exactly as it stood after increment ``batch_id``
+    committed — a pure metadata reconstruction from the store's batch
+    lineage, no changelog replay and no data rewrite:
+
+    - versions written later (``_written_inc`` > N) don't exist yet;
+    - versions closed by an increment ≤ N keep their closed form
+      (their closing batch IS their ``closed/inc=`` partition, so
+      partition pruning discards every later closing wholesale);
+    - versions closed only by a LATER increment — plus today's open
+      rows — were the open versions as of N (valid_to reopened to
+      null; stored rows are never tombstones, so open ⟹ current).
+
+    Row-identical to rebuilding SCD2 from the changelog prefix
+    (hash-oracled by ``scd2_dimension_as_of``; ``as_of(last batch)``
+    ≡ ``scd2_read_history`` is asserted in tests)."""
+    _recover(dim_dir)
+    cur = (
+        spark.read.parquet(_p(dim_dir, "current"))
+        .filter(F.col("_written_inc") <= batch_id)
+        .select(*_HISTORY_COLS)
+    )
+    closed_root = _p(dim_dir, "closed")
+    if not (
+        os.path.exists(closed_root)
+        and any(n.startswith("inc=") for n in os.listdir(closed_root))
+    ):
+        return cur
+    closed = spark.read.parquet(closed_root).filter(
+        F.col("_written_inc") <= batch_id
+    )
+    closed_by_now = closed.filter(F.col("inc") <= batch_id).select(*_HISTORY_COLS)
+    reopened = (
+        closed.filter(F.col("inc") > batch_id)
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+        .select(*_HISTORY_COLS)
+    )
+    return closed_by_now.unionByName(reopened).unionByName(cur)
+
+
+def scd2_dimension_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of time travel: the cached store holds three
+    committed increments (initial load, update tail, delete tail);
+    travel back to batch 1 — creates + updates applied, every delete
+    still in the future — and require row equality with an SCD2 build
+    over the changelog PREFIX (``CDC_SCD2_AS_OF_CU_SQL``). Versions
+    deleted today must reappear open; versions closed by batch-1
+    updates must stay closed."""
+    store = _cached_scd2_store(spark, sf_dir)
+    return scd2_as_of(spark, store, batch_id=1)
+
+
 def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
     """Build-once cache of the materialized store for a testdata dir
     (the ``_cached_corpus_index`` posture): keyed by the orders
@@ -221,7 +287,7 @@ def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v1".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v2".encode()
     ).hexdigest()[:16]
     root = os.environ.get("SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2")
     out = os.path.join(root, key)
@@ -230,8 +296,10 @@ def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         log = synth_changelog(spark, sf_dir)
         scd2_init(spark, tmp)
-        scd2_upsert(spark, tmp, log.filter(F.col("__op") == "c"), batch_id=0)
-        scd2_upsert(spark, tmp, log.filter(F.col("__op") != "c"), batch_id=1)
+        # three increments (initial load, update tail, delete tail) so
+        # scd2_as_of has nontrivial intermediate states to travel to
+        for b, op in enumerate(("c", "u", "d")):
+            scd2_upsert(spark, tmp, log.filter(F.col("__op") == op), batch_id=b)
         open(os.path.join(tmp, "_READY"), "w").close()
         try:
             os.makedirs(root, exist_ok=True)

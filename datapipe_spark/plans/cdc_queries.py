@@ -237,6 +237,27 @@ FROM versions WHERE __op <> 'd'
 """
 
 
+# oracle for scd2_dimension_as_of (time travel to the pre-delete
+# batch): SCD2 built over the changelog PREFIX — creates + updates
+# only, every delete still in the future
+CDC_SCD2_AS_OF_CU_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY}),
+cu AS (SELECT * FROM changelog WHERE __op IN ('c', 'u')),
+versions AS (
+  SELECT *,
+         LEAD(__ts_ms) OVER (PARTITION BY id ORDER BY __source_lsn) AS valid_to
+  FROM cu
+)
+SELECT id, user_id, status,
+       CAST(CAST(total_amount AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+       __ts_ms AS valid_from,
+       valid_to,
+       (valid_to IS NULL AND __op <> 'd') AS is_current,
+       __source_lsn
+FROM versions WHERE __op <> 'd'
+"""
+
+
 def lineitem_pit_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-correct dimension enrichment — the feature-store
     join that keeps training data leak-free: each lineitem picks the

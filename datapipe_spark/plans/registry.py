@@ -129,6 +129,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # exactly-once SCD2 upserts via foreachBatch (the Debezium→dimension
     # merge pipeline), read back under the same batch-build oracle
     "streaming_scd2_upserts": (stream.streaming_scd2_upserts, cdcq.CDC_SCD2_HISTORY_SQL),
+    # time travel on the store (Iceberg VERSION AS OF semantics): pure
+    # metadata reconstruction from the written/closed batch lineage,
+    # oracled against an SCD2 build over the changelog prefix
+    "scd2_as_of": (scd2.scd2_dimension_as_of, cdcq.CDC_SCD2_AS_OF_CU_SQL),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

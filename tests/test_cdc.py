@@ -250,3 +250,23 @@ def test_lineitem_pit_stored_plan_is_keyed_join(spark, sf_dir, monkeypatch, tmp_
     assert any(
         j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), plan
+
+
+def test_scd2_as_of_time_travel(spark, sf_dir, monkeypatch, tmp_path):
+    """Time travel: as_of(1) (pre-delete) equals the changelog-prefix
+    oracle; as_of(last) equals the full history read; as_of(0) is the
+    all-open initial load."""
+    from datapipe_spark.operators import scd2
+
+    monkeypatch.setenv("SPARK_GRAFT_SCD2_DIR", str(tmp_path / "scd2_tt"))
+    compare_to_oracle(
+        spark, scd2.scd2_dimension_as_of, cq.CDC_SCD2_AS_OF_CU_SQL, sf_dir
+    )
+    store = scd2._cached_scd2_store(spark, sf_dir)
+    full = {tuple(r) for r in scd2.scd2_read_history(spark, store).collect()}
+    as_of_last = {tuple(r) for r in scd2.scd2_as_of(spark, store, 2).collect()}
+    assert as_of_last == full
+    t0 = scd2.scd2_as_of(spark, store, 0)
+    n_orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+    assert t0.count() == n_orders
+    assert t0.filter("NOT is_current OR valid_to IS NOT NULL").count() == 0

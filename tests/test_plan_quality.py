@@ -484,7 +484,7 @@ def test_scd2_upsert_broadcasts_touched_keys_into_store_scans(spark, sf_dir, tmp
     scd2.scd2_init(spark, d)
     scd2.scd2_upsert(spark, d, log.filter(F.col("__op") == "c"), batch_id=0)
     chained, cur_untouched = scd2._merge_plan(
-        spark, d, log.filter(F.col("__op") != "c")
+        spark, d, log.filter(F.col("__op") != "c"), batch_id=1
     )
     for df, label in ((chained, "chain"), (cur_untouched, "untouched")):
         plan = df._jdf.queryExecution().executedPlan().toString()
