@@ -368,6 +368,12 @@ def compact_minhash_index(
         parquet_file_count,
     )
 
+    # finish any pending append commit BEFORE rewriting the part dirs
+    # (r8 advisory): without this, a crash-after-journal leaves staged
+    # delta files that a later roll-forward would inject into the
+    # freshly clustered bands/ (breaking the range-cluster layout) and
+    # meta.json would be rewound from the journal snapshot
+    _roll_forward(index_dir)
     tb = target_bytes or TARGET_FILE_BYTES
     out: dict = {}
     for part in ("mem", "sigs"):

@@ -70,7 +70,15 @@ def _canon_pdf(pdf):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    only = [
+        q
+        for a in sys.argv[1:]
+        if a.startswith("--only=")
+        for q in a.split("=", 1)[1].split(",")
+        if q
+    ]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
 
     spark = (
@@ -107,6 +115,8 @@ def main() -> int:
         if arts:
             driver_art = json.load(open(arts[-1]))
 
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     n_pass = n_rows_only = n_fail = n_err = 0
     for name, fn in qs.items():
         t0 = time.perf_counter()

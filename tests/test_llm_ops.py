@@ -2065,6 +2065,70 @@ def test_compact_minhash_index_never_appended_is_noop_safe(spark, tmp_path):
         assert sorted(map(repr, spark.read.parquet(f"{idx}/{p}").collect())) == rows[p]
 
 
+def test_compact_minhash_index_completes_pending_commit_first(
+    spark, tmp_path, monkeypatch
+):
+    """r8 advisory: compaction entered with a pending commit journal
+    (crash after journal write, before roll-forward) must complete the
+    commit BEFORE rewriting parts — otherwise the later roll-forward
+    injects pre-compaction delta files into the clustered layout and
+    rewinds meta from the journal snapshot. Compare against a twin
+    that never crashed."""
+    import json
+    import os
+
+    from datapipe_spark.operators import dedup_index as di
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = mk(
+        [
+            (i, f"corpus document number {i} holding plenty of distinct "
+                f"shingle words alpha beta gamma {i * 7} delta")
+            for i in range(4)
+        ]
+    )
+    batch = mk(
+        [(50, "an entirely fresh appended document with novel words "
+              "epsilon zeta eta theta iota kappa lambda")]
+    )
+    idx_clean, idx_torn = str(tmp_path / "cc_clean"), str(tmp_path / "cc_torn")
+    for idx in (idx_clean, idx_torn):
+        di.build_minhash_index(spark, corpus, idx)
+    assert di.append_minhash_index(spark, idx_clean, batch, batch_id=0) is True
+    di.compact_minhash_index(spark, idx_clean)
+
+    real_rf = di._roll_forward
+
+    def crash_mid_commit(index_dir):
+        jp = di._p(index_dir, di._JOURNAL)
+        if not os.path.exists(jp):
+            return real_rf(index_dir)
+        with open(jp) as f:
+            j = json.load(f)
+        src, dst = j["moves"][0]
+        os.replace(src, dst)  # one delta file lands, journal stays pending
+        raise RuntimeError("simulated crash mid-commit")
+
+    monkeypatch.setattr(di, "_roll_forward", crash_mid_commit)
+    with pytest.raises(RuntimeError, match="mid-commit"):
+        di.append_minhash_index(spark, idx_torn, batch, batch_id=0)
+    monkeypatch.undo()
+    assert os.path.exists(di._p(idx_torn, di._JOURNAL))
+
+    # compaction entered in the torn state: must roll the commit
+    # forward first, then rewrite — never the other way around
+    di.compact_minhash_index(spark, idx_torn)
+    assert not os.path.exists(di._p(idx_torn, di._JOURNAL))
+    assert not [n for n in os.listdir(idx_torn) if n.startswith(".staging-")]
+    assert di.last_applied_batch(spark, idx_torn) == 0
+    for part in ("mem", "sigs", "bands"):
+        clean = sorted(map(tuple, spark.read.parquet(di._p(idx_clean, part)).collect()))
+        torn = sorted(map(tuple, spark.read.parquet(di._p(idx_torn, part)).collect()))
+        assert torn == clean, f"{part} diverged from the never-crashed twin"
+
+
 def test_bpe_driver_trainer_cap_raises_clearly(spark, sf_dir, monkeypatch):
     """The hybrid trainer's type-table collect cap must refuse loudly
     (with remediation named) instead of OOMing the driver."""
