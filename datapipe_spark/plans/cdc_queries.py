@@ -322,6 +322,26 @@ GROUP BY 1, 2, 3
 """
 
 
+# oracle for lineitem_pit_as_of (r8 verdict ask #5 — time-traveled PIT
+# read path): the same rollup against SCD2 built over the changelog
+# PREFIX (creates + updates only), i.e. the dimension as it stood at
+# store increment 1, before any delete committed
+LINEITEM_PIT_AS_OF_SQL = f"""
+WITH hist AS ({CDC_SCD2_AS_OF_CU_SQL})
+SELECT h.status AS status_at_ship,
+       YEAR(CAST(l.l_shipdate AS TIMESTAMP)) AS ship_year,
+       MONTH(CAST(l.l_shipdate AS TIMESTAMP)) AS ship_month,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+LEFT JOIN hist h
+  ON l.l_orderkey = h.id
+ AND CAST(l.l_shipdate AS TIMESTAMP) >= h.valid_from
+ AND (h.valid_to IS NULL OR CAST(l.l_shipdate AS TIMESTAMP) < h.valid_to)
+GROUP BY 1, 2, 3
+"""
+
+
 def _multi_summary_sql() -> str:
     from datapipe_spark.sources.cdc import CDC_TABLES
 

@@ -133,6 +133,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # metadata reconstruction from the written/closed batch lineage,
     # oracled against an SCD2 build over the changelog prefix
     "scd2_as_of": (scd2.scd2_dimension_as_of, cdcq.CDC_SCD2_AS_OF_CU_SQL),
+    # --- r9 addition ---------------------------------------------------
+    # time-traveled PIT read path (r8 verdict ask #5): features exactly
+    # as the store stood at increment 1 — scd2_as_of composed with the
+    # point-in-time join, oracled against the rollup over the changelog
+    # PREFIX (the training-reproducibility contract)
+    "lineitem_pit_as_of": (scd2.lineitem_pit_as_of, cdcq.LINEITEM_PIT_AS_OF_SQL),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

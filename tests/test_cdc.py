@@ -116,12 +116,15 @@ def test_scd2_store_matches_batch_oracle(spark, sf_dir):
     compare_to_oracle(spark, scd2_dimension_store, cq.CDC_SCD2_HISTORY_SQL, sf_dir)
 
 
-def test_scd2_store_split_invariance_and_replay(spark, sf_dir, tmp_path):
+def test_scd2_store_split_invariance_and_replay(spark, sf_dir, tmp_path, monkeypatch):
     """The incremental writer's contract: (a) ANY per-key-ordered
     increment split yields the same history as the full batch build,
     (b) a replayed batch_id is skipped wholesale with the store
-    untouched, (c) a crash between the current-swap and the watermark
-    write recovers to the exact same store on replay."""
+    untouched, (c) a crash AFTER the commit journal lands is completed
+    by the next entry (reader or writer) — no torn increment is ever
+    visible — and the replay then skips, (c') a crash BEFORE the
+    journal leaves zero visible change and the batch replays
+    wholesale."""
     from datapipe_spark.operators import scd2
 
     log = cdc.synth_changelog(spark, sf_dir)
@@ -139,25 +142,63 @@ def test_scd2_store_split_invariance_and_replay(spark, sf_dir, tmp_path):
     assert scd2.scd2_upsert(spark, d3, log.filter("__op = 'd'"), batch_id=2) is False
     assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == want
 
-    # (c) torn swap: simulate a crash after the closed-dir commit and
-    # current swap but before the watermark write, then replay
+    # (c) crash AFTER the commit point: journal written, roll-forward
+    # dies after one closed-file move — buckets and meta untouched.
+    # The next READ entry must complete the commit (r8 advisory: no
+    # reader may ever see the torn increment), then the replay skips.
+    import json as _json
+    import os as _os
+
     dt = str(tmp_path / "storn")
     scd2.scd2_init(spark, dt)
     scd2.scd2_upsert(spark, dt, log.filter("__op = 'c'"), batch_id=0)
-    meta_before = scd2._meta(dt)
-    scd2.scd2_upsert(spark, dt, log.filter("__op != 'c'"), batch_id=1)
-    scd2._write_meta(dt, meta_before)  # wind the watermark back = torn state
-    assert scd2.scd2_upsert(spark, dt, log.filter("__op != 'c'"), batch_id=1) is True
+    real_rf = scd2._roll_forward
+
+    def crash_mid_commit(dim_dir):
+        jp = scd2._p(dim_dir, scd2._JOURNAL)
+        if not _os.path.exists(jp):  # the entry-recovery call: run real
+            return real_rf(dim_dir)
+        with open(jp) as f:
+            j = _json.load(f)
+        if j["moves"]:
+            src, dst = j["moves"][0]
+            _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+            _os.replace(src, dst)  # one closed file lands, nothing else
+        raise RuntimeError("simulated crash mid-commit")
+
+    monkeypatch.setattr(scd2, "_roll_forward", crash_mid_commit)
+    with pytest.raises(RuntimeError, match="mid-commit"):
+        scd2.scd2_upsert(spark, dt, log.filter("__op != 'c'"), batch_id=1)
+    monkeypatch.undo()
+    assert _os.path.exists(scd2._p(dt, scd2._JOURNAL))
+    assert scd2._meta(dt)["last_batch_id"] == 0  # watermark not yet moved
+
     gott = {tuple(r) for r in scd2.scd2_read_history(spark, dt).collect()}
-    assert gott == want
+    assert gott == want  # reader entry completed the journaled commit
     assert scd2._meta(dt)["last_batch_id"] == 1
-
-    # (c') torn mid-swap: current/ missing, current.old/ present
-    import os as _os
-
-    cur, old = scd2._p(dt, "current"), scd2._p(dt, "current.old")
-    _os.rename(cur, old)
+    assert not _os.path.exists(scd2._p(dt, scd2._JOURNAL))
+    assert scd2.scd2_upsert(spark, dt, log.filter("__op != 'c'"), batch_id=1) is False
     assert {tuple(r) for r in scd2.scd2_read_history(spark, dt).collect()} == want
+
+    # (c') crash BEFORE the commit point: only invisible staging debris
+    # — the store is byte-unchanged for readers and the batch replays
+    dp = str(tmp_path / "spre")
+    scd2.scd2_init(spark, dp)
+    scd2.scd2_upsert(spark, dp, log.filter("__op = 'c'"), batch_id=0)
+    after_b0 = {tuple(r) for r in scd2.scd2_read_history(spark, dp).collect()}
+
+    def no_journal(dim_dir, journal):
+        raise RuntimeError("simulated crash pre-commit")
+
+    monkeypatch.setattr(scd2, "_write_journal", no_journal)
+    with pytest.raises(RuntimeError, match="pre-commit"):
+        scd2.scd2_upsert(spark, dp, log.filter("__op != 'c'"), batch_id=1)
+    monkeypatch.undo()
+    assert scd2._meta(dp)["last_batch_id"] == 0
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, dp).collect()} == after_b0
+    assert scd2.scd2_upsert(spark, dp, log.filter("__op != 'c'"), batch_id=1) is True
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, dp).collect()} == want
+    assert not [n for n in _os.listdir(dp) if n.startswith(".staging-")]
 
 
 def test_scd2_store_current_slice_is_type1(spark, sf_dir, tmp_path):
@@ -270,3 +311,104 @@ def test_scd2_as_of_time_travel(spark, sf_dir, monkeypatch, tmp_path):
     n_orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
     assert t0.count() == n_orders
     assert t0.filter("NOT is_current OR valid_to IS NOT NULL").count() == 0
+
+
+def test_scd2_upsert_rewrites_only_touched_buckets(spark, sf_dir, tmp_path):
+    """r8 verdict ask #1: the bucketed current/ slice makes upsert cost
+    ∝ touched buckets, not store size — files in UNTOUCHED buckets must
+    be byte-identical (same path, size, mtime, content hash) across an
+    upsert that touches a single bucket."""
+    import hashlib
+
+    from datapipe_spark.operators import scd2
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "sbuckets")
+    scd2.scd2_init(spark, d)
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'c'"), batch_id=0)
+    n_buckets = scd2._meta(d)["n_buckets"]
+
+    # pick ONE bucket's keys for the next increment
+    tail = log.filter("__op != 'c'")
+    target = tail.select(scd2._bucket_of(n_buckets).alias("b")).first()["b"]
+    one_bucket = tail.filter(scd2._bucket_of(n_buckets) == target)
+    assert one_bucket.count() > 0
+
+    def snapshot(skip_bucket):
+        out = {}
+        root = scd2._p(d, "current")
+        for bdir in sorted(os.listdir(root)):
+            b = int(bdir.split("=")[1])
+            if b == skip_bucket:
+                continue
+            for name in sorted(os.listdir(os.path.join(root, bdir))):
+                p = os.path.join(root, bdir, name)
+                st = os.stat(p)
+                out[p] = (
+                    st.st_size,
+                    st.st_mtime_ns,
+                    hashlib.md5(open(p, "rb").read()).hexdigest(),
+                )
+        return out
+
+    before = snapshot(target)
+    assert before  # there are untouched buckets to compare
+    assert scd2.scd2_upsert(spark, d, one_bucket, batch_id=1) is True
+    assert snapshot(target) == before  # untouched buckets byte-identical
+
+    # and the store is still correct: equal to replaying the same
+    # increments through a fresh store the ordinary way
+    d2 = str(tmp_path / "sbuckets_ref")
+    scd2.scd2_init(spark, d2)
+    scd2.scd2_upsert(spark, d2, log.filter("__op = 'c'"), batch_id=0)
+    scd2.scd2_upsert(spark, d2, one_bucket, batch_id=1)
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    want = {tuple(r) for r in scd2.scd2_read_history(spark, d2).collect()}
+    assert got == want
+
+
+def test_scd2_compact_closed_preserves_history_and_time_travel(
+    spark, sf_dir, tmp_path
+):
+    """r8 verdict ask #3: compacting the append-only closed/ files
+    (one small set per increment) must preserve the full history AND
+    every committed as_of(k) reconstruction, while cutting file count
+    to the size target."""
+    from datapipe_spark.operators import scd2
+    from datapipe_spark.operators.maintenance import parquet_file_count
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "scompact")
+    scd2.scd2_init(spark, d)
+    for i, op in enumerate(("c", "u", "d")):
+        scd2.scd2_upsert(spark, d, log.filter(F.col("__op") == op), batch_id=i)
+
+    pre_hist = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    pre_as_of = {
+        k: {tuple(r) for r in scd2.scd2_as_of(spark, d, k).collect()}
+        for k in (0, 1, 2)
+    }
+    files_before = parquet_file_count(scd2._p(d, "closed"))
+    before, after = scd2.scd2_compact_closed(spark, d, target_bytes=1 << 30)
+    assert before == files_before and after == 1  # tiny data → one file
+    assert scd2._meta(d)["last_batch_id"] == 2  # watermark untouched
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()} == pre_hist
+    for k, want_k in pre_as_of.items():
+        got_k = {tuple(r) for r in scd2.scd2_as_of(spark, d, k).collect()}
+        assert got_k == want_k, f"as_of({k}) diverged after compaction"
+
+
+def test_lineitem_pit_as_of_matches_prefix_oracle(spark, sf_dir, monkeypatch, tmp_path):
+    """r8 verdict ask #5: the time-traveled PIT read path — features
+    exactly as the store stood at increment 1 — equals the PIT rollup
+    over the changelog prefix, and differs from the current-store
+    rollup (the deletes that committed later must be visible again)."""
+    from datapipe_spark.operators import scd2
+
+    monkeypatch.setenv("SPARK_GRAFT_SCD2_DIR", str(tmp_path / "scd2_pit_tt"))
+    compare_to_oracle(
+        spark, scd2.lineitem_pit_as_of, cq.LINEITEM_PIT_AS_OF_SQL, sf_dir
+    )
+    travelled = {tuple(r) for r in scd2.lineitem_pit_as_of(spark, sf_dir).collect()}
+    today = {tuple(r) for r in scd2.lineitem_pit_stored(spark, sf_dir).collect()}
+    assert travelled != today  # time travel genuinely changes the features

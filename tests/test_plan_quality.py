@@ -483,9 +483,10 @@ def test_scd2_upsert_broadcasts_touched_keys_into_store_scans(spark, sf_dir, tmp
     d = str(tmp_path / "scd2_plan")
     scd2.scd2_init(spark, d)
     scd2.scd2_upsert(spark, d, log.filter(F.col("__op") == "c"), batch_id=0)
-    chained, cur_untouched = scd2._merge_plan(
+    chained, cur_untouched, tb = scd2._merge_plan(
         spark, d, log.filter(F.col("__op") != "c"), batch_id=1
     )
+    assert tb  # the tail increment touches at least one bucket
     for df, label in ((chained, "chain"), (cur_untouched, "untouched")):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, (label, plan)
@@ -494,3 +495,48 @@ def test_scd2_upsert_broadcasts_touched_keys_into_store_scans(spark, sf_dir, tmp
             plan,
         )
         assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, label
+        # the store scan must partition-prune to the touched buckets
+        assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+            "PartitionFilters: ["
+        )[1].split("]")[0], (label, plan)
+
+
+def test_scd2_snapshot_sized_increment_skips_broadcast(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r8 advisory: an increment past the broadcast gate (initial
+    load / backfill — touched ≈ every key) must NOT force-broadcast
+    the touched-key set; the merge falls back to a shuffle join and
+    still produces the exact oracle history."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import scd2
+    from datapipe_spark.plans import cdc_queries as cq
+    from datapipe_spark.sources.cdc import synth_changelog
+
+    monkeypatch.setattr(scd2, "SCD2_BROADCAST_MAX_ROWS", 0)
+    log = synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "scd2_big_inc")
+    scd2.scd2_init(spark, d)
+    scd2.scd2_upsert(spark, d, log.filter(F.col("__op") == "c"), batch_id=0)
+    # with auto-broadcast off, any BroadcastHashJoin could only come
+    # from a forced hint — exactly what the gate must rule out (at
+    # real scale Catalyst would never size-pick a snapshot increment)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        chained, cur_untouched, _ = scd2._merge_plan(
+            spark, d, log.filter(F.col("__op") != "c"), batch_id=1
+        )
+        for df, label in ((chained, "chain"), (cur_untouched, "untouched")):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, (label, plan)
+            assert (
+                "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+            ), label
+        scd2.scd2_upsert(spark, d, log.filter(F.col("__op") != "c"), batch_id=1)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    want = {tuple(r) for r in cq.cdc_scd2_history(spark, sf_dir).collect()}
+    assert got == want
