@@ -157,6 +157,33 @@ def main() -> None:
                 "neighbor_id",
             )
             ann_recall[name] = round(len(bfj & got) / len(bfj), 4) if bfj else None
+        # r9 (verdict ask #7): fresh-model recall — retrain every
+        # quantizer from scratch in a throwaway dir so the artifact
+        # records that the floors hold WITHOUT the persisted npz
+        # sidecars (a cache read cannot mask a trainer regression)
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="quantizers_fresh_") as fresh:
+            prev_q = os.environ.get("SPARK_GRAFT_QUANTIZER_DIR")
+            os.environ["SPARK_GRAFT_QUANTIZER_DIR"] = fresh
+            try:
+                for name, fn, anchor, qcol in (
+                    ("similarity_topk_ivf", sim.topk_ivf, bf, "query_id"),
+                    ("similarity_topk_pq", sim.topk_pq, bf, "query_id"),
+                    ("knn_join_ivfpq", sim.knn_join_ivfpq, bfj, "vec_id"),
+                ):
+                    df = fn(spark, sf_dir)
+                    if qcol == "vec_id":
+                        df = df.filter(F.col("vec_id").isin(list(qids)))
+                    got = _pairs(df, qcol, "neighbor_id")
+                    ann_recall[f"{name}_fresh"] = (
+                        round(len(anchor & got) / len(anchor), 4) if anchor else None
+                    )
+            finally:
+                if prev_q is None:
+                    os.environ.pop("SPARK_GRAFT_QUANTIZER_DIR", None)
+                else:
+                    os.environ["SPARK_GRAFT_QUANTIZER_DIR"] = prev_q
     except Exception as exc:  # noqa: BLE001 — recall must not kill the bench line
         print(f"ann recall sweep failed (continuing): {exc!r}", file=sys.stderr)
     # r6: recall floors are a GATE, not telemetry — a quantizer change
@@ -171,6 +198,10 @@ def main() -> None:
         "similarity_topk_ivf_nprobe14": 0.85,
         "knn_join_ivf": 0.77,
         "knn_join_ivfpq": 0.76,
+        # rebuilt-from-scratch models must clear the r8-asked floors
+        "similarity_topk_ivf_fresh": 0.75,
+        "similarity_topk_pq_fresh": 0.83,
+        "knn_join_ivfpq_fresh": 0.76,
     }
     recall_violations = {
         name: {"recall": ann_recall.get(name), "floor": floor}

@@ -740,3 +740,106 @@ def test_streaming_scd2_upserts_equals_batch_oracle(spark, sf_dir):
     from datapipe_spark.plans.cdc_queries import CDC_SCD2_HISTORY_SQL
 
     compare_to_oracle(spark, jobs.streaming_scd2_upserts, CDC_SCD2_HISTORY_SQL, sf_dir)
+
+
+def test_live_scd2_upserts_survive_kill_and_restart(spark, sf_dir, tmp_path):
+    """r8 verdict ask #6: the CDC→dimension maintenance pipeline under
+    a LIVE ``processingTime`` trigger (the registry form replays
+    availableNow). Increments arrive while the query runs; the stream
+    is KILLED mid-maintenance (after the update tail commits, before
+    the delete tail exists) and restarted from the same checkpoint
+    with its last commit marker removed — forcing Spark to re-deliver
+    the committed batch. The store's watermark must skip the replay
+    (no duplicate versions) and the final history must be
+    hash-identical to the uninterrupted batch build."""
+    import shutil
+    import time
+
+    from datapipe_spark.operators import scd2
+    from datapipe_spark.plans.cdc_queries import cdc_scd2_history
+    from datapipe_spark.sources.cdc import synth_changelog
+
+    log = synth_changelog(spark, sf_dir)
+    want = {tuple(r) for r in cdc_scd2_history(spark, sf_dir).collect()}
+    dim, drops, cp = (str(tmp_path / d) for d in ("dim", "drops", "cp"))
+    scd2.scd2_init(spark, dim)
+
+    def drop(i: int, op: str) -> None:
+        p = os.path.join(drops, f"drop_{i:02d}")
+        log.filter(F.col("__op") == op).coalesce(1).write.mode("overwrite").parquet(p)
+        for name in sorted(os.listdir(p)):
+            if name.endswith(".parquet"):
+                os.utime(os.path.join(p, name), (1_700_000_000 + i * 10,) * 2)
+
+    def start(checkpoint: str):
+        return (
+            spark.readStream.schema(log.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(drops, "drop_*"))
+            .writeStream.foreachBatch(
+                lambda bdf, bid: scd2.scd2_upsert(spark, dim, bdf, batch_id=bid)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def wait_watermark(n: int, q, deadline_s: float = 90.0) -> None:
+        end = time.time() + deadline_s
+        while scd2._meta(dim)["last_batch_id"] < n and time.time() < end:
+            q.processAllAvailable()
+            time.sleep(0.3)
+        assert scd2._meta(dim)["last_batch_id"] >= n
+
+    drop(0, "c")
+    q = start(cp)
+    try:
+        wait_watermark(0, q)
+        drop(1, "u")  # lands while the query is live
+        wait_watermark(1, q)
+    finally:
+        q.stop()  # kill mid-maintenance: delete tail not yet delivered
+        q.awaitTermination(60)  # release the checkpoint before restart
+
+    # simulate the crash-before-checkpoint-commit window: restart from
+    # a checkpoint whose LAST commit marker is missing (copied to a new
+    # path — same-JVM restarts of a mutated log trip Spark's
+    # concurrent-use guard), so the engine RE-DELIVERS batch 1
+    cp2 = str(tmp_path / "cp2")
+    shutil.copytree(cp, cp2)
+    commits = sorted(
+        c for c in os.listdir(os.path.join(cp2, "commits")) if not c.startswith(".")
+    )
+    os.remove(os.path.join(cp2, "commits", commits[-1]))
+    crc = os.path.join(cp2, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # checksum sidecar must go with its file
+        os.remove(crc)
+
+    history_mid = {tuple(r) for r in scd2.scd2_read_history(spark, dim).collect()}
+    q = start(cp2)
+    try:
+        wait_watermark(1, q)  # replayed batch 1 must watermark-skip
+        # replayed batch 1 must be watermark-skipped: wait until the
+        # restarted query has actually re-committed batch 1, then
+        # require zero duplicate versions
+        end = time.time() + 60
+        while time.time() < end:
+            q.processAllAvailable()
+            done = sorted(
+                c
+                for c in os.listdir(os.path.join(cp2, "commits"))
+                if not c.startswith(".")
+            )
+            if commits[-1] in done:
+                break
+            time.sleep(0.3)
+        assert {
+            tuple(r) for r in scd2.scd2_read_history(spark, dim).collect()
+        } == history_mid  # no duplicate versions from the replay
+        drop(2, "d")
+        wait_watermark(2, q)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, dim).collect()}
+    assert got == want
