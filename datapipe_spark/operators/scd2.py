@@ -349,6 +349,26 @@ def scd2_read_history(spark: SparkSession, dim_dir: str) -> DataFrame:
     return cur.select(*_HISTORY_COLS)
 
 
+def scd2_lookup(spark: SparkSession, dim_dir: str, ids: list) -> DataFrame:
+    """Feature-serving point lookup: the current (open) version of the
+    given keys, scanning ONLY the buckets those keys hash into. The
+    key set's bucket values partition-prune the ``current/`` scan and
+    the keys themselves broadcast into it — at 100 TB a k-key lookup
+    touches ≤k bucket dirs (task-sized each) instead of the whole
+    dimension slice. Plan-gated in tests."""
+    _recover(dim_dir)
+    n_buckets = int(_meta(dim_dir).get("n_buckets", 1))
+    keys = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    tb = sorted(
+        r[0]
+        for r in keys.select(_bucket_of(n_buckets).alias("b")).distinct().collect()
+    )
+    cur = _read_current(spark, dim_dir).filter(
+        F.col("bucket").isin(tb) if tb else F.lit(False)
+    )
+    return cur.join(F.broadcast(keys), "id").select(*_HISTORY_COLS)
+
+
 def scd2_as_of(spark: SparkSession, dim_dir: str, batch_id: int) -> DataFrame:
     """Time travel (Iceberg ``VERSION AS OF``, on OUR artifact): the
     dimension history exactly as it stood after increment ``batch_id``

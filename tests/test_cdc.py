@@ -412,3 +412,35 @@ def test_lineitem_pit_as_of_matches_prefix_oracle(spark, sf_dir, monkeypatch, tm
     travelled = {tuple(r) for r in scd2.lineitem_pit_as_of(spark, sf_dir).collect()}
     today = {tuple(r) for r in scd2.lineitem_pit_stored(spark, sf_dir).collect()}
     assert travelled != today  # time travel genuinely changes the features
+
+
+def test_scd2_lookup_prunes_to_key_buckets(spark, sf_dir, tmp_path):
+    """Feature-serving point lookup: correct rows (the open versions of
+    exactly the asked live keys) AND the scan partition-prunes to the
+    keys' buckets with the key set broadcast — never a full dimension
+    scan."""
+    from datapipe_spark.operators import scd2
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "slookup")
+    scd2.scd2_init(spark, d)
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'c'"), batch_id=0)
+    scd2.scd2_upsert(spark, d, log.filter("__op != 'c'"), batch_id=1)
+
+    live = [r["id"] for r in cdc.compact_latest(log).select("id").limit(3).collect()]
+    deleted = [r["id"] for r in log.filter("__op = 'd'").select("id").limit(1).collect()]
+    got = scd2.scd2_lookup(spark, d, live + deleted)
+    want = {
+        tuple(r)
+        for r in scd2.scd2_read_history(spark, d)
+        .filter(F.col("is_current") & F.col("id").isin(live + deleted))
+        .collect()
+    }
+    assert {tuple(r) for r in got.collect()} == want
+    assert {r["id"] for r in got.collect()} == set(live)  # tombstoned keys absent
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
