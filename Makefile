@@ -3,7 +3,7 @@
 
 STRESS_OPS ?= dedup_exact,dedup_minhash_lsh,dedup_simhash,dedup_pipeline,dedup_cross_corpus,dedup_cross_corpus_minhash,dedup_cross_corpus_indexed,corpus_train_shards
 
-.PHONY: test bench sweep stress stress-100 stress-r8
+.PHONY: test bench sweep stress stress-100 stress-r8 stress-r9
 
 test:
 	python -m pytest tests/ -x -q
@@ -29,3 +29,9 @@ stress-100:
 # interval-join state vs window width (SCALING.md round-8 table)
 stress-r8:
 	python scripts/stress_r8.py
+
+# round-9 additions: bucketed SCD2 upsert decade, 100-increment
+# maintenance + closed compaction, incremental BPE trainer curve
+# (SCALING.md round-9 table)
+stress-r9:
+	python scripts/stress_r9.py
