@@ -407,6 +407,52 @@ def scd2_as_of(spark: SparkSession, dim_dir: str, batch_id: int) -> DataFrame:
     return closed_by_now.unionByName(reopened).unionByName(cur)
 
 
+def scd2_rebucket(spark: SparkSession, dim_dir: str, n_buckets: int) -> None:
+    """Bucket-count evolution: rewrite the ``current/`` slice into a
+    new bucket count — the maintenance a growing dimension needs when
+    buckets outgrow task size (the 100 TB sizing rule in
+    ``scd2_init``'s docstring), or a shrunken one accumulates
+    small-file overhead. One hash shuffle of the OPEN slice only
+    (history files untouched — closed/ carries no bucket structure),
+    committed as a single journaled whole-dir swap + meta update, so
+    readers see the old or new layout, never a mix, and a crash
+    anywhere is rolled forward by the next entry. Content-preserving
+    by contract (history, as_of, and lookup equality are pinned in
+    tests)."""
+    _recover(dim_dir)
+    meta = _meta(dim_dir)
+    if int(n_buckets) == int(meta.get("n_buckets", 1)):
+        return
+    cur = _read_current(spark, dim_dir).select(*_STORE_COLS)
+    token = uuid.uuid4().hex[:12]
+    stage = _p(dim_dir, f".staging-{token}/current")
+    (
+        cur.withColumn("bucket", _bucket_of(int(n_buckets)))
+        .repartition(int(n_buckets), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(stage)
+    )
+    for name in ("_SUCCESS", "._SUCCESS.crc"):
+        p = os.path.join(stage, name)
+        if os.path.exists(p):
+            os.remove(p)
+    if not any(n.startswith("bucket=") for n in os.listdir(stage)):
+        # empty store: keep a typed empty bucket so reads stay schema'd
+        spark.createDataFrame([], _STORE_SCHEMA).write.mode("overwrite").parquet(
+            os.path.join(stage, "bucket=0")
+        )
+    _write_journal(
+        dim_dir,
+        {
+            "moves": [],
+            "swaps": [[stage, _p(dim_dir, "current")]],
+            "meta": {**meta, "n_buckets": int(n_buckets)},
+        },
+    )
+    _roll_forward(dim_dir)
+
+
 def scd2_compact_closed(
     spark: SparkSession, dim_dir: str, target_bytes: int | None = None
 ) -> tuple[int, int]:

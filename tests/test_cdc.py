@@ -444,3 +444,40 @@ def test_scd2_lookup_prunes_to_key_buckets(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "bucket" in plan.split(
         "PartitionFilters: ["
     )[1].split("]")[0], plan
+
+
+def test_scd2_rebucket_preserves_store_and_updates_layout(spark, sf_dir, tmp_path):
+    """Bucket-count evolution: rebucketing the current/ slice must be
+    content-preserving (history, as_of, lookup all row-equal), update
+    the layout + meta atomically, and keep subsequent upserts correct
+    under the new bucket count."""
+    from datapipe_spark.operators import scd2
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "srebucket")
+    scd2.scd2_init(spark, d, n_buckets=8)
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'c'"), batch_id=0)
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'u'"), batch_id=1)
+
+    pre_hist = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    pre_as_of = {tuple(r) for r in scd2.scd2_as_of(spark, d, 0).collect()}
+    live = [r["id"] for r in cdc.compact_latest(log).select("id").limit(4).collect()]
+    pre_lookup = {tuple(r) for r in scd2.scd2_lookup(spark, d, live).collect()}
+
+    scd2.scd2_rebucket(spark, d, 32)
+    assert scd2._meta(d)["n_buckets"] == 32
+    buckets = [n for n in os.listdir(scd2._p(d, "current")) if n.startswith("bucket=")]
+    assert len(buckets) > 8
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()} == pre_hist
+    assert {tuple(r) for r in scd2.scd2_as_of(spark, d, 0).collect()} == pre_as_of
+    assert {tuple(r) for r in scd2.scd2_lookup(spark, d, live).collect()} == pre_lookup
+
+    # the delete tail applies correctly under the new layout
+    assert scd2.scd2_upsert(spark, d, log.filter("__op = 'd'"), batch_id=2) is True
+    want = {tuple(r) for r in cq.cdc_scd2_history(spark, sf_dir).collect()}
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()} == want
+
+    # shrink is equally content-preserving
+    scd2.scd2_rebucket(spark, d, 4)
+    assert scd2._meta(d)["n_buckets"] == 4
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()} == want
