@@ -283,19 +283,21 @@ def lineitem_pit_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pit_status_rollup(spark, sf_dir, hist)
 
 
-def _pit_status_rollup(spark: SparkSession, sf_dir: str, hist: DataFrame) -> DataFrame:
-    """The fact-side half, shared with the materialized-store form
-    (``lineitem_pit_stored``): PIT-join lineitems to ANY SCD2 history
-    frame and roll up by status × ship month."""
-    from datapipe_spark.operators.rangejoin import point_in_time_join
+def _lineitem_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact side of every PIT form: lineitems as (key, event time,
+    decimal measure)."""
     from datapipe_spark.sources.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    return load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("id"),
         F.col("l_shipdate").cast("timestamp").alias("ship_ts"),
         F.col("l_quantity").cast("decimal(18,2)").alias("_qty"),
     )
-    joined = point_in_time_join(li, hist, key="id", fact_ts="ship_ts")
+
+
+def _pit_rollup_agg(joined: DataFrame) -> DataFrame:
+    """Shared rollup tail: PIT-enriched facts → status × ship month
+    audit (decimal-summed, double only in the final projection)."""
     return joined.groupBy(
         F.col("status").alias("status_at_ship"),
         F.year("ship_ts").alias("ship_year"),
@@ -304,6 +306,18 @@ def _pit_status_rollup(spark: SparkSession, sf_dir: str, hist: DataFrame) -> Dat
         F.count("*").alias("n_items"),
         F.sum("_qty").cast("double").alias("sum_qty"),
     )
+
+
+def _pit_status_rollup(spark: SparkSession, sf_dir: str, hist: DataFrame) -> DataFrame:
+    """The fact-side half, shared with the materialized-store form
+    (``lineitem_pit_stored``): PIT-join lineitems to ANY SCD2 history
+    frame and roll up by status × ship month."""
+    from datapipe_spark.operators.rangejoin import point_in_time_join
+
+    joined = point_in_time_join(
+        _lineitem_facts(spark, sf_dir), hist, key="id", fact_ts="ship_ts"
+    )
+    return _pit_rollup_agg(joined)
 
 
 LINEITEM_PIT_STATUS_ROLLUP_SQL = f"""

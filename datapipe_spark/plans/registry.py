@@ -139,6 +139,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # point-in-time join, oracled against the rollup over the changelog
     # PREFIX (the training-reproducibility contract)
     "lineitem_pit_as_of": (scd2.lineitem_pit_as_of, cdcq.LINEITEM_PIT_AS_OF_SQL),
+    # ...and feature serving for STREAMING facts: micro-batched
+    # lineitems PIT-enrich per batch against the materialized store
+    # (idempotent per-batch sink), rolled up under the batch oracle
+    "streaming_pit_enriched_lineitems": (
+        stream.streaming_pit_enriched_lineitems,
+        cdcq.LINEITEM_PIT_STATUS_ROLLUP_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

@@ -553,6 +553,63 @@ def streaming_scd2_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2.scd2_read_history(spark, dim)
 
 
+def streaming_pit_enriched_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature serving for STREAMING facts (r9): lineitem facts arrive
+    as micro-batches and each ``foreachBatch`` PIT-enriches the batch
+    against the MATERIALIZED SCD2 dimension store (the stored-history
+    read path — `scd2._cached_scd2_store`), appending enriched rows
+    per batch (idempotent overwrite-per-batch sink, T10). The rollup
+    over the union shares ``LINEITEM_PIT_STATUS_ROLLUP_SQL``: the hash
+    oracle attests stream + store + PIT join compose to exactly the
+    batch form — the leak-free online-features pipeline a feature
+    platform runs (each fact reads the version valid at ITS event
+    time, never the current one).
+
+    Scale shape: the dimension history is a parquet scan per batch
+    (versions-per-key bounded, keyed equi-join — one hash shuffle of
+    the BATCH, never the store); facts stream through unbounded."""
+    from datapipe_spark.operators import scd2
+    from datapipe_spark.operators.rangejoin import point_in_time_join
+    from datapipe_spark.plans.cdc_queries import _lineitem_facts, _pit_rollup_agg
+
+    out = src.fresh_dir("pit_stream")
+    drops, sink = os.path.join(out, "drops"), os.path.join(out, "sink")
+
+    li = _lineitem_facts(spark, sf_dir)
+    base_mtime = time.time()
+    for i in range(3):
+        p = os.path.join(drops, f"drop_{i:02d}")
+        li.filter(F.col("id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(p)
+        for name in sorted(os.listdir(p)):
+            if name.endswith(".parquet"):
+                os.utime(os.path.join(p, name), (base_mtime + i, base_mtime + i))
+
+    hist = scd2.scd2_read_history(spark, scd2._cached_scd2_store(spark, sf_dir)).select(
+        "id", "status", "valid_from", "valid_to"
+    )
+
+    def enrich(bdf: DataFrame, bid: int) -> None:
+        joined = point_in_time_join(bdf, hist, key="id", fact_ts="ship_ts")
+        joined.write.mode("overwrite").parquet(os.path.join(sink, f"b_{bid:05d}"))
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drops, "drop_*"))
+    )
+    with _stream_shuffle(spark):
+        _run(stream.writeStream.foreachBatch(enrich), os.path.join(out, "cp"))
+    enriched = (
+        spark.read.schema(
+            "id long, ship_ts timestamp, _qty decimal(18,2), "
+            "status string, valid_from timestamp, valid_to timestamp"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(sink)
+    )
+    return _pit_rollup_agg(enriched)
+
+
 def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/T9/S11/T6: raw JSON value stream → parse → validation split →
     valid events sink + DLQ sink, both written from one foreachBatch

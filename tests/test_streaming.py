@@ -843,3 +843,18 @@ def test_live_scd2_upserts_survive_kill_and_restart(spark, sf_dir, tmp_path):
         q.awaitTermination(60)
     got = {tuple(r) for r in scd2.scd2_read_history(spark, dim).collect()}
     assert got == want
+
+
+def test_streaming_pit_enrichment_equals_batch_oracle(spark, sf_dir, monkeypatch, tmp_path):
+    """Streaming feature serving: per-micro-batch PIT enrichment
+    against the materialized store must roll up to exactly the batch
+    PIT oracle (leak-free online features)."""
+    from datapipe_spark.plans.cdc_queries import LINEITEM_PIT_STATUS_ROLLUP_SQL
+
+    monkeypatch.setenv("SPARK_GRAFT_SCD2_DIR", str(tmp_path / "scd2_pit_stream"))
+    compare_to_oracle(
+        spark,
+        jobs.streaming_pit_enriched_lineitems,
+        LINEITEM_PIT_STATUS_ROLLUP_SQL,
+        sf_dir,
+    )
