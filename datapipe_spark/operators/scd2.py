@@ -97,6 +97,12 @@ SCD2_BROADCAST_MAX_ROWS = 2_000_000
 # n_buckets at init so store_bytes / n_buckets ≈ a task-sized chunk
 SCD2_DEFAULT_BUCKETS = 8
 
+# closed rows carry a FIXED-modulus key bucket (`cbucket`) so key-
+# pruned history reads footer-prune closed files after compaction
+# clusters on it — decoupled from the current/ layout bucket count,
+# which `scd2_rebucket` may change after the files are written
+SCD2_CLOSED_KEY_BUCKETS = 1024
+
 _JOURNAL = "commit-pending.json"
 
 
@@ -297,9 +303,13 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
 
     # stage the closed delta (flat files carrying the closing batch as
     # the `inc` lineage column — constant per file, so as_of footer-
-    # prunes whole files)
+    # prunes whole files — plus the fixed-modulus key bucket for
+    # key-pruned reads, selective after compaction clusters on it)
     chained.filter(~F.col("is_current")).withColumn(
         "inc", F.lit(batch_id).cast("int")
+    ).withColumn(
+        "cbucket",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS)).cast("int"),
     ).write.mode("overwrite").parquet(os.path.join(stage, "closed"))
     moves = []
     sdir = os.path.join(stage, "closed")
@@ -367,6 +377,55 @@ def scd2_lookup(spark: SparkSession, dim_dir: str, ids: list) -> DataFrame:
         F.col("bucket").isin(tb) if tb else F.lit(False)
     )
     return cur.join(F.broadcast(keys), "id").select(*_HISTORY_COLS)
+
+
+def scd2_history_for_keys(
+    spark: SparkSession, dim_dir: str, keys: DataFrame
+) -> DataFrame:
+    """Key-pruned full-history read — the feature-serving PIT source:
+    every version of JUST the given keys. The ``current/`` scan
+    partition-prunes to the keys' layout buckets; the ``closed/`` scan
+    filters on the fixed-modulus ``cbucket`` column (footer-selective
+    once ``scd2_compact_closed`` clusters on it); a broadcast LEFT
+    SEMI join then trims both slices to the exact key set. Cost is
+    O(touched buckets + matching closed files) — at 100 TB a bounded
+    key set (a micro-batch, a training shard) reads a bounded slice of
+    the store, never the whole dimension. ``keys`` must have an ``id``
+    column; row-equality with the filtered full read is pinned in
+    tests."""
+    _recover(dim_dir)
+    n_buckets = int(_meta(dim_dir).get("n_buckets", 1))
+    kb = keys.select("id").distinct().localCheckpoint(eager=True)
+    tb = sorted(
+        r[0]
+        for r in kb.select(_bucket_of(n_buckets).alias("b")).distinct().collect()
+    )
+    cur = (
+        _read_current(spark, dim_dir)
+        .filter(F.col("bucket").isin(tb) if tb else F.lit(False))
+        .select(*_HISTORY_COLS)
+    )
+    hist = cur
+    if _has_closed(dim_dir):
+        closed = spark.read.parquet(_p(dim_dir, "closed"))
+        if "cbucket" in closed.columns:
+            cb = sorted(
+                r[0]
+                for r in kb.select(
+                    F.pmod(
+                        F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS)
+                    )
+                    .cast("int")
+                    .alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            closed = closed.filter(
+                F.col("cbucket").isin(cb) if cb else F.lit(False)
+            )
+        hist = closed.select(*_HISTORY_COLS).unionByName(cur)
+    return hist.join(F.broadcast(kb), "id", "semi")
 
 
 def scd2_as_of(spark: SparkSession, dim_dir: str, batch_id: int) -> DataFrame:
@@ -479,8 +538,17 @@ def scd2_compact_closed(
         return (0, 0)
     root = _p(dim_dir, "closed")
     before = parquet_file_count(root)
+    # cluster key-bucket-major: a key-pruned read touches ~1/1024 of
+    # the files; within a bucket slice `inc` stays contiguous so
+    # time-travel filters keep pruning too. Legacy pre-cbucket stores
+    # cluster on inc alone.
+    cols = (
+        ["cbucket", "inc"]
+        if "cbucket" in spark.read.parquet(root).columns
+        else ["inc"]
+    )
     after = cluster_parquet(
-        spark, root, ["inc"], target_bytes=target_bytes or TARGET_FILE_BYTES
+        spark, root, cols, target_bytes=target_bytes or TARGET_FILE_BYTES
     )
     return (before, after)
 
@@ -511,7 +579,7 @@ def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v3".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v4".encode()
     ).hexdigest()[:16]
     root = os.environ.get("SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2")
     out = os.path.join(root, key)

@@ -587,18 +587,19 @@ def streaming_pit_enriched_lineitems(spark: SparkSession, sf_dir: str) -> DataFr
             if name.endswith(".parquet"):
                 os.utime(os.path.join(p, name), (base_mtime + i, base_mtime + i))
 
-    hist = scd2.scd2_read_history(spark, scd2._cached_scd2_store(spark, sf_dir)).select(
-        "id", "status", "valid_from", "valid_to"
-    )
+    store = scd2._cached_scd2_store(spark, sf_dir)
 
     def enrich(bdf: DataFrame, bid: int) -> None:
         # facts are the PRESERVED side (left join keeps misses as
         # nulls) so they can never be the broadcast build side; the
-        # keyed equi-join shuffles the bounded batch + the matching
-        # history keys. At 100 TB the history scan itself is the knob:
-        # prune it to the batch's touched key-buckets first (the
-        # scd2_lookup posture) so per-batch cost tracks the batch.
-        joined = point_in_time_join(bdf, hist, key="id", fact_ts="ship_ts")
+        # scale knob is the history read instead: the KEY-PRUNED slice
+        # (bucket-pruned current/, cbucket-filtered closed/, broadcast
+        # semi join — scd2_history_for_keys) bounds per-batch cost by
+        # the batch's key set, never the store.
+        hist_b = scd2.scd2_history_for_keys(spark, store, bdf.select("id")).select(
+            "id", "status", "valid_from", "valid_to"
+        )
+        joined = point_in_time_join(bdf, hist_b, key="id", fact_ts="ship_ts")
         joined.write.mode("overwrite").parquet(os.path.join(sink, f"b_{bid:05d}"))
 
     stream = (

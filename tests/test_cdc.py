@@ -481,3 +481,54 @@ def test_scd2_rebucket_preserves_store_and_updates_layout(spark, sf_dir, tmp_pat
     scd2.scd2_rebucket(spark, d, 4)
     assert scd2._meta(d)["n_buckets"] == 4
     assert {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()} == want
+
+
+def test_scd2_history_for_keys_equals_filtered_full_read(spark, sf_dir, tmp_path):
+    """The key-pruned history read must equal the full read filtered to
+    the same keys (updated, untouched, and tombstoned keys alike),
+    survive a rebucket (cbucket is fixed-modulus, decoupled from the
+    layout bucket count), and keep its pruned plan: bucket partition
+    filter on current/, cbucket pushed filter on closed/, broadcast
+    semi join."""
+    from datapipe_spark.operators import scd2
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "shfk")
+    scd2.scd2_init(spark, d)
+    for i, op in enumerate(("c", "u", "d")):
+        scd2.scd2_upsert(spark, d, log.filter(F.col("__op") == op), batch_id=i)
+
+    updated = [r["id"] for r in log.filter("__op = 'u'").select("id").limit(3).collect()]
+    deleted = [r["id"] for r in log.filter("__op = 'd'").select("id").limit(2).collect()]
+    ids = updated + deleted
+    keys = spark.createDataFrame([(i,) for i in ids], "id long")
+
+    want = {
+        tuple(r)
+        for r in scd2.scd2_read_history(spark, d).filter(F.col("id").isin(ids)).collect()
+    }
+    got_df = scd2.scd2_history_for_keys(spark, d, keys)
+    assert {tuple(r) for r in got_df.collect()} == want
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert any(  # the current/ scan partition-prunes to the key buckets
+        "bucket" in seg.split("]")[0]
+        for seg in plan.split("PartitionFilters: [")[1:]
+    ), plan
+    assert any(  # the closed/ scan prunes on the fixed-modulus bucket
+        "cbucket" in seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ), plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+    # compaction clusters on (cbucket, inc); equality must hold after
+    scd2.scd2_compact_closed(spark, d, target_bytes=1 << 30)
+    assert {
+        tuple(r) for r in scd2.scd2_history_for_keys(spark, d, keys).collect()
+    } == want
+
+    # rebucketing the layout does not disturb the fixed-modulus reads
+    scd2.scd2_rebucket(spark, d, 32)
+    assert {
+        tuple(r) for r in scd2.scd2_history_for_keys(spark, d, keys).collect()
+    } == want
