@@ -232,15 +232,13 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
         .localCheckpoint(eager=True)
     )
     touched = inc.select("id").distinct()
-    tb = sorted(
-        r[0]
-        for r in inc.select(_bucket_of(n_buckets).alias("b")).distinct().collect()
-    )
-    probe = (
-        F.broadcast(touched)
-        if inc.count() <= SCD2_BROADCAST_MAX_ROWS
-        else touched
-    )
+    # one aggregation serves both the touched-bucket set and the
+    # broadcast gate's row count (the increment is checkpointed, so
+    # this is one cheap job, not a rescan)
+    stats = inc.groupBy(_bucket_of(n_buckets).alias("b")).count().collect()
+    tb = sorted(r["b"] for r in stats)
+    n_rows = sum(r["count"] for r in stats)
+    probe = F.broadcast(touched) if n_rows <= SCD2_BROADCAST_MAX_ROWS else touched
     cur = _read_current(spark, dim_dir).filter(
         F.col("bucket").isin(tb) if tb else F.lit(False)
     )
