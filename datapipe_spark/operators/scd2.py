@@ -394,10 +394,20 @@ def scd2_history_for_keys(
     _recover(dim_dir)
     n_buckets = int(_meta(dim_dir).get("n_buckets", 1))
     kb = keys.select("id").distinct().localCheckpoint(eager=True)
-    tb = sorted(
-        r[0]
-        for r in kb.select(_bucket_of(n_buckets).alias("b")).distinct().collect()
+    # one job yields both pruning sets (layout bucket + fixed-modulus
+    # closed bucket per distinct key)
+    pairs = (
+        kb.select(
+            _bucket_of(n_buckets).alias("b"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS))
+            .cast("int")
+            .alias("cb"),
+        )
+        .distinct()
+        .collect()
     )
+    tb = sorted({r["b"] for r in pairs})
+    cb = sorted({r["cb"] for r in pairs})
     cur = (
         _read_current(spark, dim_dir)
         .filter(F.col("bucket").isin(tb) if tb else F.lit(False))
@@ -407,18 +417,6 @@ def scd2_history_for_keys(
     if _has_closed(dim_dir):
         closed = spark.read.parquet(_p(dim_dir, "closed"))
         if "cbucket" in closed.columns:
-            cb = sorted(
-                r[0]
-                for r in kb.select(
-                    F.pmod(
-                        F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS)
-                    )
-                    .cast("int")
-                    .alias("b")
-                )
-                .distinct()
-                .collect()
-            )
             closed = closed.filter(
                 F.col("cbucket").isin(cb) if cb else F.lit(False)
             )

@@ -177,6 +177,113 @@ def scd2_maintenance(spark, scratch: str) -> None:
     )
 
 
+def scd2_reads(spark, scratch: str) -> None:
+    """Key-pruned reads vs full-scan filters at store scale: on an
+    800k-key bucketed store with closed history (3 increments,
+    compacted), time `scd2_lookup` / `scd2_history_for_keys` for 8
+    keys against the naive read_history().filter(isin) plan."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import scd2
+
+    n_keys = 800_000
+    store = os.path.join(scratch, "scd2_reads")
+    _bulk_load(spark, store, n_keys, n_buckets=32)
+    for b in (1, 2, 3):  # 50k hot keys flap every increment → 150k
+        ids = list(range(50_000))  # closed versions, real history bulk
+        scd2.scd2_upsert(spark, store, _mk_increment(spark, ids, b), batch_id=b)
+    # small file target: the 15k-row closed history clusters into ~50
+    # cbucket-sliced files, the shape a 100 TB store's 128 MB-target
+    # compaction produces — at file granularity the cbucket pruning
+    # becomes measurable
+    scd2.scd2_compact_closed(spark, store, target_bytes=16 * 1024)
+
+    probe = [i * 100_000 + 7 for i in range(8)]
+    keys = spark.createDataFrame([(i,) for i in probe], "id long")
+
+    def timed(fn):
+        fn()  # warm file listing / codegen
+        t0 = time.monotonic()
+        n = fn()
+        return round(time.monotonic() - t0, 3), n
+
+    t_lookup, n_lookup = timed(lambda: scd2.scd2_lookup(spark, store, probe).count())
+    t_hist, n_hist = timed(
+        lambda: scd2.scd2_history_for_keys(spark, store, keys).count()
+    )
+    t_naive, n_naive = timed(
+        lambda: scd2.scd2_read_history(spark, store)
+        .filter(F.col("id").isin(probe))
+        .count()
+    )
+    assert n_hist == n_naive
+
+    # wall time at this scale is dominated by the fixed per-job
+    # overhead (the store scan is tiny on local NVMe); the structural
+    # claim is SCAN SURFACE — bytes/files a 100 TB store would read
+    import pyarrow.parquet as pq
+
+    tb = sorted(
+        {r[0] for r in keys.select(scd2._bucket_of(32).alias("b")).collect()}
+    )
+    cbs = {
+        r[0]
+        for r in keys.select(
+            F.pmod(F.xxhash64("id"), F.lit(scd2.SCD2_CLOSED_KEY_BUCKETS))
+            .cast("int")
+            .alias("c")
+        ).collect()
+    }
+    cur_root = scd2._p(store, "current")
+    cur_all = cur_pruned = 0
+    for bdir in os.listdir(cur_root):
+        for f in os.listdir(os.path.join(cur_root, bdir)):
+            if f.endswith(".parquet"):
+                sz = os.path.getsize(os.path.join(cur_root, bdir, f))
+                cur_all += sz
+                if int(bdir.split("=")[1]) in tb:
+                    cur_pruned += sz
+    closed_root = scd2._p(store, "closed")
+    cl_all = cl_pruned = 0
+    for f in os.listdir(closed_root):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(closed_root, f)
+        sz = os.path.getsize(p)
+        cl_all += sz
+        md = pq.ParquetFile(p).metadata
+        ci = {c.path_in_schema: i for i, c in enumerate(
+            md.row_group(0).column(j) for j in range(md.num_columns)
+        )}
+        hit = False
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(ci["cbucket"])
+            st = col.statistics
+            if st is None or any(st.min <= c <= st.max for c in cbs):
+                hit = True
+                break
+        if hit:
+            cl_pruned += sz
+    print(
+        json.dumps(
+            {
+                "experiment": "scd2_reads",
+                "store_keys": n_keys,
+                "probe_keys": len(probe),
+                "lookup_s": t_lookup,
+                "history_for_keys_s": t_hist,
+                "naive_full_filter_s": t_naive,
+                "history_rows": n_hist,
+                "current_bytes_fraction_scanned": round(cur_pruned / cur_all, 3),
+                "closed_bytes_fraction_scanned": (
+                    round(cl_pruned / cl_all, 3) if cl_all else None
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def bpe_incremental(spark) -> None:
     from pyspark.sql import functions as F
 
@@ -259,7 +366,7 @@ def main() -> None:
 
     from datapipe_spark import get_spark
 
-    which = set(sys.argv[1:]) or {"buckets", "maintenance", "bpe"}
+    which = set(sys.argv[1:]) or {"buckets", "maintenance", "reads", "bpe"}
     spark = get_spark()
     scratch = tempfile.mkdtemp(prefix="stress_r9_")
     try:
@@ -267,6 +374,8 @@ def main() -> None:
             scd2_buckets(spark, scratch)
         if "maintenance" in which:
             scd2_maintenance(spark, scratch)
+        if "reads" in which:
+            scd2_reads(spark, scratch)
         if "bpe" in which:
             bpe_incremental(spark)
     finally:
