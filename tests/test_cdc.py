@@ -532,3 +532,95 @@ def test_scd2_history_for_keys_equals_filtered_full_read(spark, sf_dir, tmp_path
     assert {
         tuple(r) for r in scd2.scd2_history_for_keys(spark, d, keys).collect()
     } == want
+
+
+def test_scd2_commit_crash_sweep_every_fs_step(spark, tmp_path, monkeypatch):
+    """Exhaustive torn-commit sweep: inject a crash after EVERY
+    store-directory filesystem operation of the journaled commit in
+    turn (journal rename, each closed-file move, each bucket-swap
+    step, meta write, journal retirement, staging sweep). After each
+    crash, entry recovery + batch replay must converge to exactly the
+    never-crashed twin — no duplicate versions, no lost closes, no
+    stuck journal."""
+    import datetime as dt
+    import os as _os
+    import shutil as _shutil
+
+    from datapipe_spark.operators import scd2
+
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    creates = spark.createDataFrame(
+        [(i, i * 10, "A", "5.00", t(0), "c", t(i), i) for i in range(1, 7)], schema
+    )
+    tail = spark.createDataFrame(
+        [
+            (1, 10, "B", "6.00", t(0), "u", t(10), 101),
+            (2, 20, "C", "7.00", t(0), "u", t(11), 102),
+            (3, 30, "X", "0.00", t(0), "d", t(12), 103),
+        ],
+        schema,
+    )
+
+    # never-crashed twin
+    clean = str(tmp_path / "clean")
+    scd2.scd2_init(spark, clean, n_buckets=4)
+    scd2.scd2_upsert(spark, clean, creates, batch_id=0)
+    scd2.scd2_upsert(spark, clean, tail, batch_id=1)
+    want = {tuple(r) for r in scd2.scd2_read_history(spark, clean).collect()}
+
+    budget = {"n": None, "root": None}
+    reals = {
+        "rename": _os.rename,
+        "replace": _os.replace,
+        "remove": _os.remove,
+        "rmtree": _shutil.rmtree,
+    }
+
+    def gate(real):
+        def wrapper(*a, **k):
+            p = a[0] if a else ""
+            if (
+                budget["n"] is not None
+                and isinstance(p, str)
+                and budget["root"] in p
+            ):
+                if budget["n"] <= 0:
+                    raise RuntimeError("crash-inject")
+                budget["n"] -= 1
+            return real(*a, **k)
+        return wrapper
+
+    monkeypatch.setattr(_os, "rename", gate(reals["rename"]))
+    monkeypatch.setattr(_os, "replace", gate(reals["replace"]))
+    monkeypatch.setattr(_os, "remove", gate(reals["remove"]))
+    monkeypatch.setattr(_shutil, "rmtree", gate(reals["rmtree"]))
+
+    completed_without_crash = False
+    for k in range(0, 40):
+        d = str(tmp_path / f"sweep_{k}")
+        budget["n"], budget["root"] = None, d
+        scd2.scd2_init(spark, d, n_buckets=4)
+        scd2.scd2_upsert(spark, d, creates, batch_id=0)
+        budget["n"] = k
+        crashed = False
+        try:
+            scd2.scd2_upsert(spark, d, tail, batch_id=1)
+        except RuntimeError as e:
+            assert "crash-inject" in str(e)
+            crashed = True
+        budget["n"] = None
+        # recovery happens at the next entry; replay must be exact-once
+        scd2.scd2_upsert(spark, d, tail, batch_id=1)
+        got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+        assert got == want, f"diverged after crash at fs-op {k}"
+        assert scd2._meta(d)["last_batch_id"] == 1
+        assert not _os.path.exists(scd2._p(d, scd2._JOURNAL))
+        assert not [n for n in _os.listdir(d) if n.startswith(".staging-")]
+        if not crashed:
+            completed_without_crash = True
+            break
+    assert completed_without_crash, "sweep never reached the clean-run budget"
