@@ -633,6 +633,29 @@ def lineitem_pit_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pit_status_rollup(spark, sf_dir, hist)
 
 
+def scd2_store_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of store MAINTENANCE (r9): clone the cached
+    store, run both layout rewrites — closed-history compaction
+    (range-clustered on ``(cbucket, inc)``) and open-slice
+    rebucketing (8 → 16 journaled whole-dir swap) — then read the full
+    history back under the batch build's hash oracle. Attests the
+    rewrites preserve every version exactly: the content-preservation
+    contract ``lineitem_cluster_rewrite`` pins for source tables and
+    ``dedup_cross_corpus_compacted`` pins for the band index, applied
+    to the dimension store."""
+    import shutil as _sh
+
+    from datapipe_spark.util import fresh_dir
+
+    src_store = _cached_scd2_store(spark, sf_dir)
+    root = fresh_dir("scd2_maintained")
+    dst = os.path.join(root, "store")
+    _sh.copytree(src_store, dst)
+    scd2_compact_closed(spark, dst)
+    scd2_rebucket(spark, dst, 16)
+    return scd2_read_history(spark, dst)
+
+
 def scd2_dimension_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form (r7 verdict ask #8): build the materialized store
     from a realistic two-increment arrival — the initial load (every

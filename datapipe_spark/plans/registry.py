@@ -146,6 +146,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream.streaming_pit_enriched_lineitems,
         cdcq.LINEITEM_PIT_STATUS_ROLLUP_SQL,
     ),
+    # ...and store maintenance under the same oracle: closed-history
+    # compaction + open-slice rebucketing must preserve every version
+    # (the lineitem_cluster_rewrite contract, applied to the store)
+    "scd2_store_maintained": (
+        scd2.scd2_store_maintained,
+        cdcq.CDC_SCD2_HISTORY_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
