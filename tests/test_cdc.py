@@ -624,3 +624,52 @@ def test_scd2_commit_crash_sweep_every_fs_step(spark, tmp_path, monkeypatch):
             completed_without_crash = True
             break
     assert completed_without_crash, "sweep never reached the clean-run budget"
+
+
+def test_scd2_rebucket_torn_swap_recovers(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash between rebucket's journal write and its whole-dir swap
+    must be invisible: the next read entry completes the swap and
+    meta, and the store equals the uncrashed rebucket exactly."""
+    from datapipe_spark.operators import scd2
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "srbtorn")
+    scd2.scd2_init(spark, d, n_buckets=8)
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'c'"), batch_id=0)
+    scd2.scd2_upsert(spark, d, log.filter("__op != 'c'"), batch_id=1)
+    want = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+
+    def crash(dim_dir):  # journal persisted, nothing rolled forward
+        raise RuntimeError("simulated crash post-journal")
+
+    monkeypatch.setattr(scd2, "_roll_forward", crash)
+    with pytest.raises(RuntimeError, match="post-journal"):
+        scd2.scd2_rebucket(spark, d, 32)
+    monkeypatch.undo()
+    assert os.path.exists(scd2._p(d, scd2._JOURNAL))
+    assert scd2._meta(d)["n_buckets"] == 8  # not yet advanced
+
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == want  # reader entry completed the rebucket
+    assert scd2._meta(d)["n_buckets"] == 32
+    buckets = [n for n in os.listdir(scd2._p(d, "current")) if n.startswith("bucket=")]
+    assert len(buckets) > 8
+    # and the watermark survived the recovery: committed batches skip
+    assert scd2.scd2_upsert(spark, d, log.filter("__op != 'c'"), batch_id=1) is False
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()} == want
+
+
+def test_scd2_key_reads_empty_key_set(spark, sf_dir, tmp_path):
+    """Degenerate inputs: an empty key set returns an empty,
+    correctly-schema'd frame from both key-pruned readers."""
+    from datapipe_spark.operators import scd2
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "sempty")
+    scd2.scd2_init(spark, d)
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'c'"), batch_id=0)
+    assert scd2.scd2_lookup(spark, d, []).count() == 0
+    empty_keys = spark.createDataFrame([], "id long")
+    got = scd2.scd2_history_for_keys(spark, d, empty_keys)
+    assert got.count() == 0
+    assert got.columns == scd2._HISTORY_COLS

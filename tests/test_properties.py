@@ -843,3 +843,36 @@ def test_scd2_store_random_increments_match_model(
         for r in scd2.scd2_read_history(spark_prop, d).collect()
     }
     assert got == want
+
+
+# --- incremental BPE trainer property ----------------------------------------
+
+word_tables = st.dictionaries(
+    st.text(
+        alphabet=st.sampled_from("abcdexyz"),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=50),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=word_tables, k=st.integers(min_value=0, max_value=64))
+def test_bpe_incremental_trainer_property(words, k):
+    """r9: the incremental pair-count trainer must be rank-for-rank
+    identical to the full-recount reference on ARBITRARY weighted word
+    tables and merge budgets — the heap lazy-deletion + delta
+    bookkeeping can't diverge on any tie/collision pattern hypothesis
+    finds (repeated merges into identical types, single-char words,
+    pairs whose count rises back to a stale heap entry's value)."""
+    from datapipe_spark.operators.textstats import (
+        BPE_EOW,
+        _bpe_train_driver,
+        _bpe_train_driver_recount,
+    )
+
+    tt = {tuple([*w, BPE_EOW]): f for w, f in words.items()}
+    assert _bpe_train_driver(dict(tt), k) == _bpe_train_driver_recount(dict(tt), k)
