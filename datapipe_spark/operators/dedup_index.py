@@ -120,17 +120,27 @@ def _prepare_commit(
     return jp
 
 
-def _roll_forward(index_dir: str) -> bool:
+def _roll_forward(index_dir: str, sweep: bool = False) -> bool:
     """Second half / crash recovery: if a commit journal exists, finish
     its commit — move every staged file still in the staging dir (a
-    move whose source is gone already happened), rewrite ``meta.json``
-    from the journal snapshot, then retire the journal. Every step is
-    idempotent, so a crash anywhere inside roll-forward just rolls
-    forward again on the next entry. Without a journal, staged dirs are
-    debris from a crash BEFORE the commit point — their batch never
-    committed (watermark unmoved ⟹ it will be replayed wholesale) — so
-    they are deleted. Single-writer by contract (one streaming query
-    owns an index); returns True if a pending commit was completed."""
+    move whose source is gone already happened and its destination
+    must exist — source AND destination both missing means the staged
+    batch was destroyed after the commit point, which can never be
+    completed or replayed, so raise instead of silently advancing the
+    watermark past it), replay any journaled whole-dir swaps the same
+    way, rewrite ``meta.json`` from the journal snapshot, then retire
+    the journal. Every step is idempotent, so a crash anywhere inside
+    roll-forward just rolls forward again on the next entry.
+
+    ``sweep=True`` (WRITER entries only — single writer per index by
+    contract) additionally deletes journal-less ``.staging-*`` dirs:
+    debris from a crash BEFORE the commit point, whose batch never
+    committed (watermark unmoved ⟹ it will be replayed wholesale).
+    Readers (the probe path) must NOT sweep — a probe running beside
+    an in-flight pre-journal append would delete the live writer's
+    staging and lose the increment (the scd2 r9 advisory, applied to
+    the sibling journal). Returns True if a pending commit was
+    completed."""
     import json
 
     jp = _p(index_dir, _JOURNAL)
@@ -141,11 +151,37 @@ def _roll_forward(index_dir: str) -> bool:
         for src, dst in j["moves"]:
             if os.path.exists(src):
                 os.replace(src, dst)
+            elif not os.path.exists(dst):
+                raise RuntimeError(
+                    f"index commit journal at {jp} names a move whose "
+                    f"source and destination are both missing "
+                    f"({src} -> {dst}): the staged batch was destroyed "
+                    "after the commit point and cannot be completed or "
+                    "replayed. Refusing to advance the watermark past "
+                    "a lost batch."
+                )
+        for src, live in j.get("swaps", []):
+            old = live + ".old"
+            if os.path.exists(src):
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.exists(live):
+                    os.rename(live, old)
+                os.rename(src, live)
+            elif not os.path.exists(live):
+                raise RuntimeError(
+                    f"index commit journal at {jp} names a swap whose "
+                    f"staged source and live target are both missing "
+                    f"({src} -> {live}): the staged rewrite was "
+                    "destroyed after the commit point. Refusing to "
+                    "complete a torn commit."
+                )
+            shutil.rmtree(old, ignore_errors=True)
         _write_meta(index_dir, j["meta"])
         os.remove(jp)
-    for name in os.listdir(index_dir):
-        if name.startswith(".staging-"):
-            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+    if sweep:
+        for name in os.listdir(index_dir):
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
     return pending
 
 
@@ -261,7 +297,7 @@ def append_minhash_index(
     batch's rows land twice or the watermark claims rows not on disk.
     Returns True if the append was applied, False if skipped.
     """
-    _roll_forward(index_dir)
+    _roll_forward(index_dir, sweep=True)
     meta = _meta(spark, index_dir)
     if batch_id is not None and int(meta.get("last_batch_id", -1)) >= batch_id:
         return False
@@ -328,7 +364,7 @@ def append_minhash_index(
     elif "last_batch_id" in meta:
         new_meta["last_batch_id"] = meta["last_batch_id"]
     _prepare_commit(index_dir, mem, sigs, new_meta)
-    _roll_forward(index_dir)
+    _roll_forward(index_dir, sweep=True)
     return True
 
 
@@ -355,16 +391,23 @@ def compact_minhash_index(
     lakehouse table format would declare (module docstring).
 
     Content-preserving by contract: row sets identical, ``meta.json``
-    (counts + exactly-once watermark) untouched; each part swap is the
-    same atomic directory rename as ``compact_parquet``, so a reader
-    never sees a mix. Probe-equality before/after is oracled by the
+    (counts + exactly-once watermark) untouched; all three part
+    rewrites are staged under one ``.staging-*`` dir and committed as
+    a SINGLE journaled swaps entry (the scd2 r9 compaction advisory
+    applied here too: a bare rename-pair swap could crash between
+    renames and leave a part dir missing entirely), so a reader sees
+    the old index or the new one, never a mix or a hole.
+    Probe-equality before/after is oracled by the
     ``dedup_cross_corpus_compacted`` registry entry and file counts are
     gated in tests. Returns per-part (files_before, files_after).
     """
+    import json
+    import uuid
+
     from datapipe_spark.operators.maintenance import (
         TARGET_FILE_BYTES,
-        cluster_parquet,
-        compact_parquet,
+        cluster_parquet_into,
+        compact_parquet_into,
         parquet_file_count,
     )
 
@@ -373,20 +416,34 @@ def compact_minhash_index(
     # delta files that a later roll-forward would inject into the
     # freshly clustered bands/ (breaking the range-cluster layout) and
     # meta.json would be rewound from the journal snapshot
-    _roll_forward(index_dir)
+    _roll_forward(index_dir, sweep=True)
     tb = target_bytes or TARGET_FILE_BYTES
-    out: dict = {}
+    token = uuid.uuid4().hex[:12]
+    stage = _p(index_dir, f".staging-{token}")
+    before: dict = {}
+    swaps = []
     for part in ("mem", "sigs"):
-        p = _p(index_dir, part)
-        before = parquet_file_count(p)
-        out[part] = (before, compact_parquet(spark, p, target_bytes=tb))
-    pb = _p(index_dir, "bands")
-    before = parquet_file_count(pb)
-    out["bands"] = (
-        before,
-        cluster_parquet(spark, pb, ["band_key"], target_bytes=tb),
+        live = _p(index_dir, part)
+        before[part] = parquet_file_count(live)
+        compact_parquet_into(spark, live, os.path.join(stage, part), target_bytes=tb)
+        swaps.append([os.path.join(stage, part), live])
+    live = _p(index_dir, "bands")
+    before["bands"] = parquet_file_count(live)
+    cluster_parquet_into(
+        spark, live, os.path.join(stage, "bands"), ["band_key"], target_bytes=tb
     )
-    return out
+    swaps.append([os.path.join(stage, "bands"), live])
+    with open(_p(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump({"moves": [], "swaps": swaps, "meta": meta}, f)
+    os.replace(tmp, _p(index_dir, _JOURNAL))
+    _roll_forward(index_dir, sweep=True)
+    return {
+        part: (before[part], parquet_file_count(_p(index_dir, part)))
+        for part in ("mem", "sigs", "bands")
+    }
 
 
 def dedup_cross_corpus_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,6 +39,30 @@ def parquet_file_count(path: str) -> int:
     )
 
 
+def compact_parquet_into(
+    spark: SparkSession,
+    path: str,
+    out: str,
+    target_bytes: int = TARGET_FILE_BYTES,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """The rewrite half of ``compact_parquet``, decoupled from the
+    swap: write the ⌈size/target⌉-file rewrite of ``path`` into
+    ``out`` and stop. Callers that own a commit journal (the SCD2
+    store, the band index) stage the rewrite under their hidden
+    ``.staging-*`` dir and commit it as a journaled swap instead of
+    the bare rename pair — a crash can then never leave the live dir
+    missing (r9 advisory on ``scd2_compact_closed``)."""
+    df = spark.read.parquet(path)
+    n_files = max(1, math.ceil(table_bytes(path) / target_bytes))
+    shutil.rmtree(out, ignore_errors=True)
+    writer = df.repartition(n_files, *partition_cols) if partition_cols else df.coalesce(n_files)
+    if partition_cols:
+        writer.write.mode("overwrite").partitionBy(*partition_cols).parquet(out)
+    else:
+        writer.write.mode("overwrite").parquet(out)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -52,21 +76,34 @@ def compact_parquet(
     partition's output). The swap is atomic at the directory level:
     readers either see the old or the new table, never a mix.
     """
-    df = spark.read.parquet(path)
-    n_files = max(1, math.ceil(table_bytes(path) / target_bytes))
     tmp = path.rstrip("/") + "__compacting"
-    shutil.rmtree(tmp, ignore_errors=True)
-    writer = df.repartition(n_files, *partition_cols) if partition_cols else df.coalesce(n_files)
-    if partition_cols:
-        writer.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
-    else:
-        writer.write.mode("overwrite").parquet(tmp)
+    compact_parquet_into(spark, path, tmp, target_bytes, partition_cols)
     old = path.rstrip("/") + "__old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return parquet_file_count(path)
+
+
+def cluster_parquet_into(
+    spark: SparkSession,
+    path: str,
+    out: str,
+    cluster_cols: list[str],
+    target_bytes: int = TARGET_FILE_BYTES,
+) -> None:
+    """The rewrite half of ``cluster_parquet`` without the swap (see
+    ``compact_parquet_into`` for why journaled callers need it)."""
+    df = spark.read.parquet(path)
+    n_files = max(1, math.ceil(table_bytes(path) / target_bytes))
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
 
 
 def cluster_parquet(
@@ -94,16 +131,8 @@ def cluster_parquet(
     anywhere. The swap is the same atomic directory swap as
     ``compact_parquet``.
     """
-    df = spark.read.parquet(path)
-    n_files = max(1, math.ceil(table_bytes(path) / target_bytes))
     tmp = path.rstrip("/") + "__clustering"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        df.repartitionByRange(n_files, *cluster_cols)
-        .sortWithinPartitions(*cluster_cols)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    cluster_parquet_into(spark, path, tmp, cluster_cols, target_bytes)
     old = path.rstrip("/") + "__old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

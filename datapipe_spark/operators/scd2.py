@@ -10,7 +10,10 @@ its Iceberg tables retain snapshot history,
 2-batch-analytics-layer/task6-ecommerce-tables-config.yaml:56-57).
 Layout under ``dim_dir``::
 
-    meta.json            {"last_batch_id": N, "n_buckets": B}
+    meta.json            {"last_batch_id": N, "n_buckets": B,
+                          "layout": 2} — layout is REQUIRED: absent
+                         means a pre-versioned store this code would
+                         misread, so every entry raises instead
     current/bucket=K/    the OPEN version per live key, hash-bucketed
                          on the key (K = pmod(xxhash64(id), B)) — an
                          upsert rewrites ONLY the buckets holding
@@ -105,6 +108,15 @@ SCD2_CLOSED_KEY_BUCKETS = 1024
 
 _JOURNAL = "commit-pending.json"
 
+# store layout version, recorded in meta.json at init and REQUIRED at
+# every entry (r9 advisory, low): a pre-versioned store (flat
+# un-bucketed current/, closed/inc=N subdirs) would otherwise be
+# silently misread — `bucket` filters would raise mid-plan and legacy
+# closed history would be invisible to `_has_closed`. Layout 2 =
+# hash-bucketed current/bucket=K + flat closed/ files carrying
+# (inc, cbucket).
+_LAYOUT = 2
+
 
 def _p(dim_dir: str, part: str) -> str:
     return dim_dir.rstrip("/") + "/" + part
@@ -119,7 +131,17 @@ def _write_meta(dim_dir: str, meta: dict) -> None:
 
 def _meta(dim_dir: str) -> dict:
     with open(_p(dim_dir, "meta.json")) as f:
-        return json.load(f)
+        meta = json.load(f)
+    if int(meta.get("layout", 0)) < _LAYOUT:
+        raise RuntimeError(
+            f"SCD2 store at {dim_dir} has layout "
+            f"{meta.get('layout', 'absent (pre-versioned)')} but this "
+            f"reader requires layout {_LAYOUT}: the store predates the "
+            "bucketed current/ + flat closed/ format and would be "
+            "silently misread. Rebuild it (scd2_init + replay the "
+            "changelog) or migrate it before reading."
+        )
+    return meta
 
 
 def _write_journal(dim_dir: str, journal: dict) -> None:
@@ -131,16 +153,31 @@ def _write_journal(dim_dir: str, journal: dict) -> None:
     os.replace(tmp, _p(dim_dir, _JOURNAL))
 
 
-def _roll_forward(dim_dir: str) -> bool:
+def _roll_forward(dim_dir: str, sweep: bool = False) -> bool:
     """Complete a pending commit (idempotently — a crash anywhere in
-    here just rolls forward again on the next entry), then sweep
-    pre-commit staging debris. Moves (closed delta files) land before
-    bucket swaps, and meta lands last, so a re-entry always finds the
-    remaining work still described by the journal. Without a journal,
-    ``.staging-*`` dirs are debris from a crash BEFORE the commit
-    point — their batch never committed (watermark unmoved ⟹ it
-    replays wholesale) — so they are deleted. Returns True if a
-    pending commit was completed."""
+    here just rolls forward again on the next entry). Moves (closed
+    delta files) land before bucket swaps, and meta lands last, so a
+    re-entry always finds the remaining work still described by the
+    journal.
+
+    A journaled step whose source is gone is legal ONLY when its
+    destination already landed (the idempotent-replay state); source
+    AND destination both missing means the staged data was destroyed
+    after the commit point — the increment can never be completed OR
+    replayed (the watermark would advance past it), so raise instead
+    of silently dropping it (r9 advisory, medium #2: the old code
+    skipped and advanced, losing the batch).
+
+    ``sweep=True`` (WRITER entries only — single writer per store by
+    contract) additionally deletes journal-less ``.staging-*`` dirs:
+    debris from a crash BEFORE the commit point, whose batch never
+    committed (watermark unmoved ⟹ it replays wholesale). Readers
+    must NOT sweep — a reader running concurrently with an in-flight
+    pre-journal upsert would delete the live writer's staging and
+    manufacture exactly the lost-increment state above (r9 advisory,
+    medium #2). Returns True if a pending commit was completed."""
+    if os.path.exists(_p(dim_dir, "meta.json")):
+        _meta(dim_dir)  # every entry: refuse pre-versioned layouts loudly
     jp = _p(dim_dir, _JOURNAL)
     pending = os.path.exists(jp)
     if pending:
@@ -150,6 +187,15 @@ def _roll_forward(dim_dir: str) -> bool:
             if os.path.exists(src):
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
+            elif not os.path.exists(dst):
+                raise RuntimeError(
+                    f"SCD2 commit journal at {jp} names a move whose "
+                    f"source and destination are both missing "
+                    f"({src} -> {dst}): the staged increment was "
+                    "destroyed after the commit point and cannot be "
+                    "completed or replayed. Refusing to advance the "
+                    "watermark past a lost batch."
+                )
         for src, live in j["swaps"]:
             old = live + ".old"
             if os.path.exists(src):
@@ -158,16 +204,28 @@ def _roll_forward(dim_dir: str) -> bool:
                 if os.path.exists(live):
                     os.rename(live, old)
                 os.rename(src, live)
+            elif not os.path.exists(live):
+                raise RuntimeError(
+                    f"SCD2 commit journal at {jp} names a swap whose "
+                    f"staged source and live target are both missing "
+                    f"({src} -> {live}): the staged rewrite was "
+                    "destroyed after the commit point. Refusing to "
+                    "complete a torn commit."
+                )
             shutil.rmtree(old, ignore_errors=True)
         _write_meta(dim_dir, j["meta"])
         os.remove(jp)
-    for name in os.listdir(dim_dir):
-        if name.startswith(".staging-"):
-            shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
+    if sweep:
+        for name in os.listdir(dim_dir):
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
     return pending
 
 
-# readers and writers share one recovery entry point
+# readers and writers share one recovery entry point (early-bound on
+# purpose: entry recovery always runs the real roll-forward even when
+# tests monkeypatch the commit-time `_roll_forward` name). Readers
+# call it bare (never sweep); writers pass sweep=True.
 _recover = _roll_forward
 
 
@@ -184,7 +242,10 @@ def scd2_init(
     spark.createDataFrame([], _STORE_SCHEMA).write.mode("overwrite").parquet(
         _p(dim_dir, "current/bucket=0")
     )
-    _write_meta(dim_dir, {"last_batch_id": -1, "n_buckets": int(n_buckets)})
+    _write_meta(
+        dim_dir,
+        {"last_batch_id": -1, "n_buckets": int(n_buckets), "layout": _LAYOUT},
+    )
 
 
 def _normalize_increment(inc: DataFrame) -> DataFrame:
@@ -225,7 +286,7 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     OOM the driver on a forced broadcast). Returns
     ``(chained, cur_untouched, touched_buckets)``."""
     meta = _meta(dim_dir)
-    n_buckets = int(meta.get("n_buckets", 1))
+    n_buckets = int(meta["n_buckets"])
     inc = (
         _normalize_increment(increment)
         .withColumn("_written_inc", F.lit(batch_id).cast("int"))
@@ -284,7 +345,7 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     sees a torn increment and a replayed ``batch_id`` ≤ the watermark
     is skipped. Returns True if applied, False if skipped (replay).
     """
-    _recover(dim_dir)
+    _recover(dim_dir, sweep=True)
     meta = _meta(dim_dir)
     if batch_id <= int(meta.get("last_batch_id", -1)):
         return False
@@ -292,12 +353,12 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     chained, cur_untouched, tb = _merge_plan(spark, dim_dir, increment, batch_id)
     if not tb:  # empty increment: advance the watermark, touch nothing
         _write_journal(dim_dir, {"moves": [], "swaps": [], "meta": new_meta})
-        _roll_forward(dim_dir)
+        _roll_forward(dim_dir, sweep=True)
         return True
     chained = chained.localCheckpoint(eager=True)
     token = uuid.uuid4().hex[:12]
     stage = _p(dim_dir, f".staging-{token}")
-    n_buckets = int(meta.get("n_buckets", 1))
+    n_buckets = int(meta["n_buckets"])
 
     # stage the closed delta (flat files carrying the closing batch as
     # the `inc` lineage column — constant per file, so as_of footer-
@@ -341,7 +402,7 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
         swaps.append([src, _p(dim_dir, f"current/bucket={b}")])
 
     _write_journal(dim_dir, {"moves": moves, "swaps": swaps, "meta": new_meta})
-    _roll_forward(dim_dir)
+    _roll_forward(dim_dir, sweep=True)
     return True
 
 
@@ -365,7 +426,7 @@ def scd2_lookup(spark: SparkSession, dim_dir: str, ids: list) -> DataFrame:
     touches ≤k bucket dirs (task-sized each) instead of the whole
     dimension slice. Plan-gated in tests."""
     _recover(dim_dir)
-    n_buckets = int(_meta(dim_dir).get("n_buckets", 1))
+    n_buckets = int(_meta(dim_dir)["n_buckets"])
     keys = spark.createDataFrame([(int(i),) for i in ids], "id long")
     tb = sorted(
         r[0]
@@ -392,7 +453,7 @@ def scd2_history_for_keys(
     column; row-equality with the filtered full read is pinned in
     tests."""
     _recover(dim_dir)
-    n_buckets = int(_meta(dim_dir).get("n_buckets", 1))
+    n_buckets = int(_meta(dim_dir)["n_buckets"])
     kb = keys.select("id").distinct().localCheckpoint(eager=True)
     # one job yields both pruning sets (layout bucket + fixed-modulus
     # closed bucket per distinct key)
@@ -474,9 +535,9 @@ def scd2_rebucket(spark: SparkSession, dim_dir: str, n_buckets: int) -> None:
     anywhere is rolled forward by the next entry. Content-preserving
     by contract (history, as_of, and lookup equality are pinned in
     tests)."""
-    _recover(dim_dir)
+    _recover(dim_dir, sweep=True)
     meta = _meta(dim_dir)
-    if int(n_buckets) == int(meta.get("n_buckets", 1)):
+    if int(n_buckets) == int(meta["n_buckets"]):
         return
     cur = _read_current(spark, dim_dir).select(*_STORE_COLS)
     token = uuid.uuid4().hex[:12]
@@ -505,7 +566,7 @@ def scd2_rebucket(spark: SparkSession, dim_dir: str, n_buckets: int) -> None:
             "meta": {**meta, "n_buckets": int(n_buckets)},
         },
     )
-    _roll_forward(dim_dir)
+    _roll_forward(dim_dir, sweep=True)
 
 
 def scd2_compact_closed(
@@ -521,15 +582,22 @@ def scd2_compact_closed(
     post-clustering each file's footer covers a narrow ``inc`` slice
     so time-travel filters keep pruning whole files. Completes any
     pending commit first (the r8 compaction advisory), leaves
-    ``meta.json`` untouched, and swaps atomically. Returns
+    ``meta.json`` untouched, and commits through the journal: the
+    clustered rewrite is staged under ``.staging-*`` and swapped in
+    as a journaled ``swaps`` entry (r9 advisory, medium #1 — the
+    previous bare rename pair could crash between renames and leave
+    NO ``closed/`` dir at all, which ``_has_closed`` read as "no
+    history": readers silently served current-only history and the
+    next upsert recreated ``closed/`` from scratch, permanently
+    orphaning every prior version). Returns
     ``(files_before, files_after)``."""
     from datapipe_spark.operators.maintenance import (
         TARGET_FILE_BYTES,
-        cluster_parquet,
+        cluster_parquet_into,
         parquet_file_count,
     )
 
-    _recover(dim_dir)
+    _recover(dim_dir, sweep=True)
     if not _has_closed(dim_dir):
         return (0, 0)
     root = _p(dim_dir, "closed")
@@ -543,10 +611,16 @@ def scd2_compact_closed(
         if "cbucket" in spark.read.parquet(root).columns
         else ["inc"]
     )
-    after = cluster_parquet(
-        spark, root, cols, target_bytes=target_bytes or TARGET_FILE_BYTES
+    token = uuid.uuid4().hex[:12]
+    stage = _p(dim_dir, f".staging-{token}/closed")
+    cluster_parquet_into(
+        spark, root, stage, cols, target_bytes=target_bytes or TARGET_FILE_BYTES
     )
-    return (before, after)
+    _write_journal(
+        dim_dir, {"moves": [], "swaps": [[stage, root]], "meta": _meta(dim_dir)}
+    )
+    _roll_forward(dim_dir, sweep=True)
+    return (before, parquet_file_count(root))
 
 
 def scd2_dimension_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,7 +649,7 @@ def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v4".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v5".encode()
     ).hexdigest()[:16]
     root = os.environ.get("SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2")
     out = os.path.join(root, key)

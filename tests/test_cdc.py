@@ -154,10 +154,10 @@ def test_scd2_store_split_invariance_and_replay(spark, sf_dir, tmp_path, monkeyp
     scd2.scd2_upsert(spark, dt, log.filter("__op = 'c'"), batch_id=0)
     real_rf = scd2._roll_forward
 
-    def crash_mid_commit(dim_dir):
+    def crash_mid_commit(dim_dir, sweep=False):
         jp = scd2._p(dim_dir, scd2._JOURNAL)
         if not _os.path.exists(jp):  # the entry-recovery call: run real
-            return real_rf(dim_dir)
+            return real_rf(dim_dir, sweep=sweep)
         with open(jp) as f:
             j = _json.load(f)
         if j["moves"]:
@@ -639,7 +639,7 @@ def test_scd2_rebucket_torn_swap_recovers(spark, sf_dir, tmp_path, monkeypatch):
     scd2.scd2_upsert(spark, d, log.filter("__op != 'c'"), batch_id=1)
     want = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
 
-    def crash(dim_dir):  # journal persisted, nothing rolled forward
+    def crash(dim_dir, sweep=False):  # journal persisted, nothing rolled forward
         raise RuntimeError("simulated crash post-journal")
 
     monkeypatch.setattr(scd2, "_roll_forward", crash)
@@ -673,3 +673,253 @@ def test_scd2_key_reads_empty_key_set(spark, sf_dir, tmp_path):
     got = scd2.scd2_history_for_keys(spark, d, empty_keys)
     assert got.count() == 0
     assert got.columns == scd2._HISTORY_COLS
+
+
+def _mini_store(spark, scd2, d, n_buckets=4):
+    """Tiny deterministic two-increment store (shared by the r10
+    crash-safety tests): 6 creates then update/update/delete."""
+    import datetime as dt
+
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    creates = spark.createDataFrame(
+        [(i, i * 10, "A", "5.00", t(0), "c", t(i), i) for i in range(1, 7)], schema
+    )
+    tail = spark.createDataFrame(
+        [
+            (1, 10, "B", "6.00", t(0), "u", t(10), 101),
+            (2, 20, "C", "7.00", t(0), "u", t(11), 102),
+            (3, 30, "X", "0.00", t(0), "d", t(12), 103),
+        ],
+        schema,
+    )
+    scd2.scd2_init(spark, d, n_buckets=n_buckets)
+    scd2.scd2_upsert(spark, d, creates, batch_id=0)
+    scd2.scd2_upsert(spark, d, tail, batch_id=1)
+
+
+def test_scd2_compact_closed_torn_swap_recovers(spark, tmp_path, monkeypatch):
+    """r9 advisory (medium #1): a crash between compaction's journal
+    write and its closed/ swap must be invisible — the pre-fix rename
+    pair could leave NO closed/ dir, and readers then silently served
+    current-only history. Now the next entry completes the journaled
+    swap and history + time travel are exactly the pre-compaction
+    answer."""
+    import os as _os
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "ctorn")
+    _mini_store(spark, scd2, d)
+    want = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    want_asof0 = {tuple(r) for r in scd2.scd2_as_of(spark, d, 0).collect()}
+
+    def crash(dim_dir, sweep=False):  # journal persisted, nothing rolled forward
+        raise RuntimeError("simulated crash post-journal")
+
+    monkeypatch.setattr(scd2, "_roll_forward", crash)
+    with pytest.raises(RuntimeError, match="post-journal"):
+        scd2.scd2_compact_closed(spark, d, target_bytes=1 << 30)
+    monkeypatch.undo()
+    assert _os.path.exists(scd2._p(d, scd2._JOURNAL))
+    # the live closed/ dir was never touched pre-swap: history intact
+    assert scd2._has_closed(d)
+
+    # a READER entry completes the journaled swap
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == want
+    assert not _os.path.exists(scd2._p(d, scd2._JOURNAL))
+    assert scd2._has_closed(d)
+    assert {tuple(r) for r in scd2.scd2_as_of(spark, d, 0).collect()} == want_asof0
+    # a writer entry sweeps the leftover staging wrapper
+    scd2.scd2_compact_closed(spark, d, target_bytes=1 << 30)
+    assert not [n for n in _os.listdir(d) if n.startswith(".staging-")]
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()} == want
+
+
+def test_scd2_compact_crash_sweep_every_fs_step(spark, tmp_path, monkeypatch):
+    """Exhaustive torn-compaction sweep (r9 advisory, medium #1):
+    inject a crash after EVERY store-directory filesystem op of the
+    journaled compaction in turn. After each crash, entry recovery
+    must leave history AND time travel exactly equal to the
+    uncompacted store — closed/ may never vanish."""
+    import os as _os
+    import shutil as _shutil
+
+    from datapipe_spark.operators import scd2
+
+    template = str(tmp_path / "tmpl")
+    _mini_store(spark, scd2, template)
+    want = {tuple(r) for r in scd2.scd2_read_history(spark, template).collect()}
+    want_asof0 = {tuple(r) for r in scd2.scd2_as_of(spark, template, 0).collect()}
+
+    budget = {"n": None, "root": None}
+    reals = {
+        "rename": _os.rename,
+        "replace": _os.replace,
+        "remove": _os.remove,
+        "rmtree": _shutil.rmtree,
+    }
+
+    def gate(real):
+        def wrapper(*a, **k):
+            p = a[0] if a else ""
+            if budget["n"] is not None and isinstance(p, str) and budget["root"] in p:
+                if budget["n"] <= 0:
+                    raise RuntimeError("crash-inject")
+                budget["n"] -= 1
+            return real(*a, **k)
+        return wrapper
+
+    monkeypatch.setattr(_os, "rename", gate(reals["rename"]))
+    monkeypatch.setattr(_os, "replace", gate(reals["replace"]))
+    monkeypatch.setattr(_os, "remove", gate(reals["remove"]))
+    monkeypatch.setattr(_shutil, "rmtree", gate(reals["rmtree"]))
+
+    completed_without_crash = False
+    for k in range(0, 25):
+        d = str(tmp_path / f"csweep_{k}")
+        budget["n"], budget["root"] = None, d
+        _shutil.copytree(template, d)
+        budget["n"] = k
+        crashed = False
+        try:
+            scd2.scd2_compact_closed(spark, d, target_bytes=1 << 30)
+        except RuntimeError as e:
+            assert "crash-inject" in str(e)
+            crashed = True
+        budget["n"] = None
+        # recovery at the next entry (reader completes any journal;
+        # the retry is a writer entry that also sweeps)
+        scd2.scd2_compact_closed(spark, d, target_bytes=1 << 30)
+        assert scd2._has_closed(d), f"closed/ vanished after crash at fs-op {k}"
+        got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+        assert got == want, f"history diverged after crash at fs-op {k}"
+        asof = {tuple(r) for r in scd2.scd2_as_of(spark, d, 0).collect()}
+        assert asof == want_asof0, f"as_of diverged after crash at fs-op {k}"
+        assert not _os.path.exists(scd2._p(d, scd2._JOURNAL))
+        assert not [n for n in _os.listdir(d) if n.startswith(".staging-")]
+        if not crashed:
+            completed_without_crash = True
+            break
+    assert completed_without_crash, "sweep never reached the clean-run budget"
+
+
+def test_scd2_reader_never_sweeps_live_staging(spark, tmp_path):
+    """r9 advisory (medium #2, sweep half): a reader entry must NOT
+    delete .staging-* dirs — they may belong to a LIVE writer that has
+    not journaled yet; sweeping them would lose its increment after
+    the journal lands. Only writer entries sweep."""
+    import os as _os
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "rsweep")
+    _mini_store(spark, scd2, d)
+    live = _os.path.join(d, ".staging-inflight")
+    _os.makedirs(_os.path.join(live, "closed"))
+    open(_os.path.join(live, "closed", "part-0.parquet"), "w").close()
+
+    scd2.scd2_read_history(spark, d).count()
+    scd2.scd2_as_of(spark, d, 0).count()
+    scd2.scd2_lookup(spark, d, [1, 2]).count()
+    keys = spark.createDataFrame([(1,)], "id long")
+    scd2.scd2_history_for_keys(spark, d, keys).count()
+    assert _os.path.isdir(live), "a reader swept a live writer's staging"
+
+    # a writer entry (single writer by contract ⟹ debris) sweeps it
+    scd2.scd2_compact_closed(spark, d, target_bytes=1 << 30)
+    assert not _os.path.isdir(live)
+
+
+def test_scd2_roll_forward_raises_on_lost_staging(spark, tmp_path):
+    """r9 advisory (medium #2, raise half): a journaled move/swap whose
+    source AND destination are both missing means the staged increment
+    was destroyed after the commit point — completing the commit would
+    advance the watermark past a lost batch. The old code skipped
+    silently; it must raise."""
+    import json as _json
+    import os as _os
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "lost")
+    _mini_store(spark, scd2, d)
+    meta = scd2._meta(d)
+
+    # lost MOVE: neither staged src nor committed dst exists
+    scd2._write_journal(
+        d,
+        {
+            "moves": [[scd2._p(d, ".staging-gone/closed/part-0.parquet"),
+                       scd2._p(d, "closed/gone-part-0.parquet")]],
+            "swaps": [],
+            "meta": {**meta, "last_batch_id": 99},
+        },
+    )
+    with pytest.raises(RuntimeError, match="both missing"):
+        scd2.scd2_read_history(spark, d).count()
+    assert scd2._meta(d)["last_batch_id"] != 99  # watermark NOT advanced
+    _os.remove(scd2._p(d, scd2._JOURNAL))
+
+    # lost SWAP: staged dir gone and live target absent
+    scd2._write_journal(
+        d,
+        {
+            "moves": [],
+            "swaps": [[scd2._p(d, ".staging-gone/newpart"), scd2._p(d, "newpart")]],
+            "meta": {**meta, "last_batch_id": 99},
+        },
+    )
+    with pytest.raises(RuntimeError, match="both missing"):
+        scd2.scd2_as_of(spark, d, 0).count()
+    assert scd2._meta(d)["last_batch_id"] != 99
+    _os.remove(scd2._p(d, scd2._JOURNAL))
+
+    # and the legal idempotent-replay state (src gone, dst present)
+    # still completes silently: replay the journal with dst existing
+    _os.makedirs(scd2._p(d, ".ok"), exist_ok=True)
+    scd2._write_journal(
+        d,
+        {
+            "moves": [],
+            "swaps": [[scd2._p(d, ".staging-gone/x"), scd2._p(d, ".ok")]],
+            "meta": meta,
+        },
+    )
+    scd2.scd2_read_history(spark, d).count()  # completes, no raise
+    assert not _os.path.exists(scd2._p(d, scd2._JOURNAL))
+
+
+def test_scd2_legacy_layout_rejected(spark, tmp_path):
+    """r9 advisory (low): a store whose meta.json predates the layout
+    field would be silently misread (flat current/ has no bucket
+    column; legacy closed/inc=N subdirs are invisible). Every entry —
+    reads included — must refuse it loudly instead."""
+    import json as _json
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "legacy")
+    _mini_store(spark, scd2, d)
+    legacy = {k: v for k, v in scd2._meta(d).items() if k != "layout"}
+    with open(scd2._p(d, "meta.json"), "w") as f:
+        _json.dump(legacy, f)
+
+    for entry in (
+        lambda: scd2.scd2_read_history(spark, d).count(),
+        lambda: scd2.scd2_as_of(spark, d, 0).count(),
+        lambda: scd2.scd2_lookup(spark, d, [1]).count(),
+        lambda: scd2.scd2_upsert(
+            spark, d, spark.createDataFrame([], (
+                "id long, user_id long, status string, total_amount string, "
+                "created_at timestamp, __op string, __ts_ms timestamp, "
+                "__source_lsn long")), batch_id=9),
+        lambda: scd2.scd2_compact_closed(spark, d),
+        lambda: scd2.scd2_rebucket(spark, d, 16),
+    ):
+        with pytest.raises(RuntimeError, match="layout"):
+            entry()

@@ -613,10 +613,10 @@ def test_torn_index_append_commit_recovers_exactly_once(spark, tmp_path, monkeyp
 
     real_rf = di._roll_forward
 
-    def crash_mid_commit(index_dir):
+    def crash_mid_commit(index_dir, sweep=False):
         jp = di._p(index_dir, di._JOURNAL)
         if not os.path.exists(jp):  # the entry-recovery call: run real
-            return real_rf(index_dir)
+            return real_rf(index_dir, sweep=sweep)
         with open(jp) as f:
             j = json.load(f)
         src, dst = j["moves"][0]
