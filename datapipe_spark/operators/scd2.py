@@ -176,8 +176,6 @@ def _roll_forward(dim_dir: str, sweep: bool = False) -> bool:
     pre-journal upsert would delete the live writer's staging and
     manufacture exactly the lost-increment state above (r9 advisory,
     medium #2). Returns True if a pending commit was completed."""
-    if os.path.exists(_p(dim_dir, "meta.json")):
-        _meta(dim_dir)  # every entry: refuse pre-versioned layouts loudly
     jp = _p(dim_dir, _JOURNAL)
     pending = os.path.exists(jp)
     if pending:
@@ -215,6 +213,14 @@ def _roll_forward(dim_dir: str, sweep: bool = False) -> bool:
             shutil.rmtree(old, ignore_errors=True)
         _write_meta(dim_dir, j["meta"])
         os.remove(jp)
+    # layout gate AFTER journal replay, not before: the only journal a
+    # legacy-meta store can carry is `scd2_migrate`'s own commit (legacy
+    # stores predate the journal entirely), and its j["meta"] carries
+    # the current layout — completing it first lets a reader finish a
+    # crashed migration; a journal-less legacy store still raises here
+    # at every entry (r9 advisory, low)
+    if os.path.exists(_p(dim_dir, "meta.json")):
+        _meta(dim_dir)
     if sweep:
         for name in os.listdir(dim_dir):
             if name.startswith(".staging-"):
@@ -748,4 +754,147 @@ def scd2_dimension_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd2_init(spark, store)
     scd2_upsert(spark, store, log.filter(F.col("__op") == "c"), batch_id=0)
     scd2_upsert(spark, store, log.filter(F.col("__op") != "c"), batch_id=1)
+    return scd2_read_history(spark, store)
+
+
+def scd2_migrate(
+    spark: SparkSession, dim_dir: str, n_buckets: int = SCD2_DEFAULT_BUCKETS
+) -> bool:
+    """Migrate a pre-layout-2 store in place — the "migrate" arm of the
+    layout gate's "rebuild or migrate" error (r9 advisory, low): a
+    layout-less store (flat un-bucketed ``current/``, ``closed/inc=N``
+    hive subdirs or flat closed files, possibly no ``_written_inc`` /
+    ``cbucket`` lineage columns) is rewritten into the current layout
+    and committed ATOMICALLY through the same journal as every other
+    writer — a crash anywhere leaves either the intact legacy store
+    (pre-journal) or a commit the next entry completes (post-journal);
+    readers never see a half-migrated mix.
+
+    Column back-fill: rows without ``_written_inc`` get 0 (every
+    version treated as written by the first batch — pre-lineage stores
+    never supported ``scd2_as_of``, so time travel over migrated
+    history starts coarse and sharpens with post-migration increments);
+    closed rows without ``inc`` get 0; ``cbucket`` is recomputed from
+    the key (it is a pure function of ``id``). The migrated ``closed/``
+    slice is range-clustered on ``(cbucket, inc)`` at write time, so
+    the store comes out already compacted. The watermark
+    (``last_batch_id``) is preserved — committed batches keep skipping.
+
+    Returns True if a migration ran, False if the store was already on
+    the current layout (then this is just a writer entry: it completes
+    any pending commit and sweeps staging debris).
+    """
+    with open(_p(dim_dir, "meta.json")) as f:
+        raw_meta = json.load(f)  # raw read: _meta would raise on legacy
+    if int(raw_meta.get("layout", 0)) >= _LAYOUT:
+        _recover(dim_dir, sweep=True)
+        return False
+    # legacy stores predate the journal: nothing to roll forward, and
+    # any .staging-* debris is from a crashed prior migration attempt
+    for name in os.listdir(dim_dir):
+        if name.startswith(".staging-"):
+            shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
+
+    token = uuid.uuid4().hex[:12]
+    stage = _p(dim_dir, f".staging-{token}")
+    cur = spark.read.parquet(_p(dim_dir, "current"))
+    if "_written_inc" not in cur.columns:
+        cur = cur.withColumn("_written_inc", F.lit(0).cast("int"))
+    (
+        cur.select(*_STORE_COLS)
+        .withColumn("bucket", _bucket_of(int(n_buckets)))
+        .repartition(int(n_buckets), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(stage, "current"))
+    )
+    if not any(
+        n.startswith("bucket=") for n in os.listdir(os.path.join(stage, "current"))
+    ):
+        spark.createDataFrame([], _STORE_SCHEMA).write.mode("overwrite").parquet(
+            os.path.join(stage, "current/bucket=0")
+        )
+    swaps = [[os.path.join(stage, "current"), _p(dim_dir, "current")]]
+
+    closed_root = _p(dim_dir, "closed")
+    has_any_closed = os.path.isdir(closed_root) and any(
+        f.endswith(".parquet")
+        for _r, _d, files in os.walk(closed_root)
+        for f in files
+    )
+    if has_any_closed:
+        # hive discovery surfaces legacy inc=N subdirs as an `inc`
+        # partition column; flat legacy files carry it (or get 0)
+        closed = spark.read.parquet(closed_root)
+        if "inc" not in closed.columns:
+            closed = closed.withColumn("inc", F.lit(0))
+        if "_written_inc" not in closed.columns:
+            closed = closed.withColumn("_written_inc", F.lit(0).cast("int"))
+        closed = closed.select(
+            *_STORE_COLS, F.col("inc").cast("int").alias("inc")
+        ).withColumn(
+            "cbucket",
+            F.pmod(
+                F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS)
+            ).cast("int"),
+        )
+        (
+            closed.repartitionByRange(
+                max(1, spark.sparkContext.defaultParallelism // 4),
+                "cbucket", "inc",
+            )
+            .sortWithinPartitions("cbucket", "inc")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "closed"))
+        )
+        swaps.append([os.path.join(stage, "closed"), closed_root])
+
+    new_meta = {
+        **raw_meta,
+        "n_buckets": int(n_buckets),
+        "layout": _LAYOUT,
+        "last_batch_id": int(raw_meta.get("last_batch_id", -1)),
+    }
+    _write_journal(dim_dir, {"moves": [], "swaps": swaps, "meta": new_meta})
+    _roll_forward(dim_dir, sweep=True)
+    return True
+
+
+def _write_legacy_store(spark: SparkSession, hist: DataFrame, dim_dir: str) -> None:
+    """Synthesize the PRE-layout store format (flat un-bucketed
+    ``current/``, hive ``closed/inc=N`` subdirs, layout-less meta.json,
+    no lineage columns) from a computed SCD2 history — the fixture the
+    migration path is attested against. Lives in prod code because the
+    registry entry drives it; never used outside migration testing."""
+    os.makedirs(dim_dir, exist_ok=True)
+    hist.filter(F.col("is_current")).select(*_HISTORY_COLS).write.mode(
+        "overwrite"
+    ).parquet(_p(dim_dir, "current"))
+    closed = hist.filter(~F.col("is_current")).select(*_HISTORY_COLS)
+    # two inc partitions exercise hive partition-column discovery
+    closed.withColumn("inc", F.pmod(F.col("id"), F.lit(2)).cast("int")).write.mode(
+        "overwrite"
+    ).partitionBy("inc").parquet(_p(dim_dir, "closed"))
+    tmp = _p(dim_dir, f"meta.json.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump({"last_batch_id": 1}, f)  # deliberately layout-less
+    os.replace(tmp, _p(dim_dir, "meta.json"))
+
+
+def scd2_store_migrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the layout migration: synthesize the legacy
+    pre-layout store from the batch SCD2 build, migrate it in place
+    (journaled swap of both slices), and read the full history back
+    under the batch build's hash oracle (``CDC_SCD2_HISTORY_SQL``) —
+    attesting the migration preserves every version exactly, the same
+    content-preservation contract the compaction and rebucket entries
+    pin."""
+    from datapipe_spark.plans.cdc_queries import cdc_scd2_history
+    from datapipe_spark.util import fresh_dir
+
+    root = fresh_dir("scd2_migrated")
+    store = os.path.join(root, "store")
+    _write_legacy_store(spark, cdc_scd2_history(spark, sf_dir), store)
+    if not scd2_migrate(spark, store):
+        raise RuntimeError("legacy fixture unexpectedly already migrated")
     return scd2_read_history(spark, store)

@@ -66,3 +66,63 @@ FROM lineitem, fy
 WHERE YEAR(l_shipdate) = fy.y
 GROUP BY 1, 2
 """
+
+
+def lineitem_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy lineitem to scratch, Z-ORDER it on ``(l_partkey,
+    l_suppkey)`` (per-column quantile-rank bucketing + Morton bit
+    interleave + one sampled range shuffle — ``zorder_parquet``), then
+    read the REWRITTEN table back through a compound box predicate on
+    BOTH clustered columns — the scan shape single-column clustering
+    cannot serve (footer pruning multiplies across dimensions) — and
+    roll up per part.
+
+    The oracle aggregates the ORIGINAL table: hash equality proves the
+    multi-dimensional rewrite dropped, duplicated, and corrupted
+    nothing. The pruning win itself (either-column file skipping,
+    multiplicative box pruning) is stats-gated in
+    tests/test_pipeline_ops.py::test_zorder_parquet_prunes_on_both_columns.
+    """
+    from datapipe_spark.operators.maintenance import zorder_parquet
+
+    path = fresh_dir("lineitem_zordered")
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    src.write.mode("overwrite").parquet(path)
+    zorder_parquet(
+        spark, path, ["l_partkey", "l_suppkey"], target_bytes=4 * 1024 * 1024
+    )
+    t = spark.read.parquet(path)
+    lim = src.select(
+        F.floor(F.max("l_partkey") / 10).alias("p"),
+        F.floor(F.max("l_suppkey") / 10).alias("s"),
+    ).first()
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        t.filter((F.col("l_partkey") <= lim["p"]) & (F.col("l_suppkey") <= lim["s"]))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+LINEITEM_ZORDER_REWRITE_SQL = """
+WITH lim AS (
+  SELECT CAST(FLOOR(MAX(l_partkey) / 10) AS BIGINT) AS p,
+         CAST(FLOOR(MAX(l_suppkey) / 10) AS BIGINT) AS s
+  FROM lineitem
+)
+SELECT l_partkey,
+       COUNT(*) AS n_items,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem, lim
+WHERE l_partkey <= lim.p AND l_suppkey <= lim.s
+GROUP BY l_partkey
+"""

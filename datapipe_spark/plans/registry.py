@@ -153,6 +153,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         scd2.scd2_store_maintained,
         cdcq.CDC_SCD2_HISTORY_SQL,
     ),
+    # layout migration driven end to end: the legacy (pre-bucketed,
+    # layout-less) store is synthesized, migrated in place through the
+    # journaled swap, and must read back every version exactly
+    "scd2_store_migrated": (
+        scd2.scd2_store_migrated,
+        cdcq.CDC_SCD2_HISTORY_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
@@ -272,6 +279,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lineitem_cluster_rewrite": (
         layout.lineitem_cluster_rewrite,
         layout.LINEITEM_CLUSTER_REWRITE_SQL,
+    ),
+    # multi-dimensional layout rewrite (z-order): content-preservation
+    # under the hash oracle; both-column pruning is stats-gated in tests
+    "lineitem_zorder_rewrite": (
+        layout.lineitem_zorder_rewrite,
+        layout.LINEITEM_ZORDER_REWRITE_SQL,
     ),
     "dedup_pipeline": (dedup.dedup_pipeline, dedup.DEDUP_PIPELINE_SQL),
     # persisted-band-index probe — same oracle as the inline op by

@@ -923,3 +923,86 @@ def test_scd2_legacy_layout_rejected(spark, tmp_path):
     ):
         with pytest.raises(RuntimeError, match="layout"):
             entry()
+
+
+def test_scd2_migrate_legacy_store(spark, tmp_path, monkeypatch):
+    """The 'migrate' arm of the layout gate: a legacy layout-less store
+    (flat current/, hive closed/inc=N, no lineage columns) raises at
+    every entry, migrates in place preserving every version and the
+    watermark, keeps accepting increments afterwards, and a crash
+    after the migration's commit journal is completed by the next
+    READER entry."""
+    import json as _json
+    import os as _os
+
+    from datapipe_spark.operators import scd2
+
+    # the modern twin supplies the expected history rows
+    modern = str(tmp_path / "modern")
+    _mini_store(spark, scd2, modern)
+    hist = scd2.scd2_read_history(spark, modern)
+    want = {tuple(r) for r in hist.collect()}
+
+    def build_legacy(d):
+        scd2._write_legacy_store(spark, hist, d)
+        with open(scd2._p(d, "meta.json")) as f:
+            assert "layout" not in _json.load(f)
+
+    # (a) pre-migration every entry raises; migration preserves content
+    d = str(tmp_path / "legacy_a")
+    build_legacy(d)
+    with pytest.raises(RuntimeError, match="layout"):
+        scd2.scd2_read_history(spark, d).count()
+    assert scd2.scd2_migrate(spark, d) is True
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == want
+    assert scd2._meta(d)["layout"] == scd2._LAYOUT
+    assert scd2._meta(d)["last_batch_id"] == 1  # watermark preserved
+    # second call is a no-op writer entry
+    assert scd2.scd2_migrate(spark, d) is False
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()} == want
+
+    # (b) the migrated store keeps accepting increments: a replayed
+    # batch skips (watermark), a new one applies through the merge
+    import datetime as dt
+
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t9 = dt.datetime(2024, 1, 2)
+    inc = spark.createDataFrame(
+        [(4, 40, "Z", "9.00", t9, "u", t9, 999)], schema
+    )
+    assert scd2.scd2_upsert(spark, d, inc, batch_id=1) is False  # replay
+    assert scd2.scd2_upsert(spark, d, inc, batch_id=2) is True
+    post = scd2.scd2_read_history(spark, d)
+    assert post.filter("id = 4 AND status = 'Z' AND is_current").count() == 1
+    assert post.filter("id = 4").count() == 2  # old version closed
+
+    # (c) crash after the migration journal: the next reader entry
+    # completes it and sees the full migrated history
+    d2 = str(tmp_path / "legacy_b")
+    build_legacy(d2)
+
+    def crash(dim_dir, sweep=False):
+        raise RuntimeError("simulated crash post-journal")
+
+    monkeypatch.setattr(scd2, "_roll_forward", crash)
+    with pytest.raises(RuntimeError, match="post-journal"):
+        scd2.scd2_migrate(spark, d2)
+    monkeypatch.undo()
+    assert _os.path.exists(scd2._p(d2, scd2._JOURNAL))
+    got2 = {tuple(r) for r in scd2.scd2_read_history(spark, d2).collect()}
+    assert got2 == want
+    assert scd2._meta(d2)["layout"] == scd2._LAYOUT
+
+    # (d) a legacy store with NO closed/ slice (never-updated keys)
+    d3 = str(tmp_path / "legacy_c")
+    scd2._write_legacy_store(spark, hist.filter("is_current"), d3)
+    import shutil as _sh
+
+    _sh.rmtree(scd2._p(d3, "closed"), ignore_errors=True)
+    assert scd2.scd2_migrate(spark, d3) is True
+    got3 = {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()}
+    assert got3 == {t for t in want if t[6]}  # is_current rows only
