@@ -90,8 +90,13 @@ def lineitem_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
     src.write.mode("overwrite").parquet(path)
+    # 6 bits/dim ⇒ 4096 distinct z-values — ample file-level
+    # selectivity for this table's ≲100 files (bits size the CODEGEN
+    # and quantile-sketch cost quadratically-ish; 8 bits only starts
+    # paying off past ~10k files)
     zorder_parquet(
-        spark, path, ["l_partkey", "l_suppkey"], target_bytes=4 * 1024 * 1024
+        spark, path, ["l_partkey", "l_suppkey"],
+        target_bytes=4 * 1024 * 1024, bits_per_dim=6,
     )
     t = spark.read.parquet(path)
     lim = src.select(

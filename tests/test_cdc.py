@@ -1006,3 +1006,30 @@ def test_scd2_migrate_legacy_store(spark, tmp_path, monkeypatch):
     assert scd2.scd2_migrate(spark, d3) is True
     got3 = {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()}
     assert got3 == {t for t in want if t[6]}  # is_current rows only
+
+
+def test_scd2_maintenance_interleaved_with_upserts(spark, sf_dir, tmp_path):
+    """Maintenance DURING ingestion (what the journaled compaction
+    makes safe): compaction and rebucketing interleave with increments
+    and the final history still equals the uninterrupted batch build —
+    plus time travel to every committed increment still reconstructs."""
+    from datapipe_spark.operators import scd2
+
+    log = cdc.synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "inter")
+    scd2.scd2_init(spark, d)
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'c'"), batch_id=0)
+    asof0 = {tuple(r) for r in scd2.scd2_as_of(spark, d, 0).collect()}
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'u'"), batch_id=1)
+    scd2.scd2_compact_closed(spark, d, target_bytes=1 << 30)
+    asof1 = {tuple(r) for r in scd2.scd2_as_of(spark, d, 1).collect()}
+    scd2.scd2_rebucket(spark, d, 16)
+    scd2.scd2_upsert(spark, d, log.filter("__op = 'd'"), batch_id=2)
+    scd2.scd2_compact_closed(spark, d, target_bytes=1 << 30)
+
+    want = {tuple(r) for r in cq.cdc_scd2_history(spark, sf_dir).collect()}
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == want
+    # as_of still reconstructs the exact mid-maintenance states
+    assert {tuple(r) for r in scd2.scd2_as_of(spark, d, 0).collect()} == asof0
+    assert {tuple(r) for r in scd2.scd2_as_of(spark, d, 1).collect()} == asof1

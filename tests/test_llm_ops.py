@@ -2312,3 +2312,51 @@ def test_probe_never_sweeps_live_staging(spark, tmp_path):
     # writer entry sweeps the (now provably debris) dir
     assert di.append_minhash_index(spark, idx, batch, batch_id=0) is True
     assert not _os.path.isdir(live)
+
+
+def test_index_roll_forward_raises_on_lost_staging(spark, tmp_path):
+    """Symmetric to the scd2 gate: a journaled move whose source AND
+    destination are both missing means the staged append was destroyed
+    post-commit-point — the index must refuse to advance the watermark
+    past the lost batch instead of silently dropping it."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from datapipe_spark.operators import dedup_index as di
+
+    idx = str(tmp_path / "mh_lost")
+    di.build_minhash_index(
+        spark,
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            ["doc_id", "text"],
+        ),
+        idx,
+    )
+    meta = di._meta(spark, idx)
+    journal = {
+        "stage": di._p(idx, ".staging-gone"),
+        "moves": [[di._p(idx, ".staging-gone/mem/part-0.parquet"),
+                   di._p(idx, "mem/gone-part-0.parquet")]],
+        "meta": {**meta, "last_batch_id": 99},
+    }
+    with open(di._p(idx, di._JOURNAL), "w") as f:
+        _json.dump(journal, f)
+    batch = spark.createDataFrame(
+        [(9, "a totally unrelated probe document with novel words here")],
+        ["doc_id", "text"],
+    )
+    with _pytest.raises(RuntimeError, match="both missing"):
+        di.probe_minhash_index(spark, idx, batch)
+    assert di._meta(spark, idx).get("last_batch_id") != 99
+    _os.remove(di._p(idx, di._JOURNAL))
+    # legal replay state (src gone, dst present) completes silently
+    _os.makedirs(di._p(idx, ".okdst"), exist_ok=True)
+    journal["moves"] = [[di._p(idx, ".staging-gone/x"), di._p(idx, ".okdst")]]
+    with open(di._p(idx, di._JOURNAL), "w") as f:
+        _json.dump(journal, f)
+    di.probe_minhash_index(spark, idx, batch)
+    assert not _os.path.exists(di._p(idx, di._JOURNAL))
+    assert di._meta(spark, idx)["last_batch_id"] == 99
