@@ -898,3 +898,100 @@ def scd2_store_migrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not scd2_migrate(spark, store):
         raise RuntimeError("legacy fixture unexpectedly already migrated")
     return scd2_read_history(spark, store)
+
+
+def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
+    """Compliance erasure (GDPR right-to-be-forgotten, applied to OUR
+    lakehouse artifact — the reference's warehouse faces the same
+    obligation on its Iceberg history tables): remove EVERY version of
+    the given keys from the store, open and closed alike, in one
+    journaled commit — readers see the store with the keys or without
+    them, never a partial purge, and a crash anywhere is rolled
+    forward by the next entry.
+
+    Cost shape at 100 TB: the ``current/`` side rewrites ONLY the
+    buckets the keys hash into (the upsert's touched-bucket posture);
+    the ``closed/`` side must rewrite every file that MIGHT hold a
+    purged key — one filter scan + clustered rewrite of the history
+    slice, O(closed). That full-history pass is inherent to erasure
+    (the obligation covers all history) and batches naturally: a
+    deployment queues erasure requests and purges thousands of keys in
+    one pass, amortizing the rewrite. The rewritten history comes out
+    re-clustered on ``(cbucket, inc)``, so reads after a purge prune
+    as well as after a compaction.
+
+    ``keys`` must have an ``id`` column. The watermark is untouched —
+    purging is not an increment; subsequent increments keep applying.
+    Re-inserting a purged key later re-opens fresh history (the store
+    never remembers the erasure — by design)."""
+    _recover(dim_dir, sweep=True)
+    meta = _meta(dim_dir)
+    n_buckets = int(meta["n_buckets"])
+    kb = keys.select("id").distinct().localCheckpoint(eager=True)
+    tb = sorted(
+        r[0] for r in kb.select(_bucket_of(n_buckets).alias("b")).distinct().collect()
+    )
+    if not tb:
+        return
+    token = uuid.uuid4().hex[:12]
+    stage = _p(dim_dir, f".staging-{token}")
+
+    # current/: rewrite only the touched buckets, minus the keys
+    cur = _read_current(spark, dim_dir).filter(F.col("bucket").isin(tb))
+    kept = cur.join(F.broadcast(kb), "id", "left_anti").select(*_STORE_COLS)
+    (
+        kept.withColumn("bucket", _bucket_of(n_buckets))
+        .repartition(len(tb), "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(stage, "current"))
+    )
+    swaps = []
+    empty = None
+    for b in tb:
+        src = os.path.join(stage, f"current/bucket={b}")
+        if not os.path.isdir(src):
+            if empty is None:
+                empty = spark.createDataFrame([], _STORE_SCHEMA)
+            empty.write.mode("overwrite").parquet(src)
+        swaps.append([src, _p(dim_dir, f"current/bucket={b}")])
+
+    # closed/: erasure covers ALL history — filter scan + clustered
+    # rewrite of the slice (see docstring for why this is O(closed))
+    if _has_closed(dim_dir):
+        closed = spark.read.parquet(_p(dim_dir, "closed"))
+        kept_closed = closed.join(F.broadcast(kb), "id", "left_anti")
+        cols = ["cbucket", "inc"] if "cbucket" in closed.columns else ["inc"]
+        (
+            kept_closed.repartitionByRange(
+                max(1, spark.sparkContext.defaultParallelism // 4), *cols
+            )
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "closed"))
+        )
+        swaps.append([os.path.join(stage, "closed"), _p(dim_dir, "closed")])
+
+    _write_journal(dim_dir, {"moves": [], "swaps": swaps, "meta": meta})
+    _roll_forward(dim_dir, sweep=True)
+
+
+def scd2_store_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of compliance erasure: clone the cached store,
+    purge every key with ``id % 97 = 0`` (open and closed versions),
+    and read the full history back. Oracle: the batch SCD2 build with
+    those ids excluded (``CDC_SCD2_HISTORY_PURGED_SQL``) — hash
+    equality attests the purge removed exactly the requested keys'
+    versions and nothing else."""
+    import shutil as _sh
+
+    from datapipe_spark.util import fresh_dir
+
+    src_store = _cached_scd2_store(spark, sf_dir)
+    root = fresh_dir("scd2_purged")
+    dst = os.path.join(root, "store")
+    _sh.copytree(src_store, dst)
+    hist = scd2_read_history(spark, dst)
+    keys = hist.select("id").filter(F.col("id") % 97 == 0).distinct()
+    scd2_purge_keys(spark, dst, keys)
+    return scd2_read_history(spark, dst)

@@ -237,6 +237,25 @@ FROM versions WHERE __op <> 'd'
 """
 
 
+# oracle for scd2_store_purged (compliance erasure): the batch SCD2
+# build with the purged keys' versions excluded entirely
+CDC_SCD2_HISTORY_PURGED_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY}),
+versions AS (
+  SELECT *,
+         LEAD(__ts_ms) OVER (PARTITION BY id ORDER BY __source_lsn) AS valid_to
+  FROM changelog
+)
+SELECT id, user_id, status,
+       CAST(CAST(total_amount AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+       __ts_ms AS valid_from,
+       valid_to,
+       (valid_to IS NULL AND __op <> 'd') AS is_current,
+       __source_lsn
+FROM versions WHERE __op <> 'd' AND id % 97 <> 0
+"""
+
+
 # oracle for scd2_dimension_as_of (time travel to the pre-delete
 # batch): SCD2 built over the changelog PREFIX — creates + updates
 # only, every delete still in the future

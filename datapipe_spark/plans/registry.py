@@ -160,6 +160,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         scd2.scd2_store_migrated,
         cdcq.CDC_SCD2_HISTORY_SQL,
     ),
+    # compliance erasure (GDPR forget) over the materialized store:
+    # every version of the purged keys gone, everything else intact
+    "scd2_store_purged": (
+        scd2.scd2_store_purged,
+        cdcq.CDC_SCD2_HISTORY_PURGED_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

@@ -1033,3 +1033,81 @@ def test_scd2_maintenance_interleaved_with_upserts(spark, sf_dir, tmp_path):
     # as_of still reconstructs the exact mid-maintenance states
     assert {tuple(r) for r in scd2.scd2_as_of(spark, d, 0).collect()} == asof0
     assert {tuple(r) for r in scd2.scd2_as_of(spark, d, 1).collect()} == asof1
+
+
+def test_scd2_purge_keys_erases_all_history(spark, tmp_path, monkeypatch):
+    """Compliance erasure: every version of the purged keys disappears
+    from history, lookups, and every time-travel point; all other
+    versions are byte-identical; the purge commits atomically (torn
+    commit completed by a reader, pre-journal crash leaves the store
+    unchanged); purged keys can re-enter later as fresh history."""
+    import os as _os
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "purge")
+    _mini_store(spark, scd2, d)
+    before = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    keys = spark.createDataFrame([(1,), (5,)], "id long")
+
+    scd2.scd2_purge_keys(spark, d, keys)
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == {t for t in before if t[0] not in (1, 5)}
+    assert scd2.scd2_lookup(spark, d, [1, 5]).count() == 0
+    for b in (0, 1):
+        asof = scd2.scd2_as_of(spark, d, b)
+        assert asof.filter(F.col("id").isin(1, 5)).count() == 0
+    assert scd2._meta(d)["last_batch_id"] == 1  # not an increment
+
+    # purged keys re-enter as fresh history
+    import datetime as dt
+
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t9 = dt.datetime(2024, 1, 3)
+    assert scd2.scd2_upsert(
+        spark, d,
+        spark.createDataFrame([(1, 10, "NEW", "1.00", t9, "c", t9, 500)], schema),
+        batch_id=2,
+    ) is True
+    assert scd2.scd2_lookup(spark, d, [1]).filter("status = 'NEW'").count() == 1
+
+    # torn purge: journal lands, roll-forward crashes — reader completes
+    d2 = str(tmp_path / "purge_torn")
+    _mini_store(spark, scd2, d2)
+    want2 = {
+        t
+        for t in {tuple(r) for r in scd2.scd2_read_history(spark, d2).collect()}
+        if t[0] != 2
+    }
+
+    def crash(dim_dir, sweep=False):
+        raise RuntimeError("simulated crash post-journal")
+
+    monkeypatch.setattr(scd2, "_roll_forward", crash)
+    with pytest.raises(RuntimeError, match="post-journal"):
+        scd2.scd2_purge_keys(spark, d2, spark.createDataFrame([(2,)], "id long"))
+    monkeypatch.undo()
+    assert _os.path.exists(scd2._p(d2, scd2._JOURNAL))
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d2).collect()} == want2
+    assert not _os.path.exists(scd2._p(d2, scd2._JOURNAL))
+
+    # pre-journal crash leaves the store unchanged (keys still there)
+    d3 = str(tmp_path / "purge_pre")
+    _mini_store(spark, scd2, d3)
+    before3 = {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()}
+
+    def no_journal(dim_dir, journal):
+        raise RuntimeError("simulated crash pre-commit")
+
+    monkeypatch.setattr(scd2, "_write_journal", no_journal)
+    with pytest.raises(RuntimeError, match="pre-commit"):
+        scd2.scd2_purge_keys(spark, d3, spark.createDataFrame([(2,)], "id long"))
+    monkeypatch.undo()
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == before3
+
+    # empty key set: no-op
+    scd2.scd2_purge_keys(spark, d3, spark.createDataFrame([], "id long"))
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == before3
