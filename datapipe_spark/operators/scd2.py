@@ -928,17 +928,21 @@ def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
     meta = _meta(dim_dir)
     n_buckets = int(meta["n_buckets"])
     kb = keys.select("id").distinct().localCheckpoint(eager=True)
-    tb = sorted(
-        r[0] for r in kb.select(_bucket_of(n_buckets).alias("b")).distinct().collect()
-    )
+    # one aggregation yields the touched-bucket set AND the broadcast
+    # gate's key count (the upsert's probe posture: a snapshot-sized
+    # erasure backlog must not force-broadcast every key)
+    stats = kb.groupBy(_bucket_of(n_buckets).alias("b")).count().collect()
+    tb = sorted(r["b"] for r in stats)
     if not tb:
         return
+    n_keys = sum(r["count"] for r in stats)
+    probe = F.broadcast(kb) if n_keys <= SCD2_BROADCAST_MAX_ROWS else kb
     token = uuid.uuid4().hex[:12]
     stage = _p(dim_dir, f".staging-{token}")
 
     # current/: rewrite only the touched buckets, minus the keys
     cur = _read_current(spark, dim_dir).filter(F.col("bucket").isin(tb))
-    kept = cur.join(F.broadcast(kb), "id", "left_anti").select(*_STORE_COLS)
+    kept = cur.join(probe, "id", "left_anti").select(*_STORE_COLS)
     (
         kept.withColumn("bucket", _bucket_of(n_buckets))
         .repartition(len(tb), "bucket")
@@ -960,7 +964,7 @@ def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
     # rewrite of the slice (see docstring for why this is O(closed))
     if _has_closed(dim_dir):
         closed = spark.read.parquet(_p(dim_dir, "closed"))
-        kept_closed = closed.join(F.broadcast(kb), "id", "left_anti")
+        kept_closed = closed.join(probe, "id", "left_anti")
         cols = ["cbucket", "inc"] if "cbucket" in closed.columns else ["inc"]
         (
             kept_closed.repartitionByRange(

@@ -1111,3 +1111,18 @@ def test_scd2_purge_keys_erases_all_history(spark, tmp_path, monkeypatch):
     # empty key set: no-op
     scd2.scd2_purge_keys(spark, d3, spark.createDataFrame([], "id long"))
     assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == before3
+
+
+def test_scd2_purge_above_broadcast_gate_still_exact(spark, tmp_path, monkeypatch):
+    """A purge backlog past the broadcast gate must fall back to a
+    shuffle anti-join (no forced driver broadcast) and still erase
+    exactly the requested keys."""
+    from datapipe_spark.operators import scd2
+
+    monkeypatch.setattr(scd2, "SCD2_BROADCAST_MAX_ROWS", 0)
+    d = str(tmp_path / "purge_big")
+    _mini_store(spark, scd2, d)
+    before = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    scd2.scd2_purge_keys(spark, d, spark.createDataFrame([(1,), (5,)], "id long"))
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == {t for t in before if t[0] not in (1, 5)}

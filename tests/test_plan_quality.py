@@ -540,3 +540,36 @@ def test_scd2_snapshot_sized_increment_skips_broadcast(
     got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
     want = {tuple(r) for r in cq.cdc_scd2_history(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_scd2_purge_prunes_current_to_touched_buckets(spark, sf_dir, tmp_path):
+    """The purge's current/ side must carry the upsert posture: the
+    key set broadcasts into a scan partition-pruned to the keys'
+    buckets — an erasure of k keys reads ≤k bucket dirs of the open
+    slice, never the whole dimension. (The closed/ side is a full
+    filter scan BY DESIGN — erasure covers all history.)"""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import scd2
+    from datapipe_spark.sources.cdc import synth_changelog
+
+    log = synth_changelog(spark, sf_dir)
+    d = str(tmp_path / "scd2_purge_plan")
+    scd2.scd2_init(spark, d)
+    scd2.scd2_upsert(spark, d, log.filter(F.col("__op") == "c"), batch_id=0)
+
+    keys = spark.createDataFrame([(1,), (2,)], "id long")
+    kb = keys.select("id").distinct().localCheckpoint(eager=True)
+    n_buckets = int(scd2._meta(d)["n_buckets"])
+    tb = sorted(
+        r[0]
+        for r in kb.select(scd2._bucket_of(n_buckets).alias("b")).distinct().collect()
+    )
+    cur = scd2._read_current(spark, d).filter(F.col("bucket").isin(tb))
+    kept = cur.join(F.broadcast(kb), "id", "left_anti")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
