@@ -25,6 +25,37 @@ from pyspark.sql import functions as F
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
+# staging suffixes the bare dir-swap rewrites below use; recover_swap
+# knows all of them
+_SWAP_SUFFIXES = ("__compacting", "__clustering", "__zordering")
+
+
+def recover_swap(path: str, sweep: bool = False) -> bool:
+    """Heal a crashed ``compact_parquet``/``cluster_parquet``/
+    ``zorder_parquet`` directory swap (the scd2 r9 compaction advisory
+    generalized to every bare-swap site): the swap's only
+    non-recoverable-looking crash state is "live dir renamed to
+    ``__old``, rewritten dir not yet renamed in" — restore ``__old``
+    so readers see the pre-rewrite content (the rewrite is
+    content-preserving by contract, so either generation is correct)
+    instead of a missing-path error.
+
+    ``sweep=True`` (WRITER entries only — the next maintenance run)
+    additionally deletes leftover ``__compacting``/``__clustering``/
+    ``__zordering``/``__old`` debris. Readers must not sweep: a live
+    rewrite's staging dir looks exactly like debris (the same
+    reader-vs-writer rule as the journaled stores). Returns True if a
+    restore happened."""
+    restored = False
+    old = path.rstrip("/") + "__old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        restored = True
+    if sweep:
+        for suffix in (*_SWAP_SUFFIXES, "__old"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+    return restored
+
 
 def table_bytes(path: str) -> int:
     total = 0
@@ -76,10 +107,10 @@ def compact_parquet(
     partition's output). The swap is atomic at the directory level:
     readers either see the old or the new table, never a mix.
     """
+    recover_swap(path, sweep=True)
     tmp = path.rstrip("/") + "__compacting"
     compact_parquet_into(spark, path, tmp, target_bytes, partition_cols)
     old = path.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
@@ -131,10 +162,10 @@ def cluster_parquet(
     anywhere. The swap is the same atomic directory swap as
     ``compact_parquet``.
     """
+    recover_swap(path, sweep=True)
     tmp = path.rstrip("/") + "__clustering"
     cluster_parquet_into(spark, path, tmp, cluster_cols, target_bytes)
     old = path.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
@@ -163,6 +194,7 @@ def zorder_parquet(
     whole table, no single-task sort, no Python in the row path.
     Returns the new file count.
     """
+    recover_swap(path, sweep=True)
     df = spark.read.parquet(path)
     nq = (1 << bits_per_dim) - 1
     buckets = []
@@ -209,7 +241,6 @@ def zorder_parquet(
             )
     n_files = max(1, math.ceil(table_bytes(path) / target_bytes))
     tmp = path.rstrip("/") + "__zordering"
-    shutil.rmtree(tmp, ignore_errors=True)
     (
         withb.withColumn("_z", zval)
         .repartitionByRange(n_files, "_z")
@@ -219,7 +250,6 @@ def zorder_parquet(
         .parquet(tmp)
     )
     old = path.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

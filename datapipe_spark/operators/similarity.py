@@ -371,6 +371,7 @@ def compact_ivf_index(
 
     cells = index_dir.rstrip("/") + "/cells"
     before = parquet_file_count(cells)
+    # compact_parquet heals + sweeps any crashed prior swap at entry
     after = compact_parquet(
         spark, cells, target_bytes=target_bytes or TARGET_FILE_BYTES,
         partition_cols=["qcell"],
@@ -396,6 +397,11 @@ def topk_ivf_index(
     regardless of corpus size. Scoring matches ``topk_ivf`` exactly
     (same deterministic quantizer ⟹ identical output, equality-tested).
     """
+    from datapipe_spark.operators.maintenance import recover_swap
+
+    # reader-side heal of a crashed compaction swap (restore-only, no
+    # debris sweep — the journaled stores' reader/writer rule)
+    recover_swap(index_dir.rstrip("/") + "/cells")
     import numpy as np
 
     cmat = _load_centroids(spark, index_dir)

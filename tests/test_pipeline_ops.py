@@ -698,3 +698,49 @@ def test_write_train_shards_physical_loader_order(spark, sf_dir):
         assert sorted(pos_all) == list(range(1, len(pos_all) + 1))
         total += len(pos_all)
     assert total == stats["n_docs"]
+
+
+def test_recover_swap_heals_every_crash_state(spark, sf_dir):
+    """The bare dir-swap rewrites (compact/cluster/zorder, the IVF
+    cells compaction) have exactly three crash states; recover_swap
+    must heal all of them — in particular the 'live dir missing,
+    __old holds the data' window the scd2 r9 advisory flagged — and
+    readers must restore without sweeping a possibly-live rewrite's
+    staging."""
+    import shutil as _sh
+
+    from datapipe_spark.operators.maintenance import (
+        compact_parquet,
+        recover_swap,
+    )
+
+    path = fresh_dir("recover_swap")
+    src = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    src.write.mode("overwrite").parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    # state 1: crash after writing __compacting, before any rename
+    _sh.copytree(path, path + "__compacting")
+    assert recover_swap(path) is False  # reader: nothing to restore
+    assert os.path.isdir(path + "__compacting")  # reader did NOT sweep
+    recover_swap(path, sweep=True)
+    assert not os.path.isdir(path + "__compacting")
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+    # state 2: crash between the two renames — live dir GONE
+    os.rename(path, path + "__old")
+    assert recover_swap(path) is True  # reader restores
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+    # state 3: crash before the final debris rmtree
+    _sh.copytree(path, path + "__old")
+    assert recover_swap(path) is False
+    assert os.path.isdir(path + "__old")  # reader leaves debris
+    recover_swap(path, sweep=True)
+    assert not os.path.isdir(path + "__old")
+
+    # and a real rewrite entered in state 2 self-heals end to end
+    os.rename(path, path + "__old")
+    n = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert n >= 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
