@@ -87,7 +87,7 @@ def lineitem_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = fresh_dir("lineitem_zordered")
     src = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
     )
     src.write.mode("overwrite").parquet(path)
     # 6 bits/dim ⇒ 4096 distinct z-values — ample file-level
