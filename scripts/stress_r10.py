@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Round-10 stress additions: scale shape of the two new SCD2 store
+maintenance writers.
+
+1. ``purge`` — compliance-erasure wall vs store size. Stores of
+   200k / 800k / 3.2M keys (size-targeted buckets, ~25k keys/bucket)
+   with a 10%-of-keys closed-history slice take the same fixed 8-key
+   purge: the open side rewrites min(buckets, keys) size-targeted
+   buckets (flat in store size), the closed side is one filter scan +
+   clustered rewrite of the history slice (∝ closed bytes, BY DESIGN —
+   erasure covers all history). The row separates the two terms so the
+   100 TB reading is honest: batching erasure requests amortizes the
+   closed-side pass, the open-side cost tracks the request.
+
+2. ``migrate`` — in-place layout migration wall vs store size
+   (200k / 800k keys with the same 10% closed slice): one bucket
+   shuffle of the open slice + one (cbucket, inc) range-cluster of the
+   history slice, O(store) once per layout generation. Content
+   row-counts asserted after each run.
+
+Usage: python scripts/stress_r10.py [purge|migrate ...]
+Prints one JSON line per experiment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _bulk_load(spark, store: str, n_keys: int, n_buckets: int) -> None:
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import scd2
+
+    scd2.scd2_init(spark, store, n_buckets=n_buckets)
+    load = spark.range(n_keys).select(
+        "id",
+        (F.col("id") % 1000).alias("user_id"),
+        F.lit("s0").alias("status"),
+        (F.col("id") % 997).cast("decimal(18,2)").cast("string").alias("total_amount"),
+        F.lit("c").alias("__op"),
+        F.expr("timestamp'2024-01-01'").alias("__ts_ms"),
+        (F.col("id") * 100_000).alias("__source_lsn"),
+    )
+    scd2.scd2_upsert(spark, store, load, batch_id=0)
+    # close 10% of keys' first versions (an update tail) so the store
+    # carries a real closed/ slice for the history-side term
+    upd = spark.range(0, n_keys, 10).select(
+        "id",
+        (F.col("id") % 1000).alias("user_id"),
+        F.lit("s1").alias("status"),
+        (F.col("id") % 997 + 1).cast("decimal(18,2)").cast("string").alias("total_amount"),
+        F.lit("u").alias("__op"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,1)").alias("__ts_ms"),
+        (F.col("id") * 100_000 + 1).alias("__source_lsn"),
+    )
+    scd2.scd2_upsert(spark, store, upd, batch_id=1)
+
+
+def purge(spark, scratch: str) -> None:
+    from datapipe_spark.operators import scd2
+    from datapipe_spark.operators.maintenance import table_bytes
+
+    keys_per_bucket = 25_000
+    rows = []
+    for n_keys in (200_000, 800_000, 3_200_000):
+        n_buckets = max(8, n_keys // keys_per_bucket)
+        store = os.path.join(scratch, f"purge_{n_keys}")
+        t0 = time.monotonic()
+        _bulk_load(spark, store, n_keys, n_buckets)
+        t_load = time.monotonic() - t0
+        open_bytes = table_bytes(os.path.join(store, "current"))
+        closed_bytes = table_bytes(os.path.join(store, "closed"))
+        # fixed 8-key purge: keys spread across the id space, half of
+        # them with closed history (ids ≡ 0 mod 10)
+        ids = [i * (n_keys // 8) + (0 if i % 2 else 5) for i in range(8)]
+        keys = spark.createDataFrame([(int(i),) for i in ids], "id long")
+        before = scd2.scd2_read_history(spark, store).count()
+        t0 = time.monotonic()
+        scd2.scd2_purge_keys(spark, store, keys)
+        wall = time.monotonic() - t0
+        after = scd2.scd2_read_history(spark, store).count()
+        purged = before - after
+        assert purged >= 8, (before, after)
+        rows.append({
+            "n_keys": n_keys,
+            "n_buckets": n_buckets,
+            "load_s": round(t_load, 1),
+            "open_mb": round(open_bytes / 1e6, 1),
+            "closed_mb": round(closed_bytes / 1e6, 1),
+            "purge_wall_s": round(wall, 2),
+            "versions_purged": purged,
+        })
+        print(json.dumps({"experiment": "purge", **rows[-1]}), flush=True)
+    print(json.dumps({"experiment": "purge_summary", "rows": rows}), flush=True)
+
+
+def migrate(spark, scratch: str) -> None:
+    from datapipe_spark.operators import scd2
+
+    rows = []
+    for n_keys in (200_000, 800_000):
+        modern = os.path.join(scratch, f"mig_src_{n_keys}")
+        _bulk_load(spark, modern, n_keys, max(8, n_keys // 25_000))
+        hist = scd2.scd2_read_history(spark, modern)
+        want = hist.count()
+        legacy = os.path.join(scratch, f"mig_{n_keys}")
+        scd2._write_legacy_store(spark, hist, legacy)
+        t0 = time.monotonic()
+        assert scd2.scd2_migrate(spark, legacy) is True
+        wall = time.monotonic() - t0
+        got = scd2.scd2_read_history(spark, legacy).count()
+        assert got == want, (got, want)
+        rows.append({
+            "n_keys": n_keys,
+            "history_rows": want,
+            "migrate_wall_s": round(wall, 2),
+        })
+        print(json.dumps({"experiment": "migrate", **rows[-1]}), flush=True)
+    print(json.dumps({"experiment": "migrate_summary", "rows": rows}), flush=True)
+
+
+def main() -> None:
+    import tempfile
+
+    from datapipe_spark import get_spark
+
+    which = set(sys.argv[1:]) or {"purge", "migrate"}
+    spark = get_spark("stress-r10")
+    scratch = tempfile.mkdtemp(prefix="stress_r10_")
+    try:
+        if "purge" in which:
+            purge(spark, scratch)
+        if "migrate" in which:
+            migrate(spark, scratch)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
