@@ -894,6 +894,28 @@ WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# deterministic erasure backlog for the index-purge registry entry:
+# corpus-side docs (NOT is_new) with doc_id ≡ 3 (mod 13) — hits a mix
+# of non-rep members, promoted reps, and fully-erased groups at both
+# test scales (dedup_index.purge_minhash_index consumes this; the
+# oracle below removes the same docs from the corpus replay)
+PURGED_DOCS_PRED = "doc_id % 13 = 3"
+
+# Oracle for the PURGED-index probe: the same un-collapsed replay with
+# the erased docs removed from the corpus side before anything is
+# signed — if the purge left any trace (a band row of an erased group,
+# a membership row of an erased doc) or broke a surviving group (a
+# rep promotion dropping sigs it should have renamed), the pair set
+# differs and the hash fails.
+DEDUP_CROSS_CORPUS_PURGED_SQL = (
+    f"WITH docs AS (SELECT * FROM documents"
+    f" WHERE ({_CROSS_NEW_PRED}) OR NOT ({PURGED_DOCS_PRED}))"
+    + DEDUP_CROSS_CORPUS_MINHASH_SQL.replace("FROM documents", "FROM docs").replace(
+        "WITH tag AS", ", tag AS", 1
+    )
+)
+
+
 # arrival batches for the streaming form of the cross-corpus probe:
 # the incoming side is delivered as this many micro-batches, batch k
 # holding the is_new docs with doc_id % CROSS_STREAM_BATCHES == k

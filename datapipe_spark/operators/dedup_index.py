@@ -633,3 +633,177 @@ def _cached_corpus_index(
             # another builder won the rename — use its index
             shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+# broadcast gate for the purge's id set — the scd2 purge posture
+# (operators/scd2.py SCD2_BROADCAST_MAX_ROWS): an erasure backlog past
+# this row count falls back to shuffle joins instead of OOMing the
+# driver with a forced broadcast
+PURGE_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def purge_minhash_index(
+    spark: SparkSession, index_dir: str, purge_ids: DataFrame
+) -> dict:
+    """Compliance erasure on the band index (GDPR right-to-be-forgotten
+    propagated to DERIVED stores — ``scd2_purge_keys`` erases the
+    dimension history; this erases the same obligation's trace from the
+    dedup index): remove every membership, verification-set, and band
+    row attributable to the purged doc_ids, in one journaled commit.
+
+    Group semantics: a purged doc leaves its verbatim-copy group. If
+    survivors remain and the purged doc WAS the group's representative,
+    the smallest surviving member is promoted — its (identical) content
+    already carries the rep's signature, so sigs/bands rows are renamed,
+    not recomputed. A group purged entirely drops its signature and
+    band rows with it: no candidate can ever surface the erased
+    content. On a never-appended index this reproduces
+    ``build_minhash_index`` over the surviving corpus EXACTLY (min-
+    doc_id rep rule; pinned by test); on an appended index reps are
+    frozen-by-arrival, so equality is per-part semantic (same groups,
+    same signatures) rather than byte-level — probes are identical
+    either way.
+
+    Cost shape at 100 TB: ONE map-only pass over each part — the purged
+    id set and the O(affected groups) rep-translation map are broadcast
+    (count-gated at ``PURGE_BROADCAST_MAX_ROWS``, shuffle fallback), so
+    the index is never shuffled on its own bulk; only the affected-
+    group slice (O(purged)) takes a tiny aggregation. The full-scan
+    rewrite itself is inherent to erasure in immutable files — the same
+    O(closed) argument as ``scd2_purge_keys`` — and deployments batch
+    erasure requests to amortize it. bands/ comes out range-clustered
+    on ``band_key`` again (the ``compact_minhash_index`` layout), so
+    probe pruning survives the purge. The watermark and hash mode are
+    untouched; purging is not an append.
+
+    Returns ``{"purged_docs", "dropped_reps", "renamed_reps"}``.
+    """
+    import json
+    import math
+    import uuid
+
+    from datapipe_spark.operators.maintenance import TARGET_FILE_BYTES, table_bytes
+
+    _roll_forward(index_dir, sweep=True)
+    meta = _meta(spark, index_dir)
+    kb = purge_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    n_purge = kb.count()
+    if n_purge == 0:
+        return {"purged_docs": 0, "dropped_reps": 0, "renamed_reps": 0}
+    gated = n_purge <= PURGE_BROADCAST_MAX_ROWS
+    probe = F.broadcast(kb) if gated else kb
+
+    mem = spark.read.parquet(_p(index_dir, "mem"))
+    # ONE index-scan probe join yields everything O(purged): the hit
+    # rows (meta delta) and the affected groups (rep translation)
+    hits = mem.join(probe, "doc_id").localCheckpoint(eager=True)
+    n_found = hits.count()
+    affected = hits.select("ghash", F.col("rep_id").alias("old_rep")).distinct()
+    # new rep per affected group = min SURVIVING member (the build's
+    # rep rule): aggregation over the affected slice only
+    aff_g = F.broadcast(affected) if gated else affected
+    newrep = (
+        mem.join(aff_g.select("ghash"), "ghash")
+        .join(probe, "doc_id", "left_anti")
+        .groupBy("ghash")
+        .agg(F.min("doc_id").alias("new_rep"))
+    )
+    # (ghash, old_rep, new_rep): NULL new_rep ⇒ group erased entirely
+    trans = affected.join(newrep, "ghash", "left").localCheckpoint(eager=True)
+    dropped = trans.filter(F.col("new_rep").isNull()).count()
+    renamed = trans.filter(
+        F.col("new_rep").isNotNull() & (F.col("new_rep") != F.col("old_rep"))
+    ).count()
+
+    token = uuid.uuid4().hex[:12]
+    stage = _p(index_dir, f".staging-{token}")
+    tb = F.broadcast(trans) if gated else trans
+
+    # mem/: drop purged rows, re-point affected groups at the new rep
+    mem_out = (
+        mem.join(probe, "doc_id", "left_anti")
+        .join(tb.select("ghash", "new_rep"), "ghash", "left")
+        .select(
+            "doc_id", "ghash", F.coalesce("new_rep", "rep_id").alias("rep_id")
+        )
+    )
+    mem_out.write.mode("overwrite").parquet(os.path.join(stage, "mem"))
+
+    # sigs/ + bands/: rows are keyed by the rep's doc_id — rename
+    # promoted reps, drop erased groups, pass every other row through
+    rmap = tb.select("old_rep", "new_rep")
+
+    def _rekey(part: str, cols: list[str]) -> DataFrame:
+        t = spark.read.parquet(_p(index_dir, part)).join(
+            rmap, F.col("doc_id") == F.col("old_rep"), "left"
+        )
+        return t.filter(
+            F.col("old_rep").isNull() | F.col("new_rep").isNotNull()
+        ).select(F.coalesce("new_rep", "doc_id").alias("doc_id"), *cols)
+
+    _rekey("sigs", ["sh", "signature"]).write.mode("overwrite").parquet(
+        os.path.join(stage, "sigs")
+    )
+    # preserve the compacted layout's band_key clustering (probe
+    # pruning): same range-cluster shape as compact_minhash_index,
+    # sized from the pre-purge bytes (erasure only shrinks the part)
+    n_files = max(
+        1, math.ceil(table_bytes(_p(index_dir, "bands")) / TARGET_FILE_BYTES)
+    )
+    (
+        _rekey("bands", ["band_id", "band_key"])
+        .repartitionByRange(n_files, "band_key")
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite")
+        .parquet(os.path.join(stage, "bands"))
+    )
+
+    new_meta = dict(meta)
+    new_meta["n_docs"] = int(meta["n_docs"]) - n_found
+    new_meta["n_reps"] = int(meta["n_reps"]) - dropped
+    swaps = [
+        [os.path.join(stage, part), _p(index_dir, part)]
+        for part in ("mem", "sigs", "bands")
+    ]
+    tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump({"moves": [], "swaps": swaps, "meta": new_meta}, f)
+    os.replace(tmp, _p(index_dir, _JOURNAL))
+    _roll_forward(index_dir, sweep=True)
+    return {
+        "purged_docs": n_found,
+        "dropped_reps": dropped,
+        "renamed_reps": renamed,
+    }
+
+
+def dedup_cross_corpus_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of index erasure: clone the cached corpus index,
+    purge the deterministic backlog (``PURGED_DOCS_PRED`` over the
+    corpus side) through ``purge_minhash_index``, then run the standard
+    batch probe against the PURGED index. Oracle
+    (``DEDUP_CROSS_CORPUS_PURGED_SQL``): the inline cross-corpus replay
+    with the purged docs removed from the corpus — the driver's hash
+    check attests erased docs surface in no pair, surviving groups
+    (including rep-promoted ones) still match exactly, and nothing else
+    moved."""
+    import shutil as _sh
+
+    from datapipe_spark.operators.dedup import PURGED_DOCS_PRED, _cross_tagged
+    from datapipe_spark.util import fresh_dir
+
+    tagged = _cross_tagged(spark, sf_dir)
+    idx = _cached_corpus_index(
+        spark, sf_dir, tagged.filter(~F.col("is_new")).select("doc_id", "text")
+    )
+    scratch = fresh_dir("minhash_index_purged")
+    _sh.rmtree(scratch, ignore_errors=True)
+    _sh.copytree(idx, scratch)
+    purge_minhash_index(
+        spark,
+        scratch,
+        tagged.filter(~F.col("is_new")).filter(PURGED_DOCS_PRED).select("doc_id"),
+    )
+    return probe_minhash_index(
+        spark, scratch, tagged.filter("is_new").select("doc_id", "text")
+    )

@@ -1361,7 +1361,10 @@ def _bpe_merges_for(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
 
 
 def bpe_tokenize(
-    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_MERGES,
+    path: str | None = None,
 ) -> DataFrame:
     """Apply the trained BPE merge table to the corpus — the consumer
     half of ``bpe_train_merges``: every document tokenized to subwords
@@ -1376,28 +1379,39 @@ def bpe_tokenize(
     ``lang_id_ngram``); reference equality vs a pure-Python
     tokenizer is pinned in tests.
 
-    Scale shape, two regimes (r7 verdict ask #2): for k ≤
-    ``_BPE_FOLD_MAX`` the k folds compose into ONE map-only
-    projection — k nested pure-JVM array folds, no shuffle, no
-    Python, no extra pass per merge. The expression tree is O(k)
-    though, so past the ceiling Catalyst analysis/codegen would fall
-    over long before a real 32k-merge vocabulary — there the merge
-    table is broadcast into ONE Arrow-batched ``mapInPandas`` pass
-    (``_bpe_tokenize_arrow``): still a single corpus scan, no
-    shuffle, with per-batch word-TYPE memoization so the per-word
-    replay cost is paid once per distinct word, not once per token
-    (Zipf makes that the dominant savings on real text). Semantics
-    are byte-identical across the boundary (equality-tested at k =
-    ``_BPE_FOLD_MAX`` and against the pure-Python reference at
-    k=1024). Driver state is the O(k) collected merge table, exactly
-    what any BPE tokenizer ships as its model file — and like a model
-    file it is trained once per dataset and memoized (keyed by the
-    documents parquet's identity, the ``_cached_corpus_index``
-    posture), so repeated tokenization pays only the map pass.
+    Scale shape (r10 revision): the merge table — the O(k) model
+    file any BPE tokenizer ships — is broadcast into ONE Arrow-batched
+    ``mapInPandas`` pass (``_bpe_tokenize_arrow``): a single corpus
+    scan, no shuffle, plan size O(1) in k, with per-batch word-TYPE
+    memoization so the per-word replay cost is paid once per distinct
+    word, not once per token (Zipf makes that the dominant savings on
+    real text). This is now the default at EVERY k: the former small-k
+    regime (k nested pure-JVM ``aggregate`` folds in one projection,
+    the r7 ask #2 design) measured 15.1 s vs the arrow path's 1.7 s at
+    sf0.1/k=8 — Spark evaluates higher-order-function lambdas
+    interpreted, per element, with boxing (the same constant-factor
+    trap the z-order bucketer hit, SCALING.md r10), and the fold path
+    also re-replays every merge per token occurrence where the memo
+    pays per word type. The fold path is kept as the independent
+    reference implementation (``path="fold"``, valid to
+    ``_BPE_FOLD_MAX`` merges before Catalyst's expression-tree cost
+    explodes) and the two are equality-tested at the old boundary plus
+    against a pure-Python tokenizer at k=1024. Driver state is the
+    O(k) collected merge table; like a model file it is trained once
+    per dataset and memoized (keyed by the documents parquet's
+    identity, the ``_cached_corpus_index`` posture), so repeated
+    tokenization pays only the map pass.
     """
     merges = _bpe_merges_for(spark, sf_dir, n_merges)
     docs = load_table(spark, sf_dir, "documents")
-    if len(merges) > _BPE_FOLD_MAX:
+    if path not in (None, "arrow", "fold"):
+        raise ValueError(f"unknown bpe_tokenize path {path!r}")
+    if path == "fold" and len(merges) > _BPE_FOLD_MAX:
+        raise ValueError(
+            f"fold path caps at {_BPE_FOLD_MAX} merges (expression-tree"
+            f" size is O(k)); got {len(merges)}"
+        )
+    if path != "fold":
         return _bpe_tokenize_arrow(
             docs, [(m["left"], m["right"], m["merged"]) for m in merges]
         )

@@ -89,6 +89,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup_index.dedup_cross_corpus_compacted,
         dedup.DEDUP_CROSS_CORPUS_MINHASH_SQL,
     ),
+    # compliance erasure propagated to the derived store: purge a
+    # deterministic doc backlog from the band index (membership +
+    # signatures + bands, rep promotion for survivors), then probe —
+    # oracle is the inline replay over the corpus MINUS the purged docs
+    "dedup_cross_corpus_purged": (
+        dedup_index.dedup_cross_corpus_purged,
+        dedup.DEDUP_CROSS_CORPUS_PURGED_SQL,
+    ),
     # per-dimension affine int8 vector quantization + reconstruction mse
     "embedding_quantize_int8": (
         similarity.embedding_quantize_int8,

@@ -1811,28 +1811,24 @@ def test_bpe_tokenize_real_vocab_matches_reference(spark, tmp_path):
 
 
 def test_bpe_arrow_path_equals_fold_path_at_boundary(spark, tmp_path):
-    """Byte-identical semantics across the dispatch ceiling: the arrow
-    merge-replay applied with a k=_BPE_FOLD_MAX merge table must equal
-    the nested-fold projection with the same table."""
+    """Byte-identical semantics between the default arrow merge-replay
+    and the independent nested-fold reference projection at the fold
+    path's k ceiling (r10: arrow is the default at every k; the fold
+    path survives as the pure-JVM reference implementation)."""
     from datapipe_spark.operators import textstats as ts
-    from datapipe_spark.sources.tables import load_table
 
     d = _bpe_synth_corpus(spark, tmp_path)
     k = ts._BPE_FOLD_MAX
-    merges = [
-        (r["left"], r["right"], r["merged"])
-        for r in ts.bpe_train_merges(spark, d, n_merges=k, strategy="driver")
-        .orderBy("rank")
-        .collect()
-    ]
-    fold = {tuple(r) for r in ts.bpe_tokenize(spark, d, n_merges=k).collect()}
+    fold = {
+        tuple(r) for r in ts.bpe_tokenize(spark, d, n_merges=k, path="fold").collect()
+    }
     arrow = {
-        tuple(r)
-        for r in ts._bpe_tokenize_arrow(
-            load_table(spark, d, "documents"), merges
-        ).collect()
+        tuple(r) for r in ts.bpe_tokenize(spark, d, n_merges=k, path="arrow").collect()
     }
     assert arrow == fold and len(fold) > 0
+
+    with pytest.raises(ValueError, match="fold path caps"):
+        ts.bpe_tokenize(spark, d, n_merges=k + 1, path="fold")
 
 
 def test_embedding_quantize_int8_roundtrip_properties(spark, sf_dir):
@@ -2360,3 +2356,129 @@ def test_index_roll_forward_raises_on_lost_staging(spark, tmp_path):
     di.probe_minhash_index(spark, idx, batch)
     assert not _os.path.exists(di._p(idx, di._JOURNAL))
     assert di._meta(spark, idx)["last_batch_id"] == 99
+
+
+def _purge_corpus(spark):
+    """Crafted groups for purge semantics: A = 3 verbatim copies (rep 1;
+    purging 1 must promote 2), B = 2 copies (purging both erases the
+    group), C = untouched unique, D = purged singleton."""
+    txt_a = "alpha beta gamma delta epsilon zeta eta theta common group text"
+    txt_b = "one two three four five six seven eight nine boilerplate footer"
+    txt_c = "a wholly different document about completely other topics here"
+    txt_d = "the final lonely document speaks its own words quietly tonight"
+    return spark.createDataFrame(
+        [(1, txt_a), (2, txt_a), (3, txt_a), (4, txt_b), (5, txt_b),
+         (6, txt_c), (7, txt_d)],
+        "doc_id long, text string",
+    )
+
+
+def _index_rows(spark, idx):
+    return {
+        p: sorted(map(repr, spark.read.parquet(f"{idx}/{p}").collect()))
+        for p in ("mem", "sigs", "bands")
+    }
+
+
+def test_purge_minhash_index_rebuild_equality_and_semantics(spark, tmp_path):
+    """Never-appended index: purge(build(corpus), ids) must equal
+    build(corpus \\ ids) part-for-part (the min-doc_id rep rule makes
+    rep promotion deterministic), the returned stats must attribute
+    every path (member drop, rep promotion, group erasure, unknown id),
+    and meta must track the rebuilt counts."""
+    from datapipe_spark.operators import dedup_index as di
+
+    idx, ref = str(tmp_path / "purged"), str(tmp_path / "ref")
+    corpus = _purge_corpus(spark)
+    di.build_minhash_index(spark, corpus, idx)
+    stats = di.purge_minhash_index(
+        spark,
+        idx,
+        spark.createDataFrame([(1,), (4,), (5,), (7,), (999,)], "doc_id long"),
+    )
+    assert stats == {"purged_docs": 4, "dropped_reps": 2, "renamed_reps": 1}
+    di.build_minhash_index(
+        spark, corpus.filter("doc_id not in (1, 4, 5, 7)"), ref
+    )
+    assert _index_rows(spark, idx) == _index_rows(spark, ref)
+    ma, mb = di._meta(spark, idx), di._meta(spark, ref)
+    assert (ma["n_docs"], ma["n_reps"]) == (mb["n_docs"], mb["n_reps"])
+
+    # idempotent + unknown-only backlogs are no-ops
+    stats2 = di.purge_minhash_index(
+        spark, idx, spark.createDataFrame([(1,), (999,)], "doc_id long")
+    )
+    assert stats2 == {"purged_docs": 0, "dropped_reps": 0, "renamed_reps": 0}
+    assert _index_rows(spark, idx) == _index_rows(spark, ref)
+
+
+def test_purge_minhash_index_above_broadcast_gate_still_exact(
+    spark, tmp_path, monkeypatch
+):
+    """A purge backlog past the broadcast gate must fall back to
+    shuffle joins and still produce the exact rebuilt index."""
+    from datapipe_spark.operators import dedup_index as di
+
+    monkeypatch.setattr(di, "PURGE_BROADCAST_MAX_ROWS", 0)
+    idx, ref = str(tmp_path / "gated"), str(tmp_path / "gref")
+    corpus = _purge_corpus(spark)
+    di.build_minhash_index(spark, corpus, idx)
+    stats = di.purge_minhash_index(
+        spark, idx, spark.createDataFrame([(1,), (4,), (5,), (7,)], "doc_id long")
+    )
+    assert stats["purged_docs"] == 4
+    di.build_minhash_index(
+        spark, corpus.filter("doc_id not in (1, 4, 5, 7)"), ref
+    )
+    assert _index_rows(spark, idx) == _index_rows(spark, ref)
+
+
+def test_purge_minhash_index_torn_swap_recovers(spark, tmp_path, monkeypatch):
+    """A crash between the purge's journal write and its part swaps
+    must leave every live part dir readable, and the next (reader)
+    entry must complete the purge exactly — the compact-torn-swap
+    contract applied to erasure."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from datapipe_spark.operators import dedup_index as di
+
+    corpus = _purge_corpus(spark)
+    backlog = [(1,), (4,), (5,), (7,)]
+    idx, twin = str(tmp_path / "torn"), str(tmp_path / "twin")
+    for d in (idx, twin):
+        di.build_minhash_index(spark, corpus, d)
+    di.purge_minhash_index(
+        spark, twin, spark.createDataFrame(backlog, "doc_id long")
+    )
+
+    real_rf = di._roll_forward
+    calls = {"n": 0}
+
+    def crash_at_commit(index_dir, sweep=False):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the entry-time sweep, pre-journal
+            return real_rf(index_dir, sweep=sweep)
+        raise RuntimeError("simulated crash post-journal")
+
+    monkeypatch.setattr(di, "_roll_forward", crash_at_commit)
+    with _pytest.raises(RuntimeError, match="post-journal"):
+        di.purge_minhash_index(
+            spark, idx, spark.createDataFrame(backlog, "doc_id long")
+        )
+    monkeypatch.undo()
+
+    assert _os.path.exists(di._p(idx, di._JOURNAL))
+    for p in ("mem", "sigs", "bands"):
+        assert _os.path.isdir(f"{idx}/{p}"), f"{p}/ vanished mid-purge"
+
+    # reader entry completes the journaled swap; index equals the twin
+    probe = spark.createDataFrame(
+        [(100, "a totally unrelated probe document with novel words here")],
+        ["doc_id", "text"],
+    )
+    di.probe_minhash_index(spark, idx, probe).collect()
+    assert not _os.path.exists(di._p(idx, di._JOURNAL))
+    assert _index_rows(spark, idx) == _index_rows(spark, twin)
+    assert di._meta(spark, idx) == di._meta(spark, twin)
