@@ -342,6 +342,7 @@ def append_ivf_index(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -
     partitions only. Faiss add() semantics; when drift accumulates,
     re-training is an explicit ``build_ivf_index`` rewrite — the same
     maintenance posture as ``cluster_parquet``."""
+    _ivf_roll_forward(index_dir, sweep=True)  # writer entry
     cmat = _load_centroids(spark, index_dir)
     _cell_assignments(new_vecs.select("vec_id", "v"), cmat).write.mode(
         "append"
@@ -369,6 +370,7 @@ def compact_ivf_index(
         parquet_file_count,
     )
 
+    _ivf_roll_forward(index_dir, sweep=True)  # writer entry
     cells = index_dir.rstrip("/") + "/cells"
     before = parquet_file_count(cells)
     # compact_parquet heals + sweeps any crashed prior swap at entry
@@ -399,8 +401,10 @@ def topk_ivf_index(
     """
     from datapipe_spark.operators.maintenance import recover_swap
 
-    # reader-side heal of a crashed compaction swap (restore-only, no
-    # debris sweep — the journaled stores' reader/writer rule)
+    # reader-side heal: complete a pending purge commit, then restore
+    # a crashed compaction swap (restore-only, no debris sweep — the
+    # journaled stores' reader/writer rule)
+    _ivf_roll_forward(index_dir)
     recover_swap(index_dir.rstrip("/") + "/cells")
     import numpy as np
 
@@ -1448,3 +1452,201 @@ SELECT vec_id,
          * (x - (mns[i] + qs[i] / 255.0 * spans[i])))) / len(v), 9) AS mse
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF index compliance erasure (r10): the right-to-be-forgotten story
+# completed across every derived store — scd2_purge_keys (dimension
+# history), purge_minhash_index (dedup band index), and this (the ANN
+# vector index). Same commit discipline as the band index: a journaled
+# swaps commit so readers see the index with the vectors or without
+# them, never a partial purge.
+
+_IVF_JOURNAL = "commit-pending.json"
+
+# broadcast gate for the purge backlog — the scd2/band-index posture:
+# a snapshot-sized erasure backlog falls back to shuffle joins
+IVF_PURGE_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _ivf_roll_forward(index_dir: str, sweep: bool = False) -> bool:
+    """Complete a pending purge commit (idempotent; runs at every
+    index entry). Same semantics as ``dedup_index._roll_forward``'s
+    swaps arm: staged-src present → swap it in; both src and live
+    missing → the staged rewrite was destroyed post-journal, raise
+    rather than silently retire a torn commit. ``sweep=True`` (writer
+    entries only) clears journal-less ``.staging-*`` debris; readers
+    must not sweep (the reader-vs-writer rule shared by every
+    journaled store in this repo)."""
+    import json
+    import os
+    import shutil
+
+    base = index_dir.rstrip("/")
+    jp = os.path.join(base, _IVF_JOURNAL)
+    pending = os.path.exists(jp)
+    if pending:
+        with open(jp) as f:
+            j = json.load(f)
+        for src, live in j["swaps"]:
+            old = live + ".old"
+            if os.path.exists(src):
+                shutil.rmtree(old, ignore_errors=True)
+                if os.path.exists(live):
+                    os.rename(live, old)
+                os.rename(src, live)
+            elif not os.path.exists(live):
+                raise RuntimeError(
+                    f"IVF index journal at {jp} names a swap whose staged "
+                    f"source and live target are both missing ({src} -> "
+                    f"{live}): the staged rewrite was destroyed after the "
+                    "commit point. Refusing to complete a torn commit."
+                )
+            shutil.rmtree(old, ignore_errors=True)
+        os.remove(jp)
+    if sweep:
+        for name in os.listdir(base):
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    return pending
+
+
+def purge_ivf_index(
+    spark: SparkSession, index_dir: str, purge_ids: DataFrame
+) -> dict:
+    """Compliance erasure on the persisted IVF index: remove every
+    vector row for the given ``vec_id``s. The frozen quantizer
+    (``centroids/``) is untouched — faiss ``remove_ids`` semantics:
+    erasure is a membership change, not a retrain — so survivors keep
+    their exact cell assignments and a probe of the purged index
+    equals a probe of an index freshly ``add()``-ed from the surviving
+    corpus under the same centroids (pinned by test).
+
+    Cost shape at 100 TB: the hive ``qcell=`` layout makes this the
+    CHEAPEST of the three erasure paths — one column-pruned
+    ``(vec_id, qcell)`` probe scan finds the touched cells, then ONLY
+    those cell partitions are rewritten (partition-pruned read,
+    per-partition staged dirs, one journaled swaps commit). Untouched
+    cells are never read or written: cost ∝ touched cells, not index
+    size. The backlog id set is broadcast behind a count gate
+    (``IVF_PURGE_BROADCAST_MAX_ROWS``, shuffle fallback) so a
+    snapshot-sized backlog cannot OOM the driver.
+
+    Returns ``{"purged_vecs", "touched_cells"}``.
+    """
+    import json
+    import os
+    import uuid
+
+    from datapipe_spark.operators.maintenance import recover_swap
+
+    base = index_dir.rstrip("/")
+    cells = base + "/cells"
+    _ivf_roll_forward(base, sweep=True)
+    recover_swap(cells)  # heal a crashed compaction swap first
+    kb = purge_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    n_purge = kb.count()
+    if n_purge == 0:
+        return {"purged_vecs": 0, "touched_cells": 0}
+    probe = F.broadcast(kb) if n_purge <= IVF_PURGE_BROADCAST_MAX_ROWS else kb
+
+    cdf = spark.read.parquet(cells)
+    hits = (
+        cdf.select("vec_id", "qcell")
+        .join(probe, "vec_id")
+        .groupBy("qcell")
+        .count()
+        .collect()
+    )
+    touched = sorted(int(r["qcell"]) for r in hits)
+    n_found = int(sum(r["count"] for r in hits))
+    if not touched:
+        return {"purged_vecs": 0, "touched_cells": 0}
+
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(base, f".staging-{token}")
+    kept = cdf.filter(F.col("qcell").isin(touched)).join(
+        probe, "vec_id", "left_anti"
+    )
+    (
+        kept.repartition(len(touched), "qcell")
+        .write.mode("overwrite")
+        .partitionBy("qcell")
+        .parquet(os.path.join(stage, "cells"))
+    )
+    swaps = []
+    empty = None
+    for c in touched:
+        src = os.path.join(stage, f"cells/qcell={c}")
+        if not os.path.isdir(src):  # cell emptied entirely by the purge
+            if empty is None:
+                empty = spark.createDataFrame([], "vec_id long, v array<double>")
+            empty.write.mode("overwrite").parquet(src)
+        swaps.append([src, f"{cells}/qcell={c}"])
+    tmp = os.path.join(base, f"{_IVF_JOURNAL}.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump({"swaps": swaps}, f)
+    os.replace(tmp, os.path.join(base, _IVF_JOURNAL))
+    _ivf_roll_forward(base, sweep=True)
+    return {"purged_vecs": n_found, "touched_cells": len(touched)}
+
+
+# deterministic erasure backlog for the registry entry — disjoint from
+# DEFAULT_QUERY_IDS so the probe's query vectors survive
+IVF_PURGED_PRED = "vec_id % 17 = 5"
+
+
+def _cached_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the persisted IVF index for a testdata dir
+    (the ``_cached_corpus_index`` posture): keyed by the embeddings
+    parquet's identity, built privately, published with one atomic
+    rename."""
+    import hashlib
+    import os
+    import shutil
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:ivfstore-v1".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get("SPARK_GRAFT_IVF_DIR", "/tmp/datapipe_spark_ivf_index")
+    out = os.path.join(root, key)
+    if not os.path.exists(os.path.join(out, "_READY")):
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_ivf_index(spark, sf_dir, tmp)
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.makedirs(root, exist_ok=True)
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return out
+
+
+def similarity_topk_ivf_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of vector erasure: clone the cached persisted IVF
+    index, purge the deterministic backlog (``IVF_PURGED_PRED``), then
+    answer the standard top-k queries from the PURGED index. Rows-only
+    by design (same ANN carve-out as ``similarity_topk_ivf`` — the
+    learned quantizer is a data-derived float model DuckDB cannot
+    replay); the exactness contract lives in tests instead: the purged
+    index's probe output equals a fresh frozen-quantizer rebuild over
+    the surviving corpus exactly, and purged ids appear in no result."""
+    import shutil
+
+    from datapipe_spark.util import fresh_dir
+
+    idx = _cached_ivf_store(spark, sf_dir)
+    scratch = fresh_dir("ivf_index_purged")
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.copytree(idx, scratch)
+    purge_ivf_index(
+        spark,
+        scratch,
+        load_table(spark, sf_dir, "embeddings")
+        .filter(IVF_PURGED_PRED)
+        .select("vec_id"),
+    )
+    return topk_ivf_index(spark, sf_dir, scratch)

@@ -406,6 +406,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # estimate, a data-derived float model (lang-ID), and lineage
     # metadata that is nondeterministic by contract (SURVEY §2 Q4/F13).
     "similarity_topk_ivf": (similarity.topk_ivf, None),  # ANN: recall-tested
+    # vector erasure on the persisted IVF index: clone → purge →
+    # probe; rows-only (ANN) — frozen-quantizer rebuild equality and
+    # purged-absent are pinned in tests instead of a SQL oracle
+    "similarity_topk_ivf_purged": (similarity.similarity_topk_ivf_purged, None),
     "lang_id_ngram": (textstats.lang_id_ngram, None),  # data-derived model
     "knn_join_ivf": (similarity.knn_join_ivf, None),  # ANN kNN graph
     "lineage_orders_raw": (_lineage_orders_raw, None),  # Q4: nondeterministic

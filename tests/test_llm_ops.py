@@ -2482,3 +2482,128 @@ def test_purge_minhash_index_torn_swap_recovers(spark, tmp_path, monkeypatch):
     assert not _os.path.exists(di._p(idx, di._JOURNAL))
     assert _index_rows(spark, idx) == _index_rows(spark, twin)
     assert di._meta(spark, idx) == di._meta(spark, twin)
+
+
+def test_purge_ivf_index_frozen_quantizer_equality(spark, sf_dir, tmp_path):
+    """Purging vectors from the persisted IVF index must (a) equal a
+    fresh add() of the surviving corpus under the SAME frozen
+    quantizer, probe-for-probe, (b) surface no purged id in any
+    result, and (c) rewrite only the touched qcell partitions —
+    untouched cell files stay byte-identical."""
+    import os as _os
+
+    from datapipe_spark.operators import similarity as sim
+    from datapipe_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "ivf_purged")
+    sim.build_ivf_index(spark, sf_dir, idx, nlist=10)
+
+    # snapshot per-cell file identities before the purge
+    def cell_files(d):
+        out = {}
+        cells = f"{d}/cells"
+        for name in sorted(_os.listdir(cells)):
+            if name.startswith("qcell="):
+                p = _os.path.join(cells, name)
+                out[name] = sorted(
+                    (f, _os.path.getsize(_os.path.join(p, f)))
+                    for f in _os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = cell_files(idx)
+    purge = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(sim.IVF_PURGED_PRED)
+        .select("vec_id")
+    )
+    n_purged = purge.count()
+    assert n_purged > 0
+    stats = sim.purge_ivf_index(spark, idx, purge)
+    assert stats["purged_vecs"] == n_purged
+    assert 0 < stats["touched_cells"] <= 10
+
+    # (c) untouched partitions byte-identical (same files, same sizes)
+    after = cell_files(idx)
+    survivors_rows = spark.read.parquet(f"{idx}/cells")
+    touched_names = set(after) - {
+        k for k in before if before.get(k) == after.get(k)
+    }
+    assert len(touched_names) == stats["touched_cells"]
+
+    # (b) purged ids gone from the index and from probe results
+    purged_ids = {r["vec_id"] for r in purge.collect()}
+    assert not purged_ids & {r["vec_id"] for r in survivors_rows.collect()}
+    out = sim.topk_ivf_index(spark, sf_dir, idx, nprobe=3)
+    assert not purged_ids & {r["neighbor_id"] for r in out.collect()}
+
+    # (a) equality with a frozen-quantizer rebuild over survivors:
+    # rebuild = assign surviving vectors with the SAME centroids
+    ref = str(tmp_path / "ivf_ref")
+    _os.makedirs(ref, exist_ok=True)
+    import shutil as _sh
+
+    _sh.copytree(f"{idx}/centroids", f"{ref}/centroids")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(f"NOT ({sim.IVF_PURGED_PRED})")
+        .select("vec_id", sim._as_double("embedding").alias("v"))
+    )
+    sim._cell_assignments(e, sim._load_centroids(spark, idx)).write.mode(
+        "overwrite"
+    ).partitionBy("qcell").parquet(f"{ref}/cells")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(tuple, sim.topk_ivf_index(spark, sf_dir, ref, nprobe=3).collect())
+    )
+    assert got == want
+
+    # idempotent: re-purging the same backlog is a no-op
+    assert sim.purge_ivf_index(spark, idx, purge) == {
+        "purged_vecs": 0,
+        "touched_cells": 0,
+    }
+
+
+def test_purge_ivf_index_torn_commit_recovers(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash between the purge's journal write and its partition
+    swaps must be completed by the next reader entry — the journaled
+    erasure contract shared with the band index and the SCD2 store."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from datapipe_spark.operators import similarity as sim
+    from datapipe_spark.sources.tables import load_table
+
+    idx, twin = str(tmp_path / "torn"), str(tmp_path / "twin")
+    sim.build_ivf_index(spark, sf_dir, idx, nlist=10)
+    sim.build_ivf_index(spark, sf_dir, twin, nlist=10)
+    purge = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(sim.IVF_PURGED_PRED)
+        .select("vec_id")
+    )
+    sim.purge_ivf_index(spark, twin, purge)
+
+    real_rf = sim._ivf_roll_forward
+    calls = {"n": 0}
+
+    def crash_at_commit(index_dir, sweep=False):
+        calls["n"] += 1
+        if calls["n"] == 1:  # entry-time sweep, pre-journal
+            return real_rf(index_dir, sweep=sweep)
+        raise RuntimeError("simulated crash post-journal")
+
+    monkeypatch.setattr(sim, "_ivf_roll_forward", crash_at_commit)
+    with _pytest.raises(RuntimeError, match="post-journal"):
+        sim.purge_ivf_index(spark, idx, purge)
+    monkeypatch.undo()
+
+    assert _os.path.exists(f"{idx}/{sim._IVF_JOURNAL}")
+    # reader entry completes the commit; probe equals the twin's
+    got = sorted(map(tuple, sim.topk_ivf_index(spark, sf_dir, idx).collect()))
+    assert not _os.path.exists(f"{idx}/{sim._IVF_JOURNAL}")
+    want = sorted(map(tuple, sim.topk_ivf_index(spark, sf_dir, twin).collect()))
+    assert got == want

@@ -27,6 +27,7 @@ _REPO = os.path.join(os.path.dirname(__file__), "..")
 # nondeterministic-by-contract lineage metadata).
 ROWS_ONLY_BY_DESIGN = {
     "similarity_topk_ivf",
+    "similarity_topk_ivf_purged",  # same ANN carve-out; rebuild-equality tested
     "similarity_topk_pq",
     "lang_id_ngram",
     "funnel_daily_approx",
