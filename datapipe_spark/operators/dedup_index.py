@@ -642,6 +642,49 @@ def _cached_corpus_index(
 PURGE_BROADCAST_MAX_ROWS = 2_000_000
 
 
+def _purge_rewrite_plans(
+    spark: SparkSession,
+    index_dir: str,
+    probe: DataFrame,
+    trans: DataFrame,
+    gated: bool,
+):
+    """The purge's three part-rewrite plans (mem, sigs, bands before
+    its range-cluster repartition) — split out so plan-shape tests can
+    gate the join strategies (the ``_probe_plan`` posture): under the
+    count gate every join against a full part is a broadcast
+    (map-only pass, no shuffle of the index bulk); above the gate the
+    same plans fall back to shuffle joins."""
+    tb = F.broadcast(trans) if gated else trans
+    mem = spark.read.parquet(_p(index_dir, "mem"))
+    # mem/: drop purged rows, re-point affected groups at the new rep
+    mem_out = (
+        mem.join(probe, "doc_id", "left_anti")
+        .join(tb.select("ghash", "new_rep"), "ghash", "left")
+        .select(
+            "doc_id", "ghash", F.coalesce("new_rep", "rep_id").alias("rep_id")
+        )
+    )
+
+    # sigs/ + bands/: rows are keyed by the rep's doc_id — rename
+    # promoted reps, drop erased groups, pass every other row through
+    rmap = tb.select("old_rep", "new_rep")
+
+    def _rekey(part: str, cols: list[str]) -> DataFrame:
+        t = spark.read.parquet(_p(index_dir, part)).join(
+            rmap, F.col("doc_id") == F.col("old_rep"), "left"
+        )
+        return t.filter(
+            F.col("old_rep").isNull() | F.col("new_rep").isNotNull()
+        ).select(F.coalesce("new_rep", "doc_id").alias("doc_id"), *cols)
+
+    return (
+        mem_out,
+        _rekey("sigs", ["sh", "signature"]),
+        _rekey("bands", ["band_id", "band_key"]),
+    )
+
+
 def purge_minhash_index(
     spark: SparkSession, index_dir: str, purge_ids: DataFrame
 ) -> dict:
@@ -717,33 +760,11 @@ def purge_minhash_index(
 
     token = uuid.uuid4().hex[:12]
     stage = _p(index_dir, f".staging-{token}")
-    tb = F.broadcast(trans) if gated else trans
-
-    # mem/: drop purged rows, re-point affected groups at the new rep
-    mem_out = (
-        mem.join(probe, "doc_id", "left_anti")
-        .join(tb.select("ghash", "new_rep"), "ghash", "left")
-        .select(
-            "doc_id", "ghash", F.coalesce("new_rep", "rep_id").alias("rep_id")
-        )
+    mem_out, sigs_out, bands_out = _purge_rewrite_plans(
+        spark, index_dir, probe, trans, gated
     )
     mem_out.write.mode("overwrite").parquet(os.path.join(stage, "mem"))
-
-    # sigs/ + bands/: rows are keyed by the rep's doc_id — rename
-    # promoted reps, drop erased groups, pass every other row through
-    rmap = tb.select("old_rep", "new_rep")
-
-    def _rekey(part: str, cols: list[str]) -> DataFrame:
-        t = spark.read.parquet(_p(index_dir, part)).join(
-            rmap, F.col("doc_id") == F.col("old_rep"), "left"
-        )
-        return t.filter(
-            F.col("old_rep").isNull() | F.col("new_rep").isNotNull()
-        ).select(F.coalesce("new_rep", "doc_id").alias("doc_id"), *cols)
-
-    _rekey("sigs", ["sh", "signature"]).write.mode("overwrite").parquet(
-        os.path.join(stage, "sigs")
-    )
+    sigs_out.write.mode("overwrite").parquet(os.path.join(stage, "sigs"))
     # preserve the compacted layout's band_key clustering (probe
     # pruning): same range-cluster shape as compact_minhash_index,
     # sized from the pre-purge bytes (erasure only shrinks the part)
@@ -751,8 +772,7 @@ def purge_minhash_index(
         1, math.ceil(table_bytes(_p(index_dir, "bands")) / TARGET_FILE_BYTES)
     )
     (
-        _rekey("bands", ["band_id", "band_key"])
-        .repartitionByRange(n_files, "band_key")
+        bands_out.repartitionByRange(n_files, "band_key")
         .sortWithinPartitions("band_key")
         .write.mode("overwrite")
         .parquet(os.path.join(stage, "bands"))

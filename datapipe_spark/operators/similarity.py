@@ -1565,9 +1565,7 @@ def purge_ivf_index(
 
     token = uuid.uuid4().hex[:12]
     stage = os.path.join(base, f".staging-{token}")
-    kept = cdf.filter(F.col("qcell").isin(touched)).join(
-        probe, "vec_id", "left_anti"
-    )
+    kept = _ivf_purge_kept_plan(spark, cells, touched, probe)
     (
         kept.repartition(len(touched), "qcell")
         .write.mode("overwrite")
@@ -1589,6 +1587,20 @@ def purge_ivf_index(
     os.replace(tmp, os.path.join(base, _IVF_JOURNAL))
     _ivf_roll_forward(base, sweep=True)
     return {"purged_vecs": n_found, "touched_cells": len(touched)}
+
+
+def _ivf_purge_kept_plan(
+    spark: SparkSession, cells: str, touched: list, probe: DataFrame
+) -> DataFrame:
+    """The purge's survivor-rewrite plan — split out so plan-shape
+    tests can gate it: the cells scan must be PARTITION-PRUNED to the
+    touched qcells (an erasure never reads untouched cells) and the
+    backlog join must be a broadcast under the count gate."""
+    return (
+        spark.read.parquet(cells)
+        .filter(F.col("qcell").isin(touched))
+        .join(probe, "vec_id", "left_anti")
+    )
 
 
 # deterministic erasure backlog for the registry entry — disjoint from

@@ -126,12 +126,105 @@ def migrate(spark, scratch: str) -> None:
     print(json.dumps({"experiment": "migrate_summary", "rows": rows}), flush=True)
 
 
+def index_purge(spark, scratch: str) -> None:
+    """Band-index erasure wall vs index size: indexes over 20k / 80k /
+    320k docs (~20% verbatim copies) take the same fixed 16-doc purge.
+    The purge is ONE map-only pass per part behind broadcasts, so the
+    wall is expected to grow with index bytes (the inherent full
+    rewrite of immutable files) — the row quantifies that slope so the
+    'batch your erasure backlog' guidance is backed by numbers."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import dedup_index as di
+    from datapipe_spark.operators.maintenance import table_bytes
+
+    rows = []
+    for n_docs in (20_000, 80_000, 320_000):
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                # ~20% verbatim copies: content keyed by id mod (4n/5)
+                f"concat_ws(' ', transform(sequence(1, 12), "
+                f"i -> concat('w', pmod(hash(pmod(id, {n_docs * 4 // 5}), i), 5000))))"
+            ).alias("text"),
+        )
+        idx = os.path.join(scratch, f"bidx_{n_docs}")
+        t0 = time.monotonic()
+        di.build_minhash_index(spark, docs, idx)
+        t_build = time.monotonic() - t0
+        idx_mb = sum(
+            table_bytes(os.path.join(idx, p)) for p in ("mem", "sigs", "bands")
+        ) / 1e6
+        ids = [i * (n_docs // 16) for i in range(16)]
+        backlog = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+        t0 = time.monotonic()
+        stats = di.purge_minhash_index(spark, idx, backlog)
+        wall = time.monotonic() - t0
+        assert stats["purged_docs"] == 16, stats
+        rows.append({
+            "n_docs": n_docs,
+            "build_s": round(t_build, 1),
+            "index_mb": round(idx_mb, 1),
+            "purge_wall_s": round(wall, 2),
+            **stats,
+        })
+        print(json.dumps({"experiment": "index_purge", **rows[-1]}), flush=True)
+    print(json.dumps({"experiment": "index_purge_summary", "rows": rows}), flush=True)
+
+
+def ivf_purge(spark, scratch: str) -> None:
+    """IVF-index erasure wall vs index size: indexes over 100k / 400k /
+    1.6M dim-64 vectors take the same fixed 16-id purge. Unlike the
+    band index, the hive qcell= layout means only TOUCHED partitions
+    rewrite — measured 2.8× wall across the 16× decade, the slope
+    being per-touched-cell bytes (n/nlist grows with n at fixed-√n
+    nlist) plus the per-file listing tax of the uncompacted fresh
+    build (the tax compact_ivf_index removes)."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import similarity as sim
+    from datapipe_spark.operators.maintenance import table_bytes
+
+    rows = []
+    for n_vecs in (100_000, 400_000, 1_600_000):
+        sf = os.path.join(scratch, f"ivf_sf_{n_vecs}")
+        os.makedirs(sf, exist_ok=True)
+        spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), "
+                "i -> cast(pmod(hash(id, i), 1000) as double) / 1000.0)"
+            ).alias("embedding"),
+        ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+        idx = os.path.join(scratch, f"ivf_{n_vecs}")
+        t0 = time.monotonic()
+        meta = sim.build_ivf_index(spark, sf, idx)
+        t_build = time.monotonic() - t0
+        idx_mb = table_bytes(os.path.join(idx, "cells")) / 1e6
+        ids = [i * (n_vecs // 16) for i in range(16)]
+        backlog = spark.createDataFrame([(int(i),) for i in ids], "vec_id long")
+        t0 = time.monotonic()
+        stats = sim.purge_ivf_index(spark, idx, backlog)
+        wall = time.monotonic() - t0
+        assert stats["purged_vecs"] == 16, stats
+        rows.append({
+            "n_vecs": n_vecs,
+            "nlist": meta["nlist"],
+            "build_s": round(t_build, 1),
+            "cells_mb": round(idx_mb, 1),
+            "purge_wall_s": round(wall, 2),
+            "touched_cells": stats["touched_cells"],
+        })
+        print(json.dumps({"experiment": "ivf_purge", **rows[-1]}), flush=True)
+    print(json.dumps({"experiment": "ivf_purge_summary", "rows": rows}), flush=True)
+
+
 def main() -> None:
     import tempfile
 
     from datapipe_spark import get_spark
 
-    which = set(sys.argv[1:]) or {"purge", "migrate"}
+    which = set(sys.argv[1:]) or {"purge", "migrate", "index_purge", "ivf_purge"}
     spark = get_spark("stress-r10")
     scratch = tempfile.mkdtemp(prefix="stress_r10_")
     try:
@@ -139,6 +232,10 @@ def main() -> None:
             purge(spark, scratch)
         if "migrate" in which:
             migrate(spark, scratch)
+        if "index_purge" in which:
+            index_purge(spark, scratch)
+        if "ivf_purge" in which:
+            ivf_purge(spark, scratch)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
         spark.stop()

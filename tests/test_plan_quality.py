@@ -573,3 +573,81 @@ def test_scd2_purge_prunes_current_to_touched_buckets(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "bucket" in plan.split(
         "PartitionFilters: ["
     )[1].split("]")[0], plan
+
+
+def test_purge_minhash_index_plans_broadcast_under_gate(spark, tmp_path):
+    """The band-index purge's part rewrites must be map-only passes
+    under the count gate: every join against a full part (mem, sigs,
+    bands) broadcasts the backlog / translation map — the index bulk
+    is never shuffled. Above the gate the same plans fall back to
+    shuffle joins (no forced broadcast to OOM on a snapshot-sized
+    backlog)."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import dedup_index as di
+
+    idx = str(tmp_path / "purge_plan_idx")
+    docs = spark.createDataFrame(
+        [
+            (i, f"document number {i} with plenty of distinct shingle "
+                f"words alpha beta gamma {i * 3} delta epsilon")
+            for i in range(6)
+        ],
+        "doc_id long, text string",
+    )
+    di.build_minhash_index(spark, docs, idx)
+    kb = spark.createDataFrame([(1,), (3,)], "doc_id long").localCheckpoint(
+        eager=True
+    )
+    trans = spark.createDataFrame(
+        [(  # old_rep -> new_rep translation rows as the purge builds them
+            "g", 1, 2,
+        )],
+        "ghash string, old_rep long, new_rep long",
+    ).localCheckpoint(eager=True)
+
+    for gated, want, forbid in (
+        (True, "BroadcastHashJoin", None),
+        (False, "SortMergeJoin", "BroadcastHashJoin"),
+    ):
+        probe = F.broadcast(kb) if gated else kb
+        plans = di._purge_rewrite_plans(spark, idx, probe, trans, gated)
+        for df in plans:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert want in plan, (gated, plan)
+            if forbid:
+                assert forbid not in plan, (gated, plan)
+            assert "Cartesian" not in plan
+
+
+def test_purge_ivf_index_plan_prunes_to_touched_cells(spark, tmp_path):
+    """The IVF purge's survivor rewrite must read ONLY the touched
+    qcell partitions (PartitionFilters on qcell) and broadcast the
+    backlog under the gate — erasure cost ∝ touched cells, never
+    index size."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import similarity as sim
+
+    cells = str(tmp_path / "ivf_plan/cells")
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> cast(id * i as double))"
+        ).alias("v"),
+        (F.col("id") % 10).cast("int").alias("qcell"),
+    )
+    vecs.write.mode("overwrite").partitionBy("qcell").parquet(cells)
+    kb = spark.createDataFrame([(7,), (17,)], "vec_id long").localCheckpoint(
+        eager=True
+    )
+    plan = (
+        sim._ivf_purge_kept_plan(spark, cells, [7], F.broadcast(kb))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "qcell" in pf, plan
