@@ -999,3 +999,82 @@ def scd2_store_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = hist.select("id").filter(F.col("id") % 97 == 0).distinct()
     scd2_purge_keys(spark, dst, keys)
     return scd2_read_history(spark, dst)
+
+
+def scd2_expire_closed(spark: SparkSession, dim_dir: str, cutoff) -> dict:
+    """History retention — the ``expire_snapshots`` obligation applied
+    to the dimension store (Iceberg retires data files older than the
+    retention horizon; a 100 TB SCD2 store must retire closed versions
+    the same way or its history grows without bound): remove every
+    CLOSED version whose ``valid_to`` is strictly before ``cutoff``
+    (a timestamp or ``'YYYY-MM-DD HH:MM:SS'`` string), in one
+    journaled swap. The open slice is untouched by construction
+    (``valid_to IS NULL``), the watermark is untouched (expiry is not
+    an increment), and the surviving history comes out re-clustered on
+    ``(cbucket, inc)`` so post-expiry reads prune like post-compaction
+    reads.
+
+    Retention bounds time travel exactly as it does in Iceberg:
+    ``scd2_as_of(k)`` still reconstructs every RETAINED version's
+    state at increment k, but versions expired out of ``closed/`` are
+    gone from every reconstruction — the documented trade a
+    deployment makes when it sets a horizon. Cost: one filter scan +
+    clustered rewrite of ``closed/``, O(closed) — and unlike erasure
+    this pass removes rows in bulk, so it IS the amortization point
+    (one expiry retires every version past the horizon).
+
+    Returns ``{"expired_versions": n}``.
+    """
+    _recover(dim_dir, sweep=True)
+    meta = _meta(dim_dir)
+    if not _has_closed(dim_dir):
+        return {"expired_versions": 0}
+    cut = F.lit(cutoff).cast("timestamp")
+    closed = spark.read.parquet(_p(dim_dir, "closed"))
+    kept = closed.filter(F.col("valid_to") >= cut)
+    n_before = closed.count()
+    token = uuid.uuid4().hex[:12]
+    stage = _p(dim_dir, f".staging-{token}")
+    cols = ["cbucket", "inc"] if "cbucket" in closed.columns else ["inc"]
+    (
+        kept.repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism // 4), *cols
+        )
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(os.path.join(stage, "closed"))
+    )
+    n_after = spark.read.parquet(os.path.join(stage, "closed")).count()
+    _write_journal(
+        dim_dir,
+        {"moves": [], "swaps": [[os.path.join(stage, "closed"), _p(dim_dir, "closed")]],
+         "meta": meta},
+    )
+    _roll_forward(dim_dir, sweep=True)
+    return {"expired_versions": int(n_before - n_after)}
+
+
+# retention horizon for the registry entry: mid-range of the testdata
+# order dates (1995 → 2001), splitting the closed slice nontrivially
+# at both test scales; the oracle applies the same cutoff to valid_to
+SCD2_EXPIRE_CUTOFF = "1998-07-01 00:00:00"
+
+
+def scd2_store_expired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of history retention: clone the cached store,
+    expire every closed version that ended before
+    ``SCD2_EXPIRE_CUTOFF``, and read the surviving history back.
+    Oracle (``CDC_SCD2_HISTORY_EXPIRED_SQL``): the batch SCD2 build
+    with the same ``valid_to`` horizon applied — hash equality attests
+    expiry removed exactly the out-of-horizon versions (open rows and
+    in-horizon closed rows bit-identical, nothing else gone)."""
+    import shutil as _sh
+
+    from datapipe_spark.util import fresh_dir
+
+    src_store = _cached_scd2_store(spark, sf_dir)
+    root = fresh_dir("scd2_expired")
+    dst = os.path.join(root, "store")
+    _sh.copytree(src_store, dst)
+    scd2_expire_closed(spark, dst, SCD2_EXPIRE_CUTOFF)
+    return scd2_read_history(spark, dst)

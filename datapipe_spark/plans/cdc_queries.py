@@ -256,6 +256,29 @@ FROM versions WHERE __op <> 'd' AND id % 97 <> 0
 """
 
 
+# oracle for scd2_store_expired (history retention): the batch SCD2
+# build with the retention horizon applied to valid_to — open rows
+# (valid_to NULL) always survive; closed rows survive iff they ended
+# at or after the cutoff (operators/scd2.py SCD2_EXPIRE_CUTOFF)
+CDC_SCD2_HISTORY_EXPIRED_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY}),
+versions AS (
+  SELECT *,
+         LEAD(__ts_ms) OVER (PARTITION BY id ORDER BY __source_lsn) AS valid_to
+  FROM changelog
+)
+SELECT id, user_id, status,
+       CAST(CAST(total_amount AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+       __ts_ms AS valid_from,
+       valid_to,
+       (valid_to IS NULL AND __op <> 'd') AS is_current,
+       __source_lsn
+FROM versions
+WHERE __op <> 'd'
+  AND (valid_to IS NULL OR valid_to >= TIMESTAMP '1998-07-01 00:00:00')
+"""
+
+
 # oracle for scd2_dimension_as_of (time travel to the pre-delete
 # batch): SCD2 built over the changelog PREFIX — creates + updates
 # only, every delete still in the future

@@ -170,6 +170,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # compliance erasure (GDPR forget) over the materialized store:
     # every version of the purged keys gone, everything else intact
+    # history retention (Iceberg expire_snapshots applied to the SCD2
+    # store): closed versions past the horizon retired in one
+    # journaled swap; oracle = the batch build with the same valid_to
+    # cutoff
+    "scd2_store_expired": (
+        scd2.scd2_store_expired,
+        cdcq.CDC_SCD2_HISTORY_EXPIRED_SQL,
+    ),
     "scd2_store_purged": (
         scd2.scd2_store_purged,
         cdcq.CDC_SCD2_HISTORY_PURGED_SQL,

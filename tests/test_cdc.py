@@ -1126,3 +1126,59 @@ def test_scd2_purge_above_broadcast_gate_still_exact(spark, tmp_path, monkeypatc
     scd2.scd2_purge_keys(spark, d, spark.createDataFrame([(1,), (5,)], "id long"))
     got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
     assert got == {t for t in before if t[0] not in (1, 5)}
+
+
+def test_scd2_expire_closed_retention_semantics(spark, tmp_path, monkeypatch):
+    """History retention: closed versions ending before the horizon
+    disappear; open rows and in-horizon closed rows are untouched; the
+    watermark is unmoved (expiry is not an increment); re-expiry is a
+    no-op; time travel still reconstructs every RETAINED version; a
+    torn commit is completed by the next reader."""
+    import datetime as dt
+    import os as _os
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "expire")
+    _mini_store(spark, scd2, d)
+    before = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    cutoff = dt.datetime(2024, 1, 1, 0, 11)
+
+    stats = scd2.scd2_expire_closed(spark, d, cutoff)
+    assert stats == {"expired_versions": 1}  # key 1's create, closed 00:10
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == {t for t in before if t[5] is None or t[5] >= cutoff}
+    assert scd2._meta(d)["last_batch_id"] == 1
+
+    # idempotent at the same horizon
+    assert scd2.scd2_expire_closed(spark, d, cutoff) == {"expired_versions": 0}
+
+    # time travel: retained versions reconstruct, expired ones are gone
+    asof0 = scd2.scd2_as_of(spark, d, 0)
+    assert asof0.filter("id = 1").count() == 0  # expired out of history
+    assert asof0.filter("id = 2 AND status = 'A'").count() == 1  # retained
+
+    # a store with no closed slice: no-op
+    d2 = str(tmp_path / "expire_open")
+    scd2.scd2_init(spark, d2, n_buckets=4)
+    assert scd2.scd2_expire_closed(spark, d2, cutoff) == {"expired_versions": 0}
+
+    # torn commit: journal lands, roll-forward crashes — reader completes
+    d3 = str(tmp_path / "expire_torn")
+    _mini_store(spark, scd2, d3)
+    want3 = {
+        t
+        for t in {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()}
+        if t[5] is None or t[5] >= cutoff
+    }
+
+    def crash(dim_dir, sweep=False):
+        raise RuntimeError("simulated crash post-journal")
+
+    monkeypatch.setattr(scd2, "_roll_forward", crash)
+    with pytest.raises(RuntimeError, match="post-journal"):
+        scd2.scd2_expire_closed(spark, d3, cutoff)
+    monkeypatch.undo()
+    assert _os.path.exists(scd2._p(d3, scd2._JOURNAL))
+    assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == want3
+    assert not _os.path.exists(scd2._p(d3, scd2._JOURNAL))
