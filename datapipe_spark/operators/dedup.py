@@ -1691,6 +1691,77 @@ FROM comp c JOIN sizes s USING (canonical_id)
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked representative selection — the decision rule a
+    curation pipeline actually ships (RefinedWeb/FineWeb-style: keep
+    the BEST document per near-dup cluster, not the smallest id):
+    cluster the exact n-gram Jaccard pair graph, score every document
+    with a deterministic integer quality — distinct-word count, the
+    documented swap-in point for a model-based scorer — and keep
+    exactly one document per cluster by (quality DESC, doc_id ASC).
+    Documents in no near-dup pair are singletons and keep themselves.
+    One row per corpus document: ``(doc_id, cluster_id, cluster_size,
+    quality, keep)``.
+
+    Scale: pair graph + components exactly as ``dedup_clusters``
+    (banded candidates, O(diameter) label rounds); the winner pick is
+    one ``row_number`` window keyed by cluster_id — cluster-sized
+    partitions, never a global sort; the corpus join-back is an
+    equi-join on doc_id. Fully DuckDB-oracled (``DEDUP_KEEP_BEST_SQL``
+    replays the closure, the quality score, and the keep rule).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("quality"),
+    )
+    comp = connected_components(ngram_jaccard_pairs(spark, sf_dir))
+    full = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", "doc_id").alias("cluster_id"),
+        "quality",
+    )
+    sizes = full.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        full.join(sizes, "cluster_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "quality", "keep")
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE pairs AS (
+{NGRAM_JACCARD_PAIRS_SQL}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.id
+), comp AS (
+  SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
+), q AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS quality
+  FROM documents
+), allq AS (
+  SELECT q.doc_id, COALESCE(c.canonical_id, q.doc_id) AS cluster_id, q.quality
+  FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id
+), sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM allq GROUP BY cluster_id
+)
+SELECT a.doc_id, a.cluster_id, s.cluster_size, a.quality,
+       (ROW_NUMBER() OVER (
+          PARTITION BY a.cluster_id ORDER BY a.quality DESC, a.doc_id
+        ) = 1) AS keep
+FROM allq a JOIN sizes s USING (cluster_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Substring-level dedup (verbatim shared spans)
 # ---------------------------------------------------------------------------

@@ -390,6 +390,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "orphan_lineitems": (q.orphan_lineitems, q.ORPHAN_LINEITEMS_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_PAIRS_SQL),
     "dedup_clusters": (dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
+    # quality-ranked representative selection: keep the BEST doc per
+    # near-dup cluster (distinct-word quality, deterministic
+    # tie-break), singletons keep themselves — one row per corpus doc
+    "dedup_keep_best": (dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
     "similarity_topk": (similarity.topk_bruteforce, similarity.TOPK_BRUTEFORCE_SQL),
     "embedding_near_dup": (similarity.embedding_near_dup, similarity.EMBEDDING_NEAR_DUP_SQL),
     "token_profile_by_lang": (textstats.token_profile_by_lang, textstats.TOKEN_PROFILE_BY_LANG_SQL),

@@ -2607,3 +2607,32 @@ def test_purge_ivf_index_torn_commit_recovers(spark, sf_dir, tmp_path, monkeypat
     assert not _os.path.exists(f"{idx}/{sim._IVF_JOURNAL}")
     want = sorted(map(tuple, sim.topk_ivf_index(spark, sf_dir, twin).collect()))
     assert got == want
+
+
+def test_dedup_keep_best_selects_max_quality_per_cluster(spark, sf_dir):
+    """Exactly one keeper per cluster; the keeper has the cluster's
+    max quality (ties → smallest doc_id); singletons keep themselves;
+    every corpus doc is covered exactly once."""
+    from collections import defaultdict
+
+    from datapipe_spark.operators.dedup import dedup_keep_best
+    from datapipe_spark.sources.tables import load_table
+
+    rows = dedup_keep_best(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    assert sum(len(v) > 1 for v in clusters.values()) > 0  # real clusters
+    for cid, members in clusters.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, cid
+        k = keepers[0]
+        best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
+        assert (k["quality"], k["doc_id"]) == (best["quality"], best["doc_id"])
+        assert all(m["cluster_size"] == len(members) for m in members)
+        if len(members) == 1:
+            assert k["doc_id"] == cid
