@@ -858,3 +858,54 @@ def test_streaming_pit_enrichment_equals_batch_oracle(spark, sf_dir, monkeypatch
         LINEITEM_PIT_STATUS_ROLLUP_SQL,
         sf_dir,
     )
+
+
+def test_purge_interleaved_with_streaming_appends_exactly_once(spark, tmp_path):
+    """Erasure DURING streaming index maintenance: a purge lands
+    between micro-batch appends — the watermark is untouched, so a
+    replayed pre-purge batch is still skipped (purged docs stay
+    purged), later batches probe the post-purge index (erased content
+    matches nothing), and surviving content keeps matching."""
+    from datapipe_spark.operators import dedup_index as di
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    t2 = "one two three four five six seven eight nine ten eleven twelve"
+    t3 = "red orange yellow green blue indigo violet cyan magenta teal lime navy"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "stream_purge_idx")
+    di.build_minhash_index(spark, mk([(1, t1), (2, t2)]), idx)
+
+    # micro-batch 0: d10 matches corpus t1; d11 is new content t3
+    b0 = mk([(10, t1), (11, t3)])
+    hits0 = di.probe_minhash_index(spark, idx, b0).collect()
+    assert {(r["new_doc_id"], r["corpus_doc_id"]) for r in hits0} == {(10, 1)}
+    assert di.append_minhash_index(spark, idx, b0, batch_id=0) is True
+
+    # erasure lands mid-stream: corpus doc 2 and batch-0 doc 11
+    stats = di.purge_minhash_index(
+        spark, idx, spark.createDataFrame([(2,), (11,)], "doc_id long")
+    )
+    assert stats["purged_docs"] == 2
+    assert di.last_applied_batch(spark, idx) == 0  # watermark untouched
+
+    # a crash-replay of batch 0 is still skipped — purged docs do NOT
+    # sneak back in through the replay
+    assert di.append_minhash_index(spark, idx, b0, batch_id=0) is False
+    mem_ids = {r["doc_id"] for r in spark.read.parquet(f"{idx}/mem").collect()}
+    assert mem_ids == {1, 10}
+
+    # micro-batch 1: verbatim copies of the two ERASED contents match
+    # nothing; a copy of surviving t1 matches both remaining holders
+    b1 = mk([(20, t2), (21, t3), (22, t1)])
+    hits1 = di.probe_minhash_index(spark, idx, b1).collect()
+    assert {(r["new_doc_id"], r["corpus_doc_id"]) for r in hits1} == {
+        (22, 1),
+        (22, 10),
+    }
+    assert di.append_minhash_index(spark, idx, b1, batch_id=1) is True
+    assert di.last_applied_batch(spark, idx) == 1
+    mem_ids = {r["doc_id"] for r in spark.read.parquet(f"{idx}/mem").collect()}
+    assert mem_ids == {1, 10, 20, 21, 22}
