@@ -1182,3 +1182,64 @@ def test_scd2_expire_closed_retention_semantics(spark, tmp_path, monkeypatch):
     assert _os.path.exists(scd2._p(d3, scd2._JOURNAL))
     assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == want3
     assert not _os.path.exists(scd2._p(d3, scd2._JOURNAL))
+
+
+def test_scd2_expiry_interleaved_with_upserts(spark, tmp_path):
+    """Retention DURING ingestion: an expiry between increments
+    removes exactly the versions out-of-horizon AT THAT MOMENT;
+    later increments keep applying (the watermark is untouched) and
+    versions they close are retained even when their event-time end
+    predates the horizon — retention is a maintenance pass over the
+    store as it stood, not a standing filter."""
+    import datetime as dt
+
+    from datapipe_spark.operators import scd2
+
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    d = str(tmp_path / "expire_inter")
+    scd2.scd2_init(spark, d, n_buckets=4)
+    creates = spark.createDataFrame(
+        [(i, i * 10, "A", "5.00", t(0), "c", t(i), i) for i in range(1, 5)], schema
+    )
+    scd2.scd2_upsert(spark, d, creates, batch_id=0)
+    # close keys 1 and 2 early (valid_to 00:05 / 00:06)
+    upd = spark.createDataFrame(
+        [
+            (1, 10, "B", "6.00", t(0), "u", t(5), 101),
+            (2, 20, "B", "6.00", t(0), "u", t(6), 102),
+        ],
+        schema,
+    )
+    scd2.scd2_upsert(spark, d, upd, batch_id=1)
+
+    pre = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    cutoff = t(6)  # expires key 1's create (ended 00:05), keeps key 2's
+    assert scd2.scd2_expire_closed(spark, d, cutoff) == {"expired_versions": 1}
+    expired = {p for p in pre if p[5] is not None and p[5] < cutoff}
+    assert len(expired) == 1
+
+    # a LATE increment closes key 3's create with an event-time end
+    # BEFORE the horizon — retained, because expiry already ran
+    late = spark.createDataFrame(
+        [(3, 30, "C", "7.00", t(0), "u", t(4), 103)], schema
+    )
+    assert scd2.scd2_upsert(spark, d, late, batch_id=2) is True
+
+    final = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    # key 3's create now closed at 00:04 (< cutoff) yet present
+    assert any(r[0] == 3 and r[5] == t(4) for r in final)
+    # the expired version stayed gone; everything else from pre either
+    # survived verbatim or was re-chained by the late increment
+    assert not expired & final
+    assert scd2._meta(d)["last_batch_id"] == 2
+    # a second expiry pass at the same horizon now retires the
+    # late-closed version too — the scheduled-cadence model
+    assert scd2.scd2_expire_closed(spark, d, cutoff) == {"expired_versions": 1}
+    assert not any(
+        r[0] == 3 and r[5] == t(4)
+        for r in {tuple(x) for x in scd2.scd2_read_history(spark, d).collect()}
+    )
