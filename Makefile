@@ -3,7 +3,7 @@
 
 STRESS_OPS ?= dedup_exact,dedup_minhash_lsh,dedup_simhash,dedup_pipeline,dedup_cross_corpus,dedup_cross_corpus_minhash,dedup_cross_corpus_indexed,corpus_train_shards
 
-.PHONY: test bench sweep stress stress-100 stress-r8 stress-r9
+.PHONY: test bench sweep stress stress-100 stress-r8 stress-r9 stress-r10
 
 test:
 	python -m pytest tests/ -x -q
@@ -35,3 +35,8 @@ stress-r8:
 # (SCALING.md round-9 table)
 stress-r9:
 	python scripts/stress_r9.py
+
+# round-10 additions: SCD2 purge/migration/expiry decade + band-index
+# and IVF-index erasure walls (SCALING.md round-10 tables)
+stress-r10:
+	python scripts/stress_r10.py

@@ -126,6 +126,37 @@ def migrate(spark, scratch: str) -> None:
     print(json.dumps({"experiment": "migrate_summary", "rows": rows}), flush=True)
 
 
+def expire(spark, scratch: str) -> None:
+    """History-retention wall vs store size: stores of 200k / 800k /
+    3.2M keys with a 10%-of-keys closed slice expire half that slice
+    (horizon between the two closed generations... here: all closed
+    rows end at +1min, so a post-horizon cutoff retires the WHOLE
+    slice — the bulk-retirement case retention exists for). One filter
+    scan + clustered rewrite of closed/, O(closed)."""
+    import datetime as dt
+
+    from datapipe_spark.operators import scd2
+    from datapipe_spark.operators.maintenance import table_bytes
+
+    rows = []
+    for n_keys in (200_000, 800_000, 3_200_000):
+        store = os.path.join(scratch, f"expire_{n_keys}")
+        _bulk_load(spark, store, n_keys, max(8, n_keys // 25_000))
+        closed_mb = table_bytes(os.path.join(store, "closed")) / 1e6
+        t0 = time.monotonic()
+        stats = scd2.scd2_expire_closed(spark, store, dt.datetime(2024, 1, 2))
+        wall = time.monotonic() - t0
+        assert stats["expired_versions"] == n_keys // 10, stats
+        rows.append({
+            "n_keys": n_keys,
+            "closed_mb": round(closed_mb, 1),
+            "expired_versions": stats["expired_versions"],
+            "expire_wall_s": round(wall, 2),
+        })
+        print(json.dumps({"experiment": "expire", **rows[-1]}), flush=True)
+    print(json.dumps({"experiment": "expire_summary", "rows": rows}), flush=True)
+
+
 def index_purge(spark, scratch: str) -> None:
     """Band-index erasure wall vs index size: indexes over 20k / 80k /
     320k docs (~20% verbatim copies) take the same fixed 16-doc purge.
@@ -224,7 +255,9 @@ def main() -> None:
 
     from datapipe_spark import get_spark
 
-    which = set(sys.argv[1:]) or {"purge", "migrate", "index_purge", "ivf_purge"}
+    which = set(sys.argv[1:]) or {
+        "purge", "migrate", "expire", "index_purge", "ivf_purge"
+    }
     spark = get_spark("stress-r10")
     scratch = tempfile.mkdtemp(prefix="stress_r10_")
     try:
@@ -232,6 +265,8 @@ def main() -> None:
             purge(spark, scratch)
         if "migrate" in which:
             migrate(spark, scratch)
+        if "expire" in which:
+            expire(spark, scratch)
         if "index_purge" in which:
             index_purge(spark, scratch)
         if "ivf_purge" in which:
