@@ -1243,3 +1243,23 @@ def test_scd2_expiry_interleaved_with_upserts(spark, tmp_path):
         r[0] == 3 and r[5] == t(4)
         for r in {tuple(x) for x in scd2.scd2_read_history(spark, d).collect()}
     )
+
+
+def test_scd2_expire_all_closed_leaves_open_history_intact(spark, tmp_path):
+    """The expire-everything branch: a horizon past every closed
+    version empties closed/ entirely — open rows survive untouched,
+    reads and time travel still work (current-only history, the same
+    state as a never-updated store)."""
+    import datetime as dt
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "exp_all")
+    _mini_store(spark, scd2, d)
+    far = dt.datetime(2030, 1, 1)
+    stats = scd2.scd2_expire_closed(spark, d, far)
+    assert stats["expired_versions"] == 3  # creates of keys 1, 2, 3
+    hist = scd2.scd2_read_history(spark, d).collect()
+    assert len(hist) == 5 and all(r["valid_to"] is None for r in hist)
+    assert scd2.scd2_as_of(spark, d, 0).count() > 0  # travel still runs
+    assert scd2.scd2_expire_closed(spark, d, far) == {"expired_versions": 0}

@@ -2636,3 +2636,40 @@ def test_dedup_keep_best_selects_max_quality_per_cluster(spark, sf_dir):
         assert all(m["cluster_size"] == len(members) for m in members)
         if len(members) == 1:
             assert k["doc_id"] == cid
+
+
+def test_purge_ivf_index_empties_whole_cell(spark, tmp_path):
+    """The emptied-partition arm: purging every vector of one qcell
+    swaps in an empty (schema-bearing) partition — subsequent index
+    reads and probes keep working, untouched cells keep their rows."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import similarity as sim
+
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf, exist_ok=True)
+    spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), "
+            "i -> cast(pmod(hash(id, i), 100) as double) / 100)"
+        ).alias("embedding"),
+    ).write.parquet(_os.path.join(sf, "embeddings.parquet"))
+    idx = str(tmp_path / "ivf")
+    sim.build_ivf_index(spark, sf, idx, nlist=5)
+    cells = spark.read.parquet(f"{idx}/cells")
+    victim = cells.groupBy("qcell").count().orderBy("count", "qcell").first()
+    ids = [
+        (int(r["vec_id"]),)
+        for r in cells.filter(F.col("qcell") == victim["qcell"]).collect()
+    ]
+    stats = sim.purge_ivf_index(
+        spark, idx, spark.createDataFrame(ids, "vec_id long")
+    )
+    assert stats == {"purged_vecs": len(ids), "touched_cells": 1}
+    left = spark.read.parquet(f"{idx}/cells")
+    assert left.filter(F.col("qcell") == victim["qcell"]).count() == 0
+    assert left.count() == 40 - len(ids)
+    assert sim.topk_ivf_index(spark, sf, idx, query_ids=(0,)).count() > 0
