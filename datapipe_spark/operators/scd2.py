@@ -1032,7 +1032,15 @@ def scd2_expire_closed(spark: SparkSession, dim_dir: str, cutoff) -> dict:
     cut = F.lit(cutoff).cast("timestamp")
     closed = spark.read.parquet(_p(dim_dir, "closed"))
     kept = closed.filter(F.col("valid_to") >= cut)
-    n_before = closed.count()
+    # ONE aggregation yields both sides of the stats delta — the
+    # rewrite below is then the only other scan of closed/ (a separate
+    # count-before + staged count-after would add a third full pass
+    # over what is the store's LARGEST slice at 100 TB)
+    row = closed.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("valid_to") >= cut, 1)).alias("k"),
+    ).collect()[0]
+    n_expired = int(row["n"] - row["k"])
     token = uuid.uuid4().hex[:12]
     stage = _p(dim_dir, f".staging-{token}")
     cols = ["cbucket", "inc"] if "cbucket" in closed.columns else ["inc"]
@@ -1044,14 +1052,13 @@ def scd2_expire_closed(spark: SparkSession, dim_dir: str, cutoff) -> dict:
         .write.mode("overwrite")
         .parquet(os.path.join(stage, "closed"))
     )
-    n_after = spark.read.parquet(os.path.join(stage, "closed")).count()
     _write_journal(
         dim_dir,
         {"moves": [], "swaps": [[os.path.join(stage, "closed"), _p(dim_dir, "closed")]],
          "meta": meta},
     )
     _roll_forward(dim_dir, sweep=True)
-    return {"expired_versions": int(n_before - n_after)}
+    return {"expired_versions": n_expired}
 
 
 # retention horizon for the registry entry: mid-range of the testdata

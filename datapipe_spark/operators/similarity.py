@@ -1527,8 +1527,12 @@ def purge_ivf_index(
     ``(vec_id, qcell)`` probe scan finds the touched cells, then ONLY
     those cell partitions are rewritten (partition-pruned read,
     per-partition staged dirs, one journaled swaps commit). Untouched
-    cells are never read or written: cost ∝ touched cells, not index
-    size. The backlog id set is broadcast behind a count gate
+    cells are never read or written: the REWRITE cost is ∝ touched
+    cells, not index size; the discovery scan reads two columns of
+    the index once per purge batch — at extreme scale a deployment
+    would keep the ``vec_id → qcell`` mapping in its catalog (it is
+    16 bytes/vector and append-only under the frozen quantizer) and
+    skip the scan entirely. The backlog id set is broadcast behind a count gate
     (``IVF_PURGE_BROADCAST_MAX_ROWS``, shuffle fallback) so a
     snapshot-sized backlog cannot OOM the driver.
 
