@@ -43,6 +43,7 @@ DOC_OPS = [
     "dedup_simhash",
     "dedup_substring_spans",
     "dedup_clusters",
+    "dedup_keep_best",
     "text_stats",
     "token_profile_by_lang",
     "corpus_quality_filter",
