@@ -371,6 +371,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "streaming_funnel_daily": (stream.streaming_funnel_daily, ev.FUNNEL_DAILY_SQL),
     "streaming_sessionize": (stream.streaming_sessionize, ev.SESSIONIZE_SQL),
     "streaming_dedup_events": (stream.streaming_dedup_events, stream.STREAMING_DEDUP_SQL),
+    # streaming curation verdicts: exact-group keep-best maintained
+    # per micro-batch by an idempotent max-merge (exactly-once by
+    # algebra); oracle = one-shot keep rule over the full corpus
+    "streaming_keep_best": (stream.streaming_keep_best, stream.STREAMING_KEEP_BEST_SQL),
     "streaming_enriched_purchases": (
         stream.streaming_enriched_purchases,
         stream.STREAMING_ENRICHED_PURCHASES_SQL,

@@ -909,3 +909,44 @@ def test_purge_interleaved_with_streaming_appends_exactly_once(spark, tmp_path):
     assert di.last_applied_batch(spark, idx) == 1
     mem_ids = {r["doc_id"] for r in spark.read.parquet(f"{idx}/mem").collect()}
     assert mem_ids == {1, 10, 20, 21, 22}
+
+
+def test_streaming_keep_best_flips_keeper_across_batches(spark, tmp_path):
+    """The canonical-source keeper must FLIP when a more-trusted
+    source's copy arrives in a later micro-batch, and stay put when a
+    less-trusted copy arrives; singletons keep themselves."""
+    import os as _os
+
+    from datapipe_spark.streaming.jobs import streaming_keep_best
+
+    sf = str(tmp_path / "sf")
+    _os.makedirs(sf, exist_ok=True)
+    shared = "the very same content crawled twice from different dumps here"
+    other = "a second piece of content also crawled from two places twice"
+    rows = [
+        # shared content: batch 0 delivers src9's copy (id 3), batch 1
+        # delivers src2's copy (id 7) — keeper must flip 3 → 7
+        (3, shared, "src9"),
+        (7, shared, "src2"),
+        # other content: preferred src1 copy (id 1) arrives FIRST,
+        # the src19 copy (id 5) later — keeper must stay 1
+        (1, other, "src1"),
+        (5, other, "src19"),
+        # singleton
+        (2, "a document all on its own with nothing else like it", "src4"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(_os.path.join(sf, "documents.parquet"))
+
+    got = {
+        r["ghash"]: (r["keep_doc_id"], r["src_rank"])
+        for r in streaming_keep_best(spark, sf).collect()
+    }
+    import hashlib
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    assert got[h(shared)] == (7, 2)  # flipped to the later, better source
+    assert got[h(other)] == (1, 1)  # unmoved by the later, worse source
+    assert got[h(rows[4][1])] == (2, 4)
+    assert len(got) == 3
