@@ -876,3 +876,55 @@ def test_bpe_incremental_trainer_property(words, k):
 
     tt = {tuple([*w, BPE_EOW]): f for w, f in words.items()}
     assert _bpe_train_driver(dict(tt), k) == _bpe_train_driver_recount(dict(tt), k)
+
+
+# --- band-index purge property ----------------------------------------------
+
+# small synthetic corpora: a handful of content "templates" so verbatim
+# groups of varying sizes arise naturally, plus random purge backlogs
+# that may hit reps, whole groups, non-members, or nothing
+_purge_cases = st.tuples(
+    st.lists(  # doc -> template assignment (content id per doc)
+        st.integers(min_value=0, max_value=4), min_size=2, max_size=12
+    ),
+    st.sets(st.integers(min_value=0, max_value=14), max_size=8),  # purge ids
+)
+
+_TEMPLATES = [
+    "alpha beta gamma delta epsilon zeta eta theta common text one",
+    "one two three four five six seven eight nine boilerplate footer",
+    "a wholly different document about completely other topics here",
+    "the final lonely document speaks its own words quietly tonight",
+    "pack my box with five dozen liquor jugs tonight ok thanks much",
+]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(case=_purge_cases)
+def test_purge_minhash_random_backlog_equals_rebuild(spark, tmp_path_factory, case):
+    """For ANY corpus of verbatim groups and ANY purge backlog, the
+    purged never-appended index equals a fresh build over the
+    survivors part-for-part — the crafted-case rebuild-equality test
+    generalized by hypothesis (random rep hits, whole-group erasures,
+    unknown ids, empty backlogs)."""
+    from datapipe_spark.operators import dedup_index as di
+
+    assignment, purge_ids = case
+    tmp = tmp_path_factory.mktemp("purge_prop")
+    corpus = spark.createDataFrame(
+        [(i, _TEMPLATES[t]) for i, t in enumerate(assignment)],
+        "doc_id long, text string",
+    )
+    idx, ref = str(tmp / "purged"), str(tmp / "ref")
+    di.build_minhash_index(spark, corpus, idx)
+    di.purge_minhash_index(
+        spark,
+        idx,
+        spark.createDataFrame([(int(i),) for i in purge_ids] or [(10**9,)], "doc_id long"),
+    )
+    survivors = corpus.filter(~corpus.doc_id.isin([int(i) for i in purge_ids]))
+    di.build_minhash_index(spark, survivors, ref)
+    for p in ("mem", "sigs", "bands"):
+        a = sorted(map(repr, spark.read.parquet(f"{idx}/{p}").collect()))
+        b = sorted(map(repr, spark.read.parquet(f"{ref}/{p}").collect()))
+        assert a == b, p
