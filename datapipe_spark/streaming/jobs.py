@@ -872,7 +872,10 @@ def streaming_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     state as a ``_SUCCESS``-gated version dir (``state/v_NNNNN``); a
     torn write has no ``_SUCCESS`` and is replaced wholesale by the
     replay, and the merge always reads the newest COMPLETE version
-    strictly below its own batch id. Output: the final keeper table
+    strictly below its own batch id; superseded versions older than
+    one predecessor are garbage-collected after each commit, so a
+    long-running stream holds O(1) state dirs. Output: the final
+    keeper table
     ``(ghash, keep_doc_id, src_rank)``, hash-oracled against the
     one-shot SQL over the full corpus (``STREAMING_KEEP_BEST_SQL``).
 
@@ -933,6 +936,15 @@ def streaming_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(os.path.join(state, f"v_{bid:05d}"))
         )
+        # retention: superseded versions are garbage once this batch's
+        # state is _SUCCESS-complete — keep ONE predecessor (the crash
+        # fallback the next replay reads) and drop the rest, so a
+        # long-running stream holds O(1) state dirs, not O(batches)
+        import shutil as _sh
+
+        for n in os.listdir(state):
+            if n.startswith("v_") and int(n[2:]) < bid - 1:
+                _sh.rmtree(os.path.join(state, n), ignore_errors=True)
 
     stream = (
         spark.readStream.schema("doc_id long, text string, source string")

@@ -950,3 +950,11 @@ def test_streaming_keep_best_flips_keeper_across_batches(spark, tmp_path):
     assert got[h(other)] == (1, 1)  # unmoved by the later, worse source
     assert got[h(rows[4][1])] == (2, 4)
     assert len(got) == 3
+
+    # state-version GC: a finished stream holds at most two dirs (the
+    # final state + its crash-fallback predecessor), not O(batches)
+    from datapipe_spark.util import scratch_root
+
+    state = _os.path.join(scratch_root(), "keep_best", "state")
+    versions = [n for n in _os.listdir(state) if n.startswith("v_")]
+    assert 1 <= len(versions) <= 2, versions
