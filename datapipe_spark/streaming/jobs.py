@@ -902,25 +902,51 @@ def streaming_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             if name.endswith(".parquet"):
                 os.utime(os.path.join(drop_dir, name), (base_mtime + i, base_mtime + i))
 
-    def _latest_state(below: int) -> DataFrame | None:
-        done = sorted(
-            int(n[2:])
-            for n in os.listdir(state)
-            if n.startswith("v_")
-            and int(n[2:]) < below
-            and os.path.exists(os.path.join(state, n, "_SUCCESS"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drops, "drop_*"))
+    )
+    with _stream_shuffle(spark):
+        _run(
+            stream.writeStream.foreachBatch(keep_best_merge_fn(state)),
+            os.path.join(out, "cp"),
         )
-        if not done:
-            return None
-        return spark.read.parquet(os.path.join(state, f"v_{done[-1]:05d}"))
+    final = keep_best_latest_state(spark, state)
+    assert final is not None, "stream produced no state versions"
+    return final.select("ghash", "keep_doc_id", "src_rank")
+
+
+def keep_best_latest_state(
+    spark: SparkSession, state: str, below: int = 10**9
+) -> DataFrame | None:
+    """Newest ``_SUCCESS``-complete keeper-state version strictly below
+    ``below`` (None if the stream has produced none yet)."""
+    done = sorted(
+        int(n[2:])
+        for n in os.listdir(state)
+        if n.startswith("v_")
+        and int(n[2:]) < below
+        and os.path.exists(os.path.join(state, n, "_SUCCESS"))
+    )
+    if not done:
+        return None
+    return spark.read.parquet(os.path.join(state, f"v_{done[-1]:05d}"))
+
+
+def keep_best_merge_fn(state: str):
+    """The keeper-maintenance foreachBatch — module-level so the live
+    ``processingTime`` soak drives the IDENTICAL machinery as the
+    ``availableNow`` registry replay (the r8 live-trigger posture)."""
 
     def merge(bdf: DataFrame, bid: int) -> None:
+        spark = bdf.sparkSession
         scored = bdf.select(
             F.md5("text").alias("ghash"),
             F.expr("CAST(substring(source, 4) AS BIGINT)").alias("src_rank"),
             "doc_id",
         )
-        prev = _latest_state(bid)
+        prev = keep_best_latest_state(spark, state, below=bid)
         if prev is not None:
             scored = prev.select(
                 "ghash", "src_rank", F.col("keep_doc_id").alias("doc_id")
@@ -946,16 +972,7 @@ def streaming_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n.startswith("v_") and int(n[2:]) < bid - 1:
                 _sh.rmtree(os.path.join(state, n), ignore_errors=True)
 
-    stream = (
-        spark.readStream.schema("doc_id long, text string, source string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(drops, "drop_*"))
-    )
-    with _stream_shuffle(spark):
-        _run(stream.writeStream.foreachBatch(merge), os.path.join(out, "cp"))
-    final = _latest_state(10**9)
-    assert final is not None, "stream produced no state versions"
-    return final.select("ghash", "keep_doc_id", "src_rank")
+    return merge
 
 
 STREAMING_KEEP_BEST_SQL = """

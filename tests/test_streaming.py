@@ -958,3 +958,106 @@ def test_streaming_keep_best_flips_keeper_across_batches(spark, tmp_path):
     state = _os.path.join(scratch_root(), "keep_best", "state")
     versions = [n for n in _os.listdir(state) if n.startswith("v_")]
     assert 1 <= len(versions) <= 2, versions
+
+
+def test_live_trigger_keep_best_survives_kill_and_restart(spark):
+    """Live ``processingTime`` soak for the keeper maintenance (the r8
+    live-trigger posture): drops arrive while the query runs, the
+    query is killed between deliveries and restarted, and the final
+    keeper state must equal the one-shot rule over everything
+    delivered — the checkpoint replay + idempotent max-merge carrying
+    exactly-once across the restart."""
+    import os as _os
+    import time as _time
+
+    from datapipe_spark.streaming.jobs import (
+        keep_best_latest_state,
+        keep_best_merge_fn,
+    )
+    from datapipe_spark.util import fresh_dir
+
+    out = fresh_dir("live_keep_best")
+    drops, state, cp = (
+        _os.path.join(out, "drops"),
+        _os.path.join(out, "state"),
+        _os.path.join(out, "cp"),
+    )
+    _os.makedirs(state, exist_ok=True)
+    shared = "identical content delivered twice from two crawl sources here"
+
+    def drop(i, rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(drops, f"drop_{i:02d}")
+        )
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(drops, "drop_*"))
+        )
+        return (
+            stream.writeStream.foreachBatch(keep_best_merge_fn(state))
+            .option("checkpointLocation", cp)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def keeper_map():
+        df = keep_best_latest_state(spark, state)
+        return (
+            {}
+            if df is None
+            else {r["ghash"]: r["keep_doc_id"] for r in df.collect()}
+        )
+
+    def await_docs(n, deadline_s=45):
+        deadline = _time.time() + deadline_s
+        while _time.time() < deadline:
+            m = keeper_map()
+            seen = spark.read.parquet(_os.path.join(drops, "drop_*"))
+            if m and len(m) == seen.select("text").distinct().count():
+                return m
+            _time.sleep(0.5)
+        raise AssertionError(f"state never converged to {n} groups")
+
+    drop(0, [(10, shared, "src9"), (11, "some other unrelated text entirely", "src5")])
+    q = start()
+    try:
+        await_docs(2)
+        drop(1, [(20, shared, "src2")])  # better source, live
+        deadline = _time.time() + 45
+        while _time.time() < deadline:
+            import hashlib as _hl
+
+            if keeper_map().get(_hl.md5(shared.encode()).hexdigest()) == 20:
+                break
+            _time.sleep(0.5)
+        else:
+            raise AssertionError("live keeper flip never landed")
+    finally:
+        q.stop()
+
+    # deliver while the query is DOWN, then restart — replay must pick
+    # it up and converge to the one-shot rule over all three drops
+    drop(2, [(30, shared, "src1"), (31, "a third brand new document body", "src3")])
+    q2 = start()
+    try:
+        import hashlib as _hl
+
+        deadline = _time.time() + 45
+        want = {
+            _hl.md5(shared.encode()).hexdigest(): 30,
+            _hl.md5(b"some other unrelated text entirely").hexdigest(): 11,
+            _hl.md5(b"a third brand new document body").hexdigest(): 31,
+        }
+        while _time.time() < deadline:
+            if keeper_map() == want:
+                break
+            _time.sleep(0.5)
+        else:
+            raise AssertionError(f"post-restart state wrong: {keeper_map()}")
+    finally:
+        q2.stop()
