@@ -1691,7 +1691,9 @@ FROM comp c JOIN sizes s USING (canonical_id)
 """
 
 
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_best(
+    spark: SparkSession, sf_dir: str, graph: str = "exact"
+) -> DataFrame:
     """Quality-ranked representative selection — the decision rule a
     curation pipeline actually ships (RefinedWeb/FineWeb-style: keep
     the BEST document per near-dup cluster, not the smallest id):
@@ -1709,12 +1711,24 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions, never a global sort; the corpus join-back is an
     equi-join on doc_id. Fully DuckDB-oracled (``DEDUP_KEEP_BEST_SQL``
     replays the closure, the quality score, and the keep rule).
+
+    ``graph`` selects the pair graph exactly as in ``dedup_clusters``:
+    ``"exact"`` (default, oracle-checkable) or ``"minhash"`` — the
+    100 TB path where exact pair generation is the bottleneck
+    (engine-specific hashes ⟹ keep it out of the hash oracle; verdict
+    structure is behavior-tested instead).
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("quality"),
     )
-    comp = connected_components(ngram_jaccard_pairs(spark, sf_dir))
+    if graph == "exact":
+        pairs = ngram_jaccard_pairs(spark, sf_dir)
+    elif graph == "minhash":
+        pairs = minhash_dedup(spark, sf_dir)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown pair graph {graph!r}")
+    comp = connected_components(pairs)
     full = docs.join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("canonical_id", "doc_id").alias("cluster_id"),

@@ -2673,3 +2673,26 @@ def test_purge_ivf_index_empties_whole_cell(spark, tmp_path):
     assert left.filter(F.col("qcell") == victim["qcell"]).count() == 0
     assert left.count() == 40 - len(ids)
     assert sim.topk_ivf_index(spark, sf, idx, query_ids=(0,)).count() > 0
+
+
+def test_dedup_keep_best_minhash_graph_structure(spark, sf_dir):
+    """The 100 TB pair-graph variant: one keeper per cluster, keeper
+    is max quality with the deterministic tie-break, full corpus
+    coverage — same structural contract as the exact graph (which the
+    hash oracle pins); LSH candidate recall is covered by the
+    dedup_minhash_lsh property tests."""
+    from collections import defaultdict
+
+    from datapipe_spark.operators.dedup import dedup_keep_best
+    from datapipe_spark.sources.tables import load_table
+
+    rows = dedup_keep_best(spark, sf_dir, graph="minhash").collect()
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    for cid, members in clusters.items():
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, cid
+        best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
