@@ -2696,3 +2696,100 @@ def test_dedup_keep_best_minhash_graph_structure(spark, sf_dir):
         assert len(keepers) == 1, cid
         best = max(members, key=lambda m: (m["quality"], -m["doc_id"]))
         assert keepers[0]["doc_id"] == best["doc_id"]
+
+
+def test_purge_minhash_on_appended_index_promotes_appended_member(spark, tmp_path):
+    """The appended-index arm of the purge contract: appends keep the
+    FROZEN rep even when the appended member has a smaller doc_id, so
+    purging that rep must promote the smallest SURVIVOR (here the
+    appended doc) — sigs/bands renamed, probe still matching — and a
+    follow-up compaction composes cleanly with the purged layout."""
+    from datapipe_spark.operators import dedup_index as di
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    t_b = "one two three four five six seven eight nine ten eleven twelve"
+    idx = str(tmp_path / "app_purge")
+    di.build_minhash_index(
+        spark,
+        spark.createDataFrame([(10, t_a), (11, t_b)], "doc_id long, text string"),
+        idx,
+    )
+    # appended verbatim copy with a SMALLER id than the frozen rep
+    assert di.append_minhash_index(
+        spark,
+        idx,
+        spark.createDataFrame([(5, t_a)], "doc_id long, text string"),
+        batch_id=0,
+    )
+    mem = {
+        (r["doc_id"], r["rep_id"])
+        for r in spark.read.parquet(f"{idx}/mem").collect()
+    }
+    assert (5, 10) in mem  # frozen-rep contract: 5 joined rep 10
+
+    stats = di.purge_minhash_index(
+        spark, idx, spark.createDataFrame([(10,)], "doc_id long")
+    )
+    assert stats == {"purged_docs": 1, "dropped_reps": 0, "renamed_reps": 1}
+    mem2 = {
+        (r["doc_id"], r["rep_id"])
+        for r in spark.read.parquet(f"{idx}/mem").collect()
+    }
+    assert mem2 == {(5, 5), (11, 11)}
+    sig_ids = {r["doc_id"] for r in spark.read.parquet(f"{idx}/sigs").collect()}
+    assert sig_ids == {5, 11}
+    # watermark preserved; probe of near-identical content matches 5
+    assert di.last_applied_batch(spark, idx) == 0
+    hits = di.probe_minhash_index(
+        spark,
+        idx,
+        spark.createDataFrame([(100, t_a)], "doc_id long, text string"),
+    ).collect()
+    assert {(r["new_doc_id"], r["corpus_doc_id"]) for r in hits} == {(100, 5)}
+
+    # compaction after a purge: content-preserving on the purged layout
+    before = _index_rows(spark, idx)
+    di.compact_minhash_index(spark, idx)
+    assert _index_rows(spark, idx) == before
+    hits2 = di.probe_minhash_index(
+        spark,
+        idx,
+        spark.createDataFrame([(101, t_a)], "doc_id long, text string"),
+    ).collect()
+    assert {(r["new_doc_id"], r["corpus_doc_id"]) for r in hits2} == {(101, 5)}
+
+
+def test_purge_ivf_after_compaction_composes(spark, sf_dir, tmp_path):
+    """Lifecycle composition on the ANN index: compact (bare-swap
+    machinery) then purge (journaled swaps) then compact again — each
+    maintenance pass must preserve the other's layout contract and
+    probe output must stay fixed throughout."""
+    from datapipe_spark.operators import similarity as sim
+    from datapipe_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "ivf_lifecycle")
+    sim.build_ivf_index(spark, sf_dir, idx, nlist=10)
+    sim.compact_ivf_index(spark, idx)
+    purge = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(sim.IVF_PURGED_PRED)
+        .select("vec_id")
+    )
+    want_after_purge = sorted(
+        map(tuple, sim.topk_ivf_index(spark, sf_dir, idx, nprobe=3).collect())
+    )
+    stats = sim.purge_ivf_index(spark, idx, purge)
+    assert stats["purged_vecs"] == purge.count()
+    got = sorted(
+        map(tuple, sim.topk_ivf_index(spark, sf_dir, idx, nprobe=3).collect())
+    )
+    purged_ids = {r["vec_id"] for r in purge.collect()}
+    assert not purged_ids & {t[1] for t in got}
+    assert got != want_after_purge or not (
+        purged_ids & {t[1] for t in want_after_purge}
+    )
+    sim.compact_ivf_index(spark, idx)
+    assert (
+        sorted(map(tuple, sim.topk_ivf_index(spark, sf_dir, idx, nprobe=3).collect()))
+        == got
+    )
