@@ -751,12 +751,21 @@ def purge_minhash_index(
         .groupBy("ghash")
         .agg(F.min("doc_id").alias("new_rep"))
     )
-    # (ghash, old_rep, new_rep): NULL new_rep ⇒ group erased entirely
+    # (ghash, old_rep, new_rep): NULL new_rep ⇒ group erased entirely.
+    # ONE aggregation yields both stat deltas (dropped groups, promoted
+    # reps) — trans can be O(backlog), so count, never collect
     trans = affected.join(newrep, "ghash", "left").localCheckpoint(eager=True)
-    dropped = trans.filter(F.col("new_rep").isNull()).count()
-    renamed = trans.filter(
-        F.col("new_rep").isNotNull() & (F.col("new_rep") != F.col("old_rep"))
-    ).count()
+    stat = trans.agg(
+        F.count(F.when(F.col("new_rep").isNull(), 1)).alias("dropped"),
+        F.count(
+            F.when(
+                F.col("new_rep").isNotNull()
+                & (F.col("new_rep") != F.col("old_rep")),
+                1,
+            )
+        ).alias("renamed"),
+    ).collect()[0]
+    dropped, renamed = int(stat["dropped"]), int(stat["renamed"])
 
     token = uuid.uuid4().hex[:12]
     stage = _p(index_dir, f".staging-{token}")
