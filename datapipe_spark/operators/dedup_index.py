@@ -41,6 +41,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datapipe_spark.operators.lease import guards_writer
 from datapipe_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     _collapse_exact,
@@ -251,6 +252,7 @@ def last_applied_batch(spark: SparkSession, index_dir: str) -> int:
     return int(_meta(spark, index_dir).get("last_batch_id", -1))
 
 
+@guards_writer
 def append_minhash_index(
     spark: SparkSession,
     index_dir: str,
@@ -368,6 +370,7 @@ def append_minhash_index(
     return True
 
 
+@guards_writer
 def compact_minhash_index(
     spark: SparkSession,
     index_dir: str,
@@ -685,6 +688,7 @@ def _purge_rewrite_plans(
     )
 
 
+@guards_writer
 def purge_minhash_index(
     spark: SparkSession, index_dir: str, purge_ids: DataFrame
 ) -> dict:

@@ -69,6 +69,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from datapipe_spark.operators.lease import guards_writer
+
 # stored rows additionally carry _written_inc — the batch that WROTE
 # the version (closed rows also carry `inc`, the batch that CLOSED
 # them). Together they are the lineage that makes `scd2_as_of`
@@ -211,6 +213,13 @@ def _roll_forward(dim_dir: str, sweep: bool = False) -> bool:
                     "complete a torn commit."
                 )
             shutil.rmtree(old, ignore_errors=True)
+        # deletes land AFTER moves: a purge journals (new kept-row files
+        # in via moves, old touched files out via deletes) — once the
+        # moves are down, removing an already-removed file is just the
+        # replayed state, so deletion is idempotent by construction
+        for path in j.get("deletes", []):
+            if os.path.exists(path):
+                os.remove(path)
         _write_meta(dim_dir, j["meta"])
         os.remove(jp)
     # layout gate AFTER journal replay, not before: the only journal a
@@ -333,6 +342,7 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     return chained, cur_untouched, tb
 
 
+@guards_writer
 def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_id: int) -> bool:
     """Apply one changelog increment: close the open version of every
     touched key whose history advanced, open the new latest version,
@@ -529,6 +539,7 @@ def scd2_as_of(spark: SparkSession, dim_dir: str, batch_id: int) -> DataFrame:
     return closed_by_now.unionByName(reopened).unionByName(cur)
 
 
+@guards_writer
 def scd2_rebucket(spark: SparkSession, dim_dir: str, n_buckets: int) -> None:
     """Bucket-count evolution: rewrite the ``current/`` slice into a
     new bucket count — the maintenance a growing dimension needs when
@@ -575,6 +586,7 @@ def scd2_rebucket(spark: SparkSession, dim_dir: str, n_buckets: int) -> None:
     _roll_forward(dim_dir, sweep=True)
 
 
+@guards_writer
 def scd2_compact_closed(
     spark: SparkSession, dim_dir: str, target_bytes: int | None = None
 ) -> tuple[int, int]:
@@ -757,6 +769,7 @@ def scd2_dimension_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_read_history(spark, store)
 
 
+@guards_writer
 def scd2_migrate(
     spark: SparkSession, dim_dir: str, n_buckets: int = SCD2_DEFAULT_BUCKETS
 ) -> bool:
@@ -900,6 +913,48 @@ def scd2_store_migrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_read_history(spark, store)
 
 
+def _closed_files_touching(closed_root: str, cbs: list[int]) -> list[str]:
+    """``closed/`` parquet files whose ``cbucket`` footer min/max range
+    intersects any purged cbucket (``cbs`` sorted) — the file-level
+    pruning the purge rewrite runs on. Driver cost is one footer read
+    per file (no data read), the same metadata scan
+    ``maintenance.file_column_ranges`` uses. A file lacking the column
+    or usable stats is conservatively touched; a zero-row file is
+    touched too (it is about to be rewritten away for free)."""
+    import bisect
+
+    import pyarrow.parquet as pq
+
+    touched = []
+    for name in sorted(os.listdir(closed_root)):
+        if not name.endswith(".parquet"):
+            continue
+        fp = os.path.join(closed_root, name)
+        md = pq.ParquetFile(fp).metadata
+        names = md.schema.names
+        if "cbucket" not in names:
+            touched.append(fp)
+            continue
+        idx = names.index("cbucket")
+        lo = hi = None
+        usable = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                usable = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if not usable or lo is None:
+            touched.append(fp)
+            continue
+        i = bisect.bisect_left(cbs, lo)
+        if i < len(cbs) and cbs[i] <= hi:
+            touched.append(fp)
+    return touched
+
+
+@guards_writer
 def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
     """Compliance erasure (GDPR right-to-be-forgotten, applied to OUR
     lakehouse artifact — the reference's warehouse faces the same
@@ -911,14 +966,20 @@ def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
 
     Cost shape at 100 TB: the ``current/`` side rewrites ONLY the
     buckets the keys hash into (the upsert's touched-bucket posture);
-    the ``closed/`` side must rewrite every file that MIGHT hold a
-    purged key — one filter scan + clustered rewrite of the history
-    slice, O(closed). That full-history pass is inherent to erasure
-    (the obligation covers all history) and batches naturally: a
-    deployment queues erasure requests and purges thousands of keys in
-    one pass, amortizing the rewrite. The rewritten history comes out
-    re-clustered on ``(cbucket, inc)``, so reads after a purge prune
-    as well as after a compaction.
+    the ``closed/`` side rewrites ONLY the files whose ``cbucket``
+    footer range intersects the purged keys' cbuckets (r10 verdict ask
+    #1 — the ``purge_ivf_index`` partition-pruning posture applied to
+    history): one footer scan picks the touched files, kept rows of
+    JUST those files are rewritten re-clustered on ``(cbucket, inc)``,
+    and the commit journals the new files in (``moves``) and the old
+    touched files out (``deletes``) — untouched files are never read,
+    never rewritten, byte-identical across the purge (pinned in
+    tests). After ``scd2_compact_closed`` clusters history, a small
+    backlog touches ~|cbuckets|/1024 of the files, so purge cost
+    tracks the touched slice, not the history; a file without usable
+    footer stats is conservatively treated as touched (legacy append
+    files cover the full cbucket range and simply rewrite, exactly the
+    pre-r11 behavior).
 
     ``keys`` must have an ``id`` column. The watermark is untouched —
     purging is not an increment; subsequent increments keep applying.
@@ -960,23 +1021,49 @@ def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
             empty.write.mode("overwrite").parquet(src)
         swaps.append([src, _p(dim_dir, f"current/bucket={b}")])
 
-    # closed/: erasure covers ALL history — filter scan + clustered
-    # rewrite of the slice (see docstring for why this is O(closed))
+    # closed/: footer-prune the rewrite to the files whose cbucket
+    # range intersects the purged keys' cbuckets (docstring cost shape)
+    moves: list[list[str]] = []
+    deletes: list[str] = []
     if _has_closed(dim_dir):
-        closed = spark.read.parquet(_p(dim_dir, "closed"))
-        kept_closed = closed.join(probe, "id", "left_anti")
-        cols = ["cbucket", "inc"] if "cbucket" in closed.columns else ["inc"]
-        (
-            kept_closed.repartitionByRange(
-                max(1, spark.sparkContext.defaultParallelism // 4), *cols
+        cbs = sorted(
+            r[0]
+            for r in kb.select(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS))
+                .cast("int")
+                .alias("cb")
             )
-            .sortWithinPartitions(*cols)
-            .write.mode("overwrite")
-            .parquet(os.path.join(stage, "closed"))
+            .distinct()
+            .collect()  # ≤ SCD2_CLOSED_KEY_BUCKETS rows by construction
         )
-        swaps.append([os.path.join(stage, "closed"), _p(dim_dir, "closed")])
+        touched_files = _closed_files_touching(_p(dim_dir, "closed"), cbs)
+        if touched_files:
+            closed = spark.read.parquet(*touched_files)
+            kept_closed = closed.join(probe, "id", "left_anti")
+            cols = ["cbucket", "inc"] if "cbucket" in closed.columns else ["inc"]
+            (
+                kept_closed.repartitionByRange(
+                    max(1, min(len(touched_files),
+                               spark.sparkContext.defaultParallelism)),
+                    *cols,
+                )
+                .sortWithinPartitions(*cols)
+                .write.mode("overwrite")
+                .parquet(os.path.join(stage, "closed"))
+            )
+            sdir = os.path.join(stage, "closed")
+            for name in sorted(os.listdir(sdir)):
+                if name.startswith("part-") and name.endswith(".parquet"):
+                    moves.append(
+                        [os.path.join(sdir, name),
+                         _p(dim_dir, f"closed/{token}-{name}")]
+                    )
+            deletes = list(touched_files)
 
-    _write_journal(dim_dir, {"moves": [], "swaps": swaps, "meta": meta})
+    _write_journal(
+        dim_dir,
+        {"moves": moves, "swaps": swaps, "deletes": deletes, "meta": meta},
+    )
     _roll_forward(dim_dir, sweep=True)
 
 
@@ -1001,6 +1088,7 @@ def scd2_store_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_read_history(spark, dst)
 
 
+@guards_writer
 def scd2_expire_closed(spark: SparkSession, dim_dir: str, cutoff) -> dict:
     """History retention — the ``expire_snapshots`` obligation applied
     to the dimension store (Iceberg retires data files older than the

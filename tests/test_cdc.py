@@ -1113,6 +1113,145 @@ def test_scd2_purge_keys_erases_all_history(spark, tmp_path, monkeypatch):
     assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == before3
 
 
+def test_scd2_writer_lease_blocks_second_writer(spark, tmp_path):
+    """r10 verdict ask #8: the single-writer-per-store contract is now
+    ENFORCED — a second writer finding a live lease raises and the
+    store is untouched; a stale lease (dead holder pid, or TTL
+    exceeded) is stolen and the writer proceeds; in-process writer
+    composition re-enters its own lease instead of deadlocking."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import time as _time
+
+    import pytest as _pytest
+
+    from datapipe_spark.operators import lease, scd2
+
+    d = str(tmp_path / "leased")
+    _mini_store(spark, scd2, d)
+    before = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+
+    # a live foreign holder: a real sleeping process, fresh lease
+    holder = subprocess.Popen(["sleep", "60"])
+    try:
+        with open(lease._lease_path(d), "w") as f:
+            _json.dump(
+                {"pid": holder.pid, "token": "other", "acquired": _time.time()},
+                f,
+            )
+        with _pytest.raises(lease.StoreLockedError, match="live writer"):
+            scd2.scd2_purge_keys(
+                spark, d, spark.createDataFrame([(1,)], "id long")
+            )
+        got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+        assert got == before, "a blocked writer must not touch the store"
+
+        # TTL arm: same live holder, but the lease is past the horizon
+        _os.utime(lease._lease_path(d), (0, 0))
+        scd2.scd2_purge_keys(spark, d, spark.createDataFrame([(1,)], "id long"))
+        assert scd2.scd2_lookup(spark, d, [1]).count() == 0
+    finally:
+        holder.kill()
+        holder.wait()
+
+    # dead-pid arm: holder process is gone → lease stolen immediately
+    with open(lease._lease_path(d), "w") as f:
+        _json.dump(
+            {"pid": holder.pid, "token": "other", "acquired": _time.time()}, f
+        )
+    scd2.scd2_purge_keys(spark, d, spark.createDataFrame([(5,)], "id long"))
+    assert scd2.scd2_lookup(spark, d, [5]).count() == 0
+    assert not _os.path.exists(lease._lease_path(d)), "lease released after"
+
+    # reentrancy: nested acquires share the token; file drops at depth 0
+    t1 = lease.acquire(d)
+    t2 = lease.acquire(d)
+    assert t1 == t2
+    lease.release(d, t2)
+    assert _os.path.exists(lease._lease_path(d))
+    lease.release(d, t1)
+    assert not _os.path.exists(lease._lease_path(d))
+
+
+def test_scd2_purge_closed_rewrite_prunes_to_touched_files(spark, tmp_path):
+    """r10 verdict ask #1: once compaction clusters ``closed/`` on
+    ``(cbucket, inc)``, a small purge backlog rewrites ONLY the files
+    whose cbucket footer range intersects the purged keys' cbuckets.
+    Untouched files must remain byte-identical at the same path, the
+    touched originals must be gone, and the surviving history must be
+    exactly the pre-purge history minus the purged keys."""
+    import datetime as dt
+    import hashlib
+    import os as _os
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "pruned_purge")
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    n = 400
+    creates = spark.createDataFrame(
+        [(i, i * 10, "A", "5.00", t(0), "c", t(1), i) for i in range(1, n + 1)],
+        schema,
+    )
+    updates = spark.createDataFrame(
+        [(i, i * 10, "B", "6.00", t(0), "u", t(2), 10_000 + i) for i in range(1, n + 1)],
+        schema,
+    )
+    scd2.scd2_init(spark, d, n_buckets=4)
+    scd2.scd2_upsert(spark, d, creates, batch_id=0)
+    scd2.scd2_upsert(spark, d, updates, batch_id=1)
+    # tiny file target → many narrow-cbucket files after clustering
+    scd2.scd2_compact_closed(spark, d, target_bytes=2048)
+    closed_root = scd2._p(d, "closed")
+    files = sorted(
+        f for f in _os.listdir(closed_root) if f.endswith(".parquet")
+    )
+    assert len(files) >= 4, "fixture must split closed/ into several files"
+
+    def _md5(p):
+        with open(p, "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    before_hashes = {f: _md5(_os.path.join(closed_root, f)) for f in files}
+    before = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+
+    purge_id = 7
+    cb = [
+        r[0]
+        for r in spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(purge_id).cast("long")),
+                   F.lit(scd2.SCD2_CLOSED_KEY_BUCKETS)).cast("int")
+        ).collect()
+    ]
+    touched = {
+        _os.path.basename(p)
+        for p in scd2._closed_files_touching(closed_root, sorted(cb))
+    }
+    untouched = set(files) - touched
+    assert touched, "purged key must touch at least one file"
+    assert untouched, "pruning is vacuous if every file is touched"
+
+    scd2.scd2_purge_keys(spark, d, spark.createDataFrame([(purge_id,)], "id long"))
+
+    after_files = {
+        f for f in _os.listdir(closed_root) if f.endswith(".parquet")
+    }
+    for f in untouched:
+        assert f in after_files, f"untouched file {f} must survive the purge"
+        assert _md5(_os.path.join(closed_root, f)) == before_hashes[f], (
+            f"untouched file {f} must be byte-identical across the purge"
+        )
+    for f in touched:
+        assert f not in after_files, f"touched file {f} must be replaced"
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == {r for r in before if r[0] != purge_id}
+
+
 def test_scd2_purge_above_broadcast_gate_still_exact(spark, tmp_path, monkeypatch):
     """A purge backlog past the broadcast gate must fall back to a
     shuffle anti-join (no forced driver broadcast) and still erase
