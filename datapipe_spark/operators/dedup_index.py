@@ -151,6 +151,7 @@ def _roll_forward(index_dir: str, sweep: bool = False) -> bool:
             j = json.load(f)
         for src, dst in j["moves"]:
             if os.path.exists(src):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.replace(src, dst)
             elif not os.path.exists(dst):
                 raise RuntimeError(
@@ -177,6 +178,12 @@ def _roll_forward(index_dir: str, sweep: bool = False) -> bool:
                     "complete a torn commit."
                 )
             shutil.rmtree(old, ignore_errors=True)
+        # deletes land after moves/swaps (the scd2 journal posture):
+        # a purge folding the tombstone queue clears its files here —
+        # removing an already-removed file is the replayed state
+        for path in j.get("deletes", []):
+            if os.path.exists(path):
+                os.remove(path)
         _write_meta(index_dir, j["meta"])
         os.remove(jp)
     if sweep:
@@ -420,6 +427,11 @@ def compact_minhash_index(
     # freshly clustered bands/ (breaking the range-cluster layout) and
     # meta.json would be rewound from the journal snapshot
     _roll_forward(index_dir, sweep=True)
+    # fold the merge-on-read erasure queue first (the scd2_compact
+    # posture): post-compaction probes drop the anti-join entirely.
+    # Re-enters this writer's own lease.
+    if int(_meta(spark, index_dir).get("n_tombstones", 0)) > 0:
+        purge_minhash_index(spark, index_dir, None)
     tb = target_bytes or TARGET_FILE_BYTES
     token = uuid.uuid4().hex[:12]
     stage = _p(index_dir, f".staging-{token}")
@@ -511,7 +523,8 @@ def _probe_plan(
     split out so plan-shape tests can inspect the joins before the
     eager checkpoint hides them."""
     _roll_forward(index_dir)  # complete any crashed append first
-    h = _meta(spark, index_dir)["hash"]
+    meta = _meta(spark, index_dir)
+    h = meta["hash"]
     bmem = _collapse_exact(batch_docs.select("doc_id", "text")).persist()
     bsigs = (
         minhash_signatures(_rep_docs(batch_docs, bmem), hash=h)
@@ -578,6 +591,7 @@ def _probe_plan(
         .transform(lambda d: F.broadcast(d).join(imem, "corpus_rep"))
         .select("new_doc_id", "corpus_doc_id", "jaccard")
     )
+    out = _minus_tombstones(spark, index_dir, meta, out)
     return out, bmem, bsigs
 
 
@@ -645,6 +659,78 @@ def _cached_corpus_index(
 PURGE_BROADCAST_MAX_ROWS = 2_000_000
 
 
+def _has_tombstones(index_dir: str) -> bool:
+    root = _p(index_dir, "tombstones")
+    return os.path.isdir(root) and any(
+        n.endswith(".parquet") for n in os.listdir(root)
+    )
+
+
+def _minus_tombstones(
+    spark: SparkSession, index_dir: str, meta: dict, out: DataFrame
+) -> DataFrame:
+    """Merge-on-read erasure on the probe output (r10 verdict ask #2):
+    pairs whose corpus member is queued for erasure are hidden by a
+    count-gated broadcast anti-join — output-identical to probing a
+    physically purged index (a fully-erased group's pairs all filter
+    out; a rep-promoted group's surviving members were already reached
+    through mem/, which the physical purge preserves). Doc ids are
+    never reused (new arrivals carry fresh ids by the probe contract),
+    so no sequence scoping is needed — the id alone is the
+    obligation."""
+    n = int(meta.get("n_tombstones", 0))
+    if n == 0 or not _has_tombstones(index_dir):
+        return out
+    tomb = spark.read.parquet(_p(index_dir, "tombstones")).select(
+        F.col("doc_id").alias("corpus_doc_id")
+    )
+    t = F.broadcast(tomb) if n <= PURGE_BROADCAST_MAX_ROWS else tomb
+    return out.join(t, "corpus_doc_id", "left_anti")
+
+
+@guards_writer
+def queue_purge_minhash_index(
+    spark: SparkSession, index_dir: str, purge_ids: DataFrame
+) -> int:
+    """Merge-on-read erasure queue for the band index (r10 verdict ask
+    #2 — the ``scd2_queue_purge`` posture): append the doc_ids to a
+    ``tombstones/`` set without rewriting mem/sigs/bands. Probes fold
+    the queue at read (``_minus_tombstones``);
+    ``purge_minhash_index`` / ``compact_minhash_index`` fold it
+    physically and clear it — N small requests cost N tiny appends
+    plus one batched rewrite. Journaled like every append. Returns the
+    number of ids queued."""
+    import json
+    import uuid
+
+    _roll_forward(index_dir, sweep=True)
+    meta = _meta(spark, index_dir)
+    kb = purge_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    n = kb.count()
+    if n == 0:
+        return 0
+    token = uuid.uuid4().hex[:12]
+    stage = _p(index_dir, f".staging-{token}")
+    kb.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "tombstones")
+    )
+    moves = []
+    sdir = os.path.join(stage, "tombstones")
+    for name in sorted(os.listdir(sdir)):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            moves.append(
+                [os.path.join(sdir, name),
+                 _p(index_dir, f"tombstones/{token}-{name}")]
+            )
+    new_meta = {**meta, "n_tombstones": int(meta.get("n_tombstones", 0)) + n}
+    tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump({"moves": moves, "swaps": [], "meta": new_meta}, f)
+    os.replace(tmp, _p(index_dir, _JOURNAL))
+    _roll_forward(index_dir, sweep=True)
+    return n
+
+
 def _purge_rewrite_plans(
     spark: SparkSession,
     index_dir: str,
@@ -690,7 +776,7 @@ def _purge_rewrite_plans(
 
 @guards_writer
 def purge_minhash_index(
-    spark: SparkSession, index_dir: str, purge_ids: DataFrame
+    spark: SparkSession, index_dir: str, purge_ids: DataFrame | None = None
 ) -> dict:
     """Compliance erasure on the band index (GDPR right-to-be-forgotten
     propagated to DERIVED stores — ``scd2_purge_keys`` erases the
@@ -733,7 +819,30 @@ def purge_minhash_index(
 
     _roll_forward(index_dir, sweep=True)
     meta = _meta(spark, index_dir)
-    kb = purge_ids.select("doc_id").distinct().localCheckpoint(eager=True)
+    # fold the merge-on-read queue (r10 verdict ask #2): queued
+    # tombstones join the explicit backlog and are cleared in this
+    # same journaled commit (``purge_ids=None`` is the maintenance-
+    # pass form — fold the queue alone)
+    parts = []
+    if purge_ids is not None:
+        parts.append(purge_ids.select("doc_id"))
+    tomb_files = (
+        [
+            _p(index_dir, f"tombstones/{n}")
+            for n in sorted(os.listdir(_p(index_dir, "tombstones")))
+            if n.endswith(".parquet")
+        ]
+        if _has_tombstones(index_dir)
+        else []
+    )
+    if tomb_files and int(meta.get("n_tombstones", 0)) > 0:
+        parts.append(
+            spark.read.parquet(_p(index_dir, "tombstones")).select("doc_id")
+        )
+    if not parts:
+        return {"purged_docs": 0, "dropped_reps": 0, "renamed_reps": 0}
+    spec = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    kb = spec.distinct().localCheckpoint(eager=True)
     n_purge = kb.count()
     if n_purge == 0:
         return {"purged_docs": 0, "dropped_reps": 0, "renamed_reps": 0}
@@ -794,13 +903,18 @@ def purge_minhash_index(
     new_meta = dict(meta)
     new_meta["n_docs"] = int(meta["n_docs"]) - n_found
     new_meta["n_reps"] = int(meta["n_reps"]) - dropped
+    new_meta["n_tombstones"] = 0  # the queue folds into this commit
     swaps = [
         [os.path.join(stage, part), _p(index_dir, part)]
         for part in ("mem", "sigs", "bands")
     ]
     tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
     with open(tmp, "w") as f:
-        json.dump({"moves": [], "swaps": swaps, "meta": new_meta}, f)
+        json.dump(
+            {"moves": [], "swaps": swaps, "deletes": tomb_files,
+             "meta": new_meta},
+            f,
+        )
     os.replace(tmp, _p(index_dir, _JOURNAL))
     _roll_forward(index_dir, sweep=True)
     return {
@@ -833,6 +947,37 @@ def dedup_cross_corpus_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sh.rmtree(scratch, ignore_errors=True)
     _sh.copytree(idx, scratch)
     purge_minhash_index(
+        spark,
+        scratch,
+        tagged.filter(~F.col("is_new")).filter(PURGED_DOCS_PRED).select("doc_id"),
+    )
+    return probe_minhash_index(
+        spark, scratch, tagged.filter("is_new").select("doc_id", "text")
+    )
+
+
+def dedup_cross_corpus_purge_queued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of MERGE-ON-READ index erasure (r10 verdict ask
+    #2): clone the cached corpus index, QUEUE the purge of the same
+    deterministic backlog — tombstone appends only, mem/sigs/bands
+    untouched — then probe. Shares ``DEDUP_CROSS_CORPUS_PURGED_SQL``
+    with the physical-purge entry: hash equality attests the
+    tombstone-folding probe surfaces exactly what a probe against the
+    physically purged index would, before any compaction folds the
+    queue."""
+    import shutil as _sh
+
+    from datapipe_spark.operators.dedup import PURGED_DOCS_PRED, _cross_tagged
+    from datapipe_spark.util import fresh_dir
+
+    tagged = _cross_tagged(spark, sf_dir)
+    idx = _cached_corpus_index(
+        spark, sf_dir, tagged.filter(~F.col("is_new")).select("doc_id", "text")
+    )
+    scratch = fresh_dir("minhash_index_purge_queued")
+    _sh.rmtree(scratch, ignore_errors=True)
+    _sh.copytree(idx, scratch)
+    queue_purge_minhash_index(
         spark,
         scratch,
         tagged.filter(~F.col("is_new")).filter(PURGED_DOCS_PRED).select("doc_id"),

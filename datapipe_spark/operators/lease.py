@@ -109,7 +109,16 @@ def acquire(store_dir: str, ttl_seconds: float = LEASE_TTL_SECONDS) -> str:
             age = time.time() - os.stat(path).st_mtime
         except (FileNotFoundError, json.JSONDecodeError):
             continue  # holder released (or torn write) mid-check: retry
-        stale = age > ttl_seconds or not _pid_alive(held.get("pid"))
+        # a lease naming OUR OWN pid while _held lacks the key is
+        # debris from a crashed call in this very process (the file
+        # landed but the call died before release): _held is the
+        # in-process source of truth, so reclaim immediately — without
+        # this, a crashed writer would lock its own store until TTL
+        stale = (
+            age > ttl_seconds
+            or not _pid_alive(held.get("pid"))
+            or held.get("pid") == os.getpid()
+        )
         if not stale:
             raise StoreLockedError(
                 f"store at {store_dir} has a live writer lease "

@@ -422,14 +422,51 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     return True
 
 
+def _has_tombstones(dim_dir: str) -> bool:
+    root = _p(dim_dir, "tombstones")
+    return os.path.isdir(root) and any(
+        n.endswith(".parquet") for n in os.listdir(root)
+    )
+
+
+def _minus_tombstones(
+    spark: SparkSession, dim_dir: str, meta: dict, df: DataFrame
+) -> DataFrame:
+    """Merge-on-read erasure (r10 verdict ask #2): anti-join the queued
+    tombstone set — Iceberg's equality-delete-with-sequence-number
+    pattern on our store. A tombstone ``(id, asof_inc)`` hides every
+    version of the key written at or before the queue point
+    (``_written_inc`` ≤ ``asof_inc``); versions a LATER increment
+    writes survive, exactly as they would after a physical purge
+    followed by re-insertion. The tombstone set is count-gated
+    broadcast (the probe posture — plan-gated in tests), so the read
+    pays one map-side anti-join, never a shuffle of the store.
+    ``df`` must still carry ``_written_inc``."""
+    n = int(meta.get("n_tombstones", 0))
+    if n == 0 or not _has_tombstones(dim_dir):
+        return df
+    tomb = spark.read.parquet(_p(dim_dir, "tombstones")).select("id", "asof_inc")
+    t = F.broadcast(tomb) if n <= SCD2_BROADCAST_MAX_ROWS else tomb
+    return df.alias("h").join(
+        t.alias("t"),
+        (F.col("h.id") == F.col("t.id"))
+        & (F.col("h._written_inc") <= F.col("t.asof_inc")),
+        "left_anti",
+    )
+
+
 def scd2_read_history(spark: SparkSession, dim_dir: str) -> DataFrame:
     """The full Type-2 dimension: closed versions ∪ open versions —
     row-identical to the batch ``cdc_scd2_history`` over the same
-    changelog (hash-oracled by the registry entry)."""
+    changelog (hash-oracled by the registry entry). Queued tombstones
+    are folded in at read (``_minus_tombstones``)."""
     _recover(dim_dir)
-    cur = _read_current(spark, dim_dir)
+    meta = _meta(dim_dir)
+    cur = _minus_tombstones(spark, dim_dir, meta, _read_current(spark, dim_dir))
     if _has_closed(dim_dir):
-        closed = spark.read.parquet(_p(dim_dir, "closed"))
+        closed = _minus_tombstones(
+            spark, dim_dir, meta, spark.read.parquet(_p(dim_dir, "closed"))
+        )
         return closed.select(*_HISTORY_COLS).unionByName(cur.select(*_HISTORY_COLS))
     return cur.select(*_HISTORY_COLS)
 
@@ -442,14 +479,20 @@ def scd2_lookup(spark: SparkSession, dim_dir: str, ids: list) -> DataFrame:
     touches ≤k bucket dirs (task-sized each) instead of the whole
     dimension slice. Plan-gated in tests."""
     _recover(dim_dir)
-    n_buckets = int(_meta(dim_dir)["n_buckets"])
+    meta = _meta(dim_dir)
+    n_buckets = int(meta["n_buckets"])
     keys = spark.createDataFrame([(int(i),) for i in ids], "id long")
     tb = sorted(
         r[0]
         for r in keys.select(_bucket_of(n_buckets).alias("b")).distinct().collect()
     )
-    cur = _read_current(spark, dim_dir).filter(
-        F.col("bucket").isin(tb) if tb else F.lit(False)
+    cur = _minus_tombstones(
+        spark,
+        dim_dir,
+        meta,
+        _read_current(spark, dim_dir).filter(
+            F.col("bucket").isin(tb) if tb else F.lit(False)
+        ),
     )
     return cur.join(F.broadcast(keys), "id").select(*_HISTORY_COLS)
 
@@ -469,7 +512,8 @@ def scd2_history_for_keys(
     column; row-equality with the filtered full read is pinned in
     tests."""
     _recover(dim_dir)
-    n_buckets = int(_meta(dim_dir)["n_buckets"])
+    meta = _meta(dim_dir)
+    n_buckets = int(meta["n_buckets"])
     kb = keys.select("id").distinct().localCheckpoint(eager=True)
     # one job yields both pruning sets (layout bucket + fixed-modulus
     # closed bucket per distinct key)
@@ -485,11 +529,14 @@ def scd2_history_for_keys(
     )
     tb = sorted({r["b"] for r in pairs})
     cb = sorted({r["cb"] for r in pairs})
-    cur = (
-        _read_current(spark, dim_dir)
-        .filter(F.col("bucket").isin(tb) if tb else F.lit(False))
-        .select(*_HISTORY_COLS)
-    )
+    cur = _minus_tombstones(
+        spark,
+        dim_dir,
+        meta,
+        _read_current(spark, dim_dir).filter(
+            F.col("bucket").isin(tb) if tb else F.lit(False)
+        ),
+    ).select(*_HISTORY_COLS)
     hist = cur
     if _has_closed(dim_dir):
         closed = spark.read.parquet(_p(dim_dir, "closed"))
@@ -497,6 +544,7 @@ def scd2_history_for_keys(
             closed = closed.filter(
                 F.col("cbucket").isin(cb) if cb else F.lit(False)
             )
+        closed = _minus_tombstones(spark, dim_dir, meta, closed)
         hist = closed.select(*_HISTORY_COLS).unionByName(cur)
     return hist.join(F.broadcast(kb), "id", "semi")
 
@@ -519,16 +567,17 @@ def scd2_as_of(spark: SparkSession, dim_dir: str, batch_id: int) -> DataFrame:
     (hash-oracled by ``scd2_dimension_as_of``; ``as_of(last batch)``
     ≡ ``scd2_read_history`` is asserted in tests)."""
     _recover(dim_dir)
+    meta = _meta(dim_dir)
     cur = (
-        _read_current(spark, dim_dir)
+        _minus_tombstones(spark, dim_dir, meta, _read_current(spark, dim_dir))
         .filter(F.col("_written_inc") <= batch_id)
         .select(*_HISTORY_COLS)
     )
     if not _has_closed(dim_dir):
         return cur
-    closed = spark.read.parquet(_p(dim_dir, "closed")).filter(
-        F.col("_written_inc") <= batch_id
-    )
+    closed = _minus_tombstones(
+        spark, dim_dir, meta, spark.read.parquet(_p(dim_dir, "closed"))
+    ).filter(F.col("_written_inc") <= batch_id)
     closed_by_now = closed.filter(F.col("inc") <= batch_id).select(*_HISTORY_COLS)
     reopened = (
         closed.filter(F.col("inc") > batch_id)
@@ -616,6 +665,12 @@ def scd2_compact_closed(
     )
 
     _recover(dim_dir, sweep=True)
+    # fold the merge-on-read erasure queue first (r10 verdict ask #2 —
+    # Iceberg folds delete files at compaction): the physical purge
+    # clears the tombstones, so post-compaction reads drop the
+    # anti-join entirely. Re-enters this writer's own lease.
+    if int(_meta(dim_dir).get("n_tombstones", 0)) > 0:
+        scd2_purge_keys(spark, dim_dir, None)
     if not _has_closed(dim_dir):
         return (0, 0)
     root = _p(dim_dir, "closed")
@@ -955,7 +1010,81 @@ def _closed_files_touching(closed_root: str, cbs: list[int]) -> list[str]:
 
 
 @guards_writer
-def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
+def scd2_queue_purge(spark: SparkSession, dim_dir: str, keys: DataFrame) -> int:
+    """Merge-on-read erasure queue (r10 verdict ask #2 — Iceberg's
+    position/equality-delete pattern on our store): record the erasure
+    obligation WITHOUT rewriting any data file. Appends ``(id,
+    asof_inc)`` tombstones — ``asof_inc`` is the store's watermark at
+    queue time, so the tombstone hides exactly the versions that
+    existed when the request arrived (``_minus_tombstones``); a later
+    re-insert of the key opens fresh visible history, identical to
+    physical-purge-then-reinsert. Readers fold tombstones in via a
+    count-gated broadcast anti-join; ``scd2_purge_keys`` and
+    ``scd2_compact_closed`` fold them PHYSICALLY and clear the queue —
+    so N small GDPR requests cost N tiny appends plus ONE batched
+    rewrite at the next maintenance pass, instead of N slice rewrites.
+
+    Commit is journaled like every append (staged files + moves), and
+    ``meta.n_tombstones`` (the broadcast-gate count) advances in the
+    same journal. Returns the number of keys queued."""
+    _recover(dim_dir, sweep=True)
+    meta = _meta(dim_dir)
+    kb = keys.select("id").distinct().localCheckpoint(eager=True)
+    n = kb.count()
+    if n == 0:
+        return 0
+    asof = int(meta.get("last_batch_id", -1))
+    token = uuid.uuid4().hex[:12]
+    stage = _p(dim_dir, f".staging-{token}")
+    kb.withColumn("asof_inc", F.lit(asof).cast("int")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "tombstones"))
+    moves = []
+    sdir = os.path.join(stage, "tombstones")
+    for name in sorted(os.listdir(sdir)):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            moves.append(
+                [os.path.join(sdir, name),
+                 _p(dim_dir, f"tombstones/{token}-{name}")]
+            )
+    new_meta = {**meta, "n_tombstones": int(meta.get("n_tombstones", 0)) + n}
+    _write_journal(dim_dir, {"moves": moves, "swaps": [], "meta": new_meta})
+    _roll_forward(dim_dir, sweep=True)
+    return n
+
+
+def _purge_spec(
+    spark: SparkSession, dim_dir: str, meta: dict, keys: DataFrame | None
+) -> DataFrame | None:
+    """The physical purge's combined erasure spec: explicit keys (every
+    version — ``asof_inc`` = +∞) ∪ the queued tombstone set (sequence-
+    scoped), collapsed to the max ``asof_inc`` per key. None if there
+    is nothing to purge."""
+    parts = []
+    if keys is not None:
+        parts.append(
+            keys.select("id").distinct().withColumn(
+                "asof_inc", F.lit(2**31 - 1).cast("int")
+            )
+        )
+    if int(meta.get("n_tombstones", 0)) > 0 and _has_tombstones(dim_dir):
+        parts.append(
+            spark.read.parquet(_p(dim_dir, "tombstones")).select("id", "asof_inc")
+        )
+    if not parts:
+        return None
+    spec = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return (
+        spec.groupBy("id")
+        .agg(F.max("asof_inc").alias("asof_inc"))
+        .localCheckpoint(eager=True)
+    )
+
+
+@guards_writer
+def scd2_purge_keys(
+    spark: SparkSession, dim_dir: str, keys: DataFrame | None = None
+) -> None:
     """Compliance erasure (GDPR right-to-be-forgotten, applied to OUR
     lakehouse artifact — the reference's warehouse faces the same
     obligation on its Iceberg history tables): remove EVERY version of
@@ -981,29 +1110,66 @@ def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
     files cover the full cbucket range and simply rewrite, exactly the
     pre-r11 behavior).
 
-    ``keys`` must have an ``id`` column. The watermark is untouched —
-    purging is not an increment; subsequent increments keep applying.
-    Re-inserting a purged key later re-opens fresh history (the store
-    never remembers the erasure — by design)."""
+    ``keys`` must have an ``id`` column (or be None to fold ONLY the
+    queued tombstones — the maintenance-pass form). The queued
+    tombstone set (``scd2_queue_purge``) is always folded in and
+    cleared in the same journaled commit: explicit keys erase every
+    version; queued tombstones erase sequence-scoped (versions written
+    at or before their queue point), so interleaved re-inserts
+    survive exactly as the merge-on-read reader showed them. The
+    watermark is untouched — purging is not an increment; subsequent
+    increments keep applying. Re-inserting a purged key later re-opens
+    fresh history (the store never remembers the erasure — by
+    design)."""
     _recover(dim_dir, sweep=True)
     meta = _meta(dim_dir)
     n_buckets = int(meta["n_buckets"])
-    kb = keys.select("id").distinct().localCheckpoint(eager=True)
+    spec = _purge_spec(spark, dim_dir, meta, keys)
+    if spec is None:
+        return
+    kb = spec
     # one aggregation yields the touched-bucket set AND the broadcast
     # gate's key count (the upsert's probe posture: a snapshot-sized
     # erasure backlog must not force-broadcast every key)
     stats = kb.groupBy(_bucket_of(n_buckets).alias("b")).count().collect()
     tb = sorted(r["b"] for r in stats)
+    new_meta = {**meta, "n_tombstones": 0}
+    tomb_files = (
+        [
+            _p(dim_dir, f"tombstones/{n}")
+            for n in sorted(os.listdir(_p(dim_dir, "tombstones")))
+            if n.endswith(".parquet")
+        ]
+        if _has_tombstones(dim_dir)
+        else []
+    )
     if not tb:
+        if tomb_files:  # queue held only never-seen keys: just clear it
+            _write_journal(
+                dim_dir,
+                {"moves": [], "swaps": [], "deletes": tomb_files,
+                 "meta": new_meta},
+            )
+            _roll_forward(dim_dir, sweep=True)
         return
     n_keys = sum(r["count"] for r in stats)
-    probe = F.broadcast(kb) if n_keys <= SCD2_BROADCAST_MAX_ROWS else kb
+    gated = n_keys <= SCD2_BROADCAST_MAX_ROWS
+
+    def _minus_spec(df: DataFrame) -> DataFrame:
+        t = F.broadcast(kb) if gated else kb
+        return df.alias("h").join(
+            t.alias("t"),
+            (F.col("h.id") == F.col("t.id"))
+            & (F.col("h._written_inc") <= F.col("t.asof_inc")),
+            "left_anti",
+        )
+
     token = uuid.uuid4().hex[:12]
     stage = _p(dim_dir, f".staging-{token}")
 
-    # current/: rewrite only the touched buckets, minus the keys
+    # current/: rewrite only the touched buckets, minus the spec
     cur = _read_current(spark, dim_dir).filter(F.col("bucket").isin(tb))
-    kept = cur.join(probe, "id", "left_anti").select(*_STORE_COLS)
+    kept = _minus_spec(cur).select(*_STORE_COLS)
     (
         kept.withColumn("bucket", _bucket_of(n_buckets))
         .repartition(len(tb), "bucket")
@@ -1039,7 +1205,7 @@ def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
         touched_files = _closed_files_touching(_p(dim_dir, "closed"), cbs)
         if touched_files:
             closed = spark.read.parquet(*touched_files)
-            kept_closed = closed.join(probe, "id", "left_anti")
+            kept_closed = _minus_spec(closed)
             cols = ["cbucket", "inc"] if "cbucket" in closed.columns else ["inc"]
             (
                 kept_closed.repartitionByRange(
@@ -1059,10 +1225,11 @@ def scd2_purge_keys(spark: SparkSession, dim_dir: str, keys: DataFrame) -> None:
                          _p(dim_dir, f"closed/{token}-{name}")]
                     )
             deletes = list(touched_files)
+    deletes += tomb_files  # fold: the queue is cleared in this commit
 
     _write_journal(
         dim_dir,
-        {"moves": moves, "swaps": swaps, "deletes": deletes, "meta": meta},
+        {"moves": moves, "swaps": swaps, "deletes": deletes, "meta": new_meta},
     )
     _roll_forward(dim_dir, sweep=True)
 
@@ -1085,6 +1252,33 @@ def scd2_store_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scd2_read_history(spark, dst)
     keys = hist.select("id").filter(F.col("id") % 97 == 0).distinct()
     scd2_purge_keys(spark, dst, keys)
+    return scd2_read_history(spark, dst)
+
+
+def scd2_store_purge_queued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of MERGE-ON-READ erasure (r10 verdict ask #2):
+    clone the cached store, QUEUE the purge of every ``id % 97 = 0``
+    key — tombstone appends only, zero data files rewritten — and read
+    the full history back through the tombstone-folding reader. Shares
+    ``CDC_SCD2_HISTORY_PURGED_SQL`` with the physical-purge entry:
+    hash equality attests the merge-on-read path hides exactly the
+    purged keys' versions before any compaction folds them
+    physically."""
+    import shutil as _sh
+
+    from datapipe_spark.util import fresh_dir
+
+    src_store = _cached_scd2_store(spark, sf_dir)
+    root = fresh_dir("scd2_purge_queued")
+    dst = os.path.join(root, "store")
+    _sh.copytree(src_store, dst)
+    keys = (
+        scd2_read_history(spark, dst)
+        .select("id")
+        .filter(F.col("id") % 97 == 0)
+        .distinct()
+    )
+    scd2_queue_purge(spark, dst, keys)
     return scd2_read_history(spark, dst)
 
 

@@ -97,6 +97,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup_index.dedup_cross_corpus_purged,
         dedup.DEDUP_CROSS_CORPUS_PURGED_SQL,
     ),
+    # merge-on-read erasure (r11): the SAME backlog queued as
+    # tombstones only — zero index files rewritten — must probe
+    # identically to the physical purge (same oracle); compaction
+    # folds the queue physically
+    "dedup_cross_corpus_purge_queued": (
+        dedup_index.dedup_cross_corpus_purge_queued,
+        dedup.DEDUP_CROSS_CORPUS_PURGED_SQL,
+    ),
     # per-dimension affine int8 vector quantization + reconstruction mse
     "embedding_quantize_int8": (
         similarity.embedding_quantize_int8,
@@ -180,6 +188,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "scd2_store_purged": (
         scd2.scd2_store_purged,
+        cdcq.CDC_SCD2_HISTORY_PURGED_SQL,
+    ),
+    # merge-on-read erasure (r11): the SAME keys queued as sequence-
+    # scoped tombstones only — zero store files rewritten — must read
+    # back identically to the physical purge (same oracle); the next
+    # purge/compaction folds the queue physically
+    "scd2_store_purge_queued": (
+        scd2.scd2_store_purge_queued,
         cdcq.CDC_SCD2_HISTORY_PURGED_SQL,
     ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------

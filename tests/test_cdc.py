@@ -1113,6 +1113,118 @@ def test_scd2_purge_keys_erases_all_history(spark, tmp_path, monkeypatch):
     assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == before3
 
 
+def test_scd2_queued_purges_equal_immediate_purges(spark, tmp_path):
+    """r10 verdict ask #2 property: k queued purges (with interleaved
+    upserts, including a re-insert of a queued key) read back — and,
+    after compaction folds them, physically equal — the same k purges
+    applied immediately at the same points. Sequence scoping is the
+    load-bearing part: the version a LATER increment writes for a
+    queued key must survive, exactly as it does after
+    physical-purge-then-reinsert."""
+    import datetime as dt
+    import os as _os
+
+    from datapipe_spark.operators import scd2
+
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    creates = spark.createDataFrame(
+        [(i, i * 10, "A", "5.00", t(0), "c", t(i), i) for i in range(1, 9)],
+        schema,
+    )
+    inc1 = spark.createDataFrame(
+        [
+            (1, 10, "R", "9.00", t(0), "u", t(20), 201),  # re-insert queued key
+            (3, 30, "B", "6.00", t(0), "u", t(21), 203),
+        ],
+        schema,
+    )
+
+    def hist(d):
+        return sorted(
+            tuple(r) for r in scd2.scd2_read_history(spark, d).collect()
+        )
+
+    qd = str(tmp_path / "queued")
+    pd_ = str(tmp_path / "immediate")
+    for d in (qd, pd_):
+        scd2.scd2_init(spark, d, n_buckets=4)
+        scd2.scd2_upsert(spark, d, creates, batch_id=0)
+    k12 = spark.createDataFrame([(1,), (2,)], "id long")
+    scd2.scd2_queue_purge(spark, qd, k12)
+    scd2.scd2_purge_keys(spark, pd_, k12)
+    for d in (qd, pd_):
+        scd2.scd2_upsert(spark, d, inc1, batch_id=1)
+    k3 = spark.createDataFrame([(3,)], "id long")
+    scd2.scd2_queue_purge(spark, qd, k3)
+    scd2.scd2_purge_keys(spark, pd_, k3)
+
+    # merge-on-read BEFORE any fold must already match
+    assert hist(qd) == hist(pd_)
+    assert scd2._meta(qd)["n_tombstones"] == 3
+    # every read surface folds tombstones: lookup, key-pruned, as_of
+    assert scd2.scd2_lookup(spark, qd, [2, 3]).count() == 0
+    assert scd2.scd2_lookup(spark, qd, [1]).filter("status='R'").count() == 1
+    kf = scd2.scd2_history_for_keys(
+        spark, qd, spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    )
+    assert sorted(tuple(r) for r in kf.collect()) == sorted(
+        tuple(r)
+        for r in scd2.scd2_history_for_keys(
+            spark, pd_, spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        ).collect()
+    )
+    for b in (0, 1):
+        assert sorted(
+            tuple(r) for r in scd2.scd2_as_of(spark, qd, b).collect()
+        ) == sorted(tuple(r) for r in scd2.scd2_as_of(spark, pd_, b).collect())
+
+    # compaction folds the queue physically and clears it
+    scd2.scd2_compact_closed(spark, qd)
+    scd2.scd2_compact_closed(spark, pd_)
+    assert hist(qd) == hist(pd_)
+    assert scd2._meta(qd).get("n_tombstones", 0) == 0
+    assert not scd2._has_tombstones(qd)
+    # post-fold, the physical bytes hold no trace of the purged keys
+    purged_in_files = (
+        spark.read.parquet(scd2._p(qd, "closed"))
+        .filter(F.col("id").isin(2, 3))
+        .count()
+    )
+    assert purged_in_files == 0
+
+    # a torn fold (journal written, roll-forward crashes) is completed
+    # by the next reader: queue k purges, crash the fold, read
+    d3 = str(tmp_path / "torn_fold")
+    scd2.scd2_init(spark, d3, n_buckets=4)
+    scd2.scd2_upsert(spark, d3, creates, batch_id=0)
+    scd2.scd2_upsert(spark, d3, inc1, batch_id=1)
+    scd2.scd2_queue_purge(spark, d3, k12)
+    want = sorted(tuple(r) for r in scd2.scd2_read_history(spark, d3).collect())
+    import pytest as _pytest
+
+    real = scd2._roll_forward
+
+    def crash(dim_dir, sweep=False):
+        raise RuntimeError("simulated crash post-journal")
+
+    scd2._roll_forward = crash
+    try:
+        with _pytest.raises(RuntimeError, match="post-journal"):
+            scd2.scd2_purge_keys(spark, d3, None)
+    finally:
+        scd2._roll_forward = real
+    assert _os.path.exists(scd2._p(d3, scd2._JOURNAL))
+    assert (
+        sorted(tuple(r) for r in scd2.scd2_read_history(spark, d3).collect())
+        == want
+    )
+    assert scd2._meta(d3).get("n_tombstones", 0) == 0
+
+
 def test_scd2_writer_lease_blocks_second_writer(spark, tmp_path):
     """r10 verdict ask #8: the single-writer-per-store contract is now
     ENFORCED — a second writer finding a live lease raises and the

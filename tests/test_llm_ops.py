@@ -2412,6 +2412,52 @@ def test_purge_minhash_index_rebuild_equality_and_semantics(spark, tmp_path):
     assert _index_rows(spark, idx) == _index_rows(spark, ref)
 
 
+def test_queue_purge_minhash_equals_physical_purge(spark, tmp_path):
+    """r10 verdict ask #2 on the band index: queued tombstones probe
+    identically to the physical purge (rep promotion, group erasure,
+    member drop all covered by the _purge_corpus groups); compaction
+    folds the queue — afterwards the index equals the physically
+    purged one part-for-part and the tombstone set is gone."""
+    from datapipe_spark.operators import dedup_index as di
+
+    idx_q, idx_p = str(tmp_path / "mor"), str(tmp_path / "phys")
+    corpus = _purge_corpus(spark)
+    di.build_minhash_index(spark, corpus, idx_q)
+    di.build_minhash_index(spark, corpus, idx_p)
+    backlog = spark.createDataFrame([(1,), (4,), (5,), (7,)], "doc_id long")
+    assert di.queue_purge_minhash_index(spark, idx_q, backlog) == 4
+    di.purge_minhash_index(spark, idx_p, backlog)
+
+    # near-dup batch: hits group A (rep promoted) and B (erased)
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta common group text"),
+         (101, "one two three four five six seven eight nine boilerplate footer")],
+        "doc_id long, text string",
+    )
+
+    def pairs(idx):
+        return sorted(
+            (r["new_doc_id"], r["corpus_doc_id"])
+            for r in di.probe_minhash_index(spark, idx, batch).collect()
+        )
+
+    assert pairs(idx_q) == pairs(idx_p)
+    assert pairs(idx_q), "probe must still hit the surviving group"
+    assert di._meta(spark, idx_q)["n_tombstones"] == 4
+
+    # compaction folds the queue physically: parts equal, queue gone
+    di.compact_minhash_index(spark, idx_q)
+    assert di._meta(spark, idx_q).get("n_tombstones", 0) == 0
+    assert not di._has_tombstones(idx_q)
+    mq, mp = di._meta(spark, idx_q), di._meta(spark, idx_p)
+    assert (mq["n_docs"], mq["n_reps"]) == (mp["n_docs"], mp["n_reps"])
+    for part in ("mem", "sigs", "bands"):
+        assert sorted(
+            map(repr, spark.read.parquet(f"{idx_q}/{part}").collect())
+        ) == sorted(map(repr, spark.read.parquet(f"{idx_p}/{part}").collect()))
+    assert pairs(idx_q) == pairs(idx_p)
+
+
 def test_purge_minhash_index_above_broadcast_gate_still_exact(
     spark, tmp_path, monkeypatch
 ):

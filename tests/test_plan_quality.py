@@ -546,8 +546,9 @@ def test_scd2_purge_prunes_current_to_touched_buckets(spark, sf_dir, tmp_path):
     """The purge's current/ side must carry the upsert posture: the
     key set broadcasts into a scan partition-pruned to the keys'
     buckets — an erasure of k keys reads ≤k bucket dirs of the open
-    slice, never the whole dimension. (The closed/ side is a full
-    filter scan BY DESIGN — erasure covers all history.)"""
+    slice, never the whole dimension. (The closed/ side prunes at the
+    FILE level instead — cbucket footer stats pick the touched files,
+    test_scd2_purge_closed_rewrite_prunes_to_touched_files.)"""
     from pyspark.sql import functions as F
 
     from datapipe_spark.operators import scd2
@@ -573,6 +574,53 @@ def test_scd2_purge_prunes_current_to_touched_buckets(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [" in plan and "bucket" in plan.split(
         "PartitionFilters: ["
     )[1].split("]")[0], plan
+
+
+def test_scd2_tombstone_fold_broadcasts_under_gate(spark, tmp_path):
+    """The merge-on-read erasure fold (r10 verdict ask #2) must read
+    as ONE map-side broadcast anti-join per store slice under the
+    count gate — never a shuffle of the store on its own bulk — and
+    must vanish from the plan entirely once a physical purge folds
+    the queue."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "mor_plan")
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t = dt.datetime(2024, 1, 1)
+    rows = [(i, i, "A", "1.00", t, "c", t, i) for i in range(1, 7)] + [
+        (1, 1, "B", "2.00", t, "u", t + dt.timedelta(minutes=1), 100)
+    ]
+    scd2.scd2_init(spark, d, n_buckets=4)
+    scd2.scd2_upsert(spark, d, spark.createDataFrame(rows, schema), batch_id=0)
+    scd2.scd2_queue_purge(spark, d, spark.createDataFrame([(2,)], "id long"))
+
+    plan = (
+        scd2.scd2_read_history(spark, d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+
+    scd2.scd2_purge_keys(spark, d, None)  # fold
+    plan2 = (
+        scd2.scd2_read_history(spark, d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" not in plan2, (
+        "an empty queue must cost the reader nothing",
+        plan2,
+    )
 
 
 def test_purge_minhash_index_plans_broadcast_under_gate(spark, tmp_path):
