@@ -123,10 +123,18 @@ def cluster_parquet_into(
     out: str,
     cluster_cols: list[str],
     target_bytes: int = TARGET_FILE_BYTES,
+    schema: str | None = None,
 ) -> None:
     """The rewrite half of ``cluster_parquet`` without the swap (see
-    ``compact_parquet_into`` for why journaled callers need it)."""
-    df = spark.read.parquet(path)
+    ``compact_parquet_into`` for why journaled callers need it).
+    ``schema``: optional explicit DDL — a schema-evolved table must be
+    read under its full schema (a footer-sampled read silently drops
+    columns the sampled file predates)."""
+    df = (
+        spark.read.schema(schema).parquet(path)
+        if schema
+        else spark.read.parquet(path)
+    )
     n_files = max(1, math.ceil(table_bytes(path) / target_bytes))
     shutil.rmtree(out, ignore_errors=True)
     (

@@ -89,6 +89,51 @@ _HISTORY_COLS = [
 
 _STORE_COLS = [*_HISTORY_COLS, "_written_inc"]
 
+# the changelog's fixed envelope — any OTHER increment column is a
+# dimension attribute the store must carry (schema evolution, r10
+# verdict ask #3; the reference validates nullable column adds
+# end-to-end, 1-data-ingestion-pipeline/task9-validate-cdc.sh:296-320)
+_ENVELOPE_COLS = {
+    "id", "user_id", "status", "total_amount", "created_at",
+    "__op", "__ts_ms", "__source_ts_ms", "__source_lsn",
+}
+
+
+def _extras(meta: dict) -> list[tuple[str, str]]:
+    """The store's evolved columns beyond the base schema, in
+    evolution order: ``[(name, ddl_type), ...]`` from meta.json."""
+    return [tuple(e) for e in meta.get("extra_cols", [])]
+
+
+def _store_ddl(extras: list[tuple[str, str]]) -> str:
+    return _STORE_SCHEMA + "".join(f", {n} {t}" for n, t in extras)
+
+
+def _store_cols(extras: list[tuple[str, str]]) -> list[str]:
+    return [*_STORE_COLS, *(n for n, _t in extras)]
+
+
+def _history_cols(extras: list[tuple[str, str]]) -> list[str]:
+    return [*_HISTORY_COLS, *(n for n, _t in extras)]
+
+
+def _evolved_extras(
+    meta: dict, increment: DataFrame
+) -> list[tuple[str, str]]:
+    """The store's extras AFTER accepting this increment: existing
+    extras plus any new non-envelope increment column, appended in the
+    increment's column order (types from the increment's schema). New
+    columns are nullable by construction — pre-evolution rows read
+    back null (the parquet reader back-fills requested-but-absent
+    columns), which is exactly the reference's nullable/defaulted
+    column-add contract."""
+    extras = _extras(meta)
+    known = _ENVELOPE_COLS | {n for n, _t in extras}
+    for f in increment.schema.fields:
+        if f.name not in known:
+            extras.append((f.name, f.dataType.simpleString()))
+    return extras
+
 # broadcast gate for the touched-key probe (r8 advisory): a snapshot-
 # sized increment (initial load / backfill) must NOT force-broadcast
 # every key in the table — past this many increment rows the merge
@@ -263,24 +308,48 @@ def scd2_init(
     )
 
 
-def _normalize_increment(inc: DataFrame) -> DataFrame:
+def _normalize_increment(
+    inc: DataFrame, extras: list[tuple[str, str]]
+) -> DataFrame:
     """Changelog rows → chain rows: the CDC string decimal re-cast once
-    (F15), ``__ts_ms`` carried as the effectivity timestamp."""
-    return inc.select(
-        "id",
-        "user_id",
-        "status",
+    (F15), ``__ts_ms`` carried as the effectivity timestamp, evolved
+    columns carried through (an increment predating a column supplies
+    null — the nullable-add contract)."""
+    cols = [
+        F.col("id"),
+        F.col("user_id"),
+        F.col("status"),
         F.col("total_amount").cast("decimal(18,2)").cast("double").alias("total_amount"),
         F.col("__ts_ms").alias("valid_from"),
-        "__op",
-        "__source_lsn",
-    )
+        F.col("__op"),
+        F.col("__source_lsn"),
+    ]
+    have = set(inc.columns)
+    for n, t in extras:
+        cols.append(
+            (F.col(n) if n in have else F.lit(None)).cast(t).alias(n)
+        )
+    return inc.select(*cols)
 
 
-def _read_current(spark: SparkSession, dim_dir: str) -> DataFrame:
-    # hive discovery adds the bucket partition column; store reads
-    # project it away, the upsert prunes on it
-    return spark.read.parquet(_p(dim_dir, "current"))
+def _read_current(spark: SparkSession, dim_dir: str, meta: dict | None = None) -> DataFrame:
+    """Read the open slice under the store's EXPLICIT schema (base +
+    evolved extras from meta + the ``bucket`` partition column): the
+    parquet reader back-fills requested-but-absent columns with null,
+    so pre-evolution bucket files need neither rewriting nor a
+    mergeSchema footer sweep — the 100 TB cost of a column add is
+    zero data I/O."""
+    if meta is None:
+        meta = _meta(dim_dir)
+    ddl = _store_ddl(_extras(meta)) + ", bucket int"
+    return spark.read.schema(ddl).parquet(_p(dim_dir, "current"))
+
+
+def _read_closed(spark: SparkSession, dim_dir: str, meta: dict) -> DataFrame:
+    """Read the closed slice under the explicit evolved schema (plus
+    the ``inc``/``cbucket`` lineage columns)."""
+    ddl = _store_ddl(_extras(meta)) + ", inc int, cbucket int"
+    return spark.read.schema(ddl).parquet(_p(dim_dir, "closed"))
 
 
 def _has_closed(dim_dir: str) -> bool:
@@ -302,8 +371,9 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     ``(chained, cur_untouched, touched_buckets)``."""
     meta = _meta(dim_dir)
     n_buckets = int(meta["n_buckets"])
+    extras = _evolved_extras(meta, increment)
     inc = (
-        _normalize_increment(increment)
+        _normalize_increment(increment, extras)
         .withColumn("_written_inc", F.lit(batch_id).cast("int"))
         .localCheckpoint(eager=True)
     )
@@ -315,9 +385,11 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     tb = sorted(r["b"] for r in stats)
     n_rows = sum(r["count"] for r in stats)
     probe = F.broadcast(touched) if n_rows <= SCD2_BROADCAST_MAX_ROWS else touched
-    cur = _read_current(spark, dim_dir).filter(
-        F.col("bucket").isin(tb) if tb else F.lit(False)
-    )
+    # read the store under the EVOLVED schema: pre-evolution bucket
+    # files back-fill the new columns with null at scan time
+    cur = _read_current(
+        spark, dim_dir, {**meta, "extra_cols": [list(e) for e in extras]}
+    ).filter(F.col("bucket").isin(tb) if tb else F.lit(False))
     cur_untouched = cur.join(probe, "id", "left_anti")
     # stored open rows re-enter the chain as pseudo-log rows, KEEPING
     # their original _written_inc lineage; a replay against an
@@ -328,6 +400,7 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     pseudo = cur.join(probe, "id").select(
         "id", "user_id", "status", "total_amount", "valid_from",
         F.lit("u").alias("__op"), "__source_lsn", "_written_inc",
+        *(n for n, _t in extras),
     )
     merged = pseudo.unionByName(inc).dropDuplicates(["id", "__source_lsn"])
     w = Window.partitionBy("id").orderBy("__source_lsn")
@@ -337,9 +410,9 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
             "is_current", F.col("valid_to").isNull() & (F.col("__op") != "d")
         )
         .filter(F.col("__op") != "d")
-        .select(*_STORE_COLS)
+        .select(*_store_cols(extras))
     )
-    return chained, cur_untouched, tb
+    return chained, cur_untouched, tb, extras
 
 
 @guards_writer
@@ -365,8 +438,17 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     meta = _meta(dim_dir)
     if batch_id <= int(meta.get("last_batch_id", -1)):
         return False
-    new_meta = {**meta, "last_batch_id": batch_id}
-    chained, cur_untouched, tb = _merge_plan(spark, dim_dir, increment, batch_id)
+    chained, cur_untouched, tb, extras = _merge_plan(
+        spark, dim_dir, increment, batch_id
+    )
+    # schema evolution commits WITH the increment (one journal): the
+    # evolved column list only becomes readable when the data carrying
+    # it does
+    new_meta = {
+        **meta,
+        "last_batch_id": batch_id,
+        "extra_cols": [list(e) for e in extras],
+    }
     if not tb:  # empty increment: advance the watermark, touch nothing
         _write_journal(dim_dir, {"moves": [], "swaps": [], "meta": new_meta})
         _roll_forward(dim_dir, sweep=True)
@@ -395,7 +477,7 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
             )
 
     # stage the rewritten touched buckets (one output file per bucket)
-    new_current = cur_untouched.select(*_STORE_COLS).unionByName(
+    new_current = cur_untouched.select(*_store_cols(extras)).unionByName(
         chained.filter("is_current")
     )
     (
@@ -413,7 +495,7 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
             # every key in the bucket was tombstoned: swap in a typed
             # empty dir so the stale open rows still get replaced
             if empty is None:
-                empty = spark.createDataFrame([], _STORE_SCHEMA)
+                empty = spark.createDataFrame([], _store_ddl(extras))
             empty.write.mode("overwrite").parquet(src)
         swaps.append([src, _p(dim_dir, f"current/bucket={b}")])
 
@@ -462,13 +544,16 @@ def scd2_read_history(spark: SparkSession, dim_dir: str) -> DataFrame:
     are folded in at read (``_minus_tombstones``)."""
     _recover(dim_dir)
     meta = _meta(dim_dir)
-    cur = _minus_tombstones(spark, dim_dir, meta, _read_current(spark, dim_dir))
+    hcols = _history_cols(_extras(meta))
+    cur = _minus_tombstones(
+        spark, dim_dir, meta, _read_current(spark, dim_dir, meta)
+    )
     if _has_closed(dim_dir):
         closed = _minus_tombstones(
-            spark, dim_dir, meta, spark.read.parquet(_p(dim_dir, "closed"))
+            spark, dim_dir, meta, _read_closed(spark, dim_dir, meta)
         )
-        return closed.select(*_HISTORY_COLS).unionByName(cur.select(*_HISTORY_COLS))
-    return cur.select(*_HISTORY_COLS)
+        return closed.select(*hcols).unionByName(cur.select(*hcols))
+    return cur.select(*hcols)
 
 
 def scd2_lookup(spark: SparkSession, dim_dir: str, ids: list) -> DataFrame:
@@ -490,11 +575,13 @@ def scd2_lookup(spark: SparkSession, dim_dir: str, ids: list) -> DataFrame:
         spark,
         dim_dir,
         meta,
-        _read_current(spark, dim_dir).filter(
+        _read_current(spark, dim_dir, meta).filter(
             F.col("bucket").isin(tb) if tb else F.lit(False)
         ),
     )
-    return cur.join(F.broadcast(keys), "id").select(*_HISTORY_COLS)
+    return cur.join(F.broadcast(keys), "id").select(
+        *_history_cols(_extras(meta))
+    )
 
 
 def scd2_history_for_keys(
@@ -529,23 +616,22 @@ def scd2_history_for_keys(
     )
     tb = sorted({r["b"] for r in pairs})
     cb = sorted({r["cb"] for r in pairs})
+    hcols = _history_cols(_extras(meta))
     cur = _minus_tombstones(
         spark,
         dim_dir,
         meta,
-        _read_current(spark, dim_dir).filter(
+        _read_current(spark, dim_dir, meta).filter(
             F.col("bucket").isin(tb) if tb else F.lit(False)
         ),
-    ).select(*_HISTORY_COLS)
+    ).select(*hcols)
     hist = cur
     if _has_closed(dim_dir):
-        closed = spark.read.parquet(_p(dim_dir, "closed"))
-        if "cbucket" in closed.columns:
-            closed = closed.filter(
-                F.col("cbucket").isin(cb) if cb else F.lit(False)
-            )
+        closed = _read_closed(spark, dim_dir, meta).filter(
+            F.col("cbucket").isin(cb) if cb else F.lit(False)
+        )
         closed = _minus_tombstones(spark, dim_dir, meta, closed)
-        hist = closed.select(*_HISTORY_COLS).unionByName(cur)
+        hist = closed.select(*hcols).unionByName(cur)
     return hist.join(F.broadcast(kb), "id", "semi")
 
 
@@ -568,22 +654,25 @@ def scd2_as_of(spark: SparkSession, dim_dir: str, batch_id: int) -> DataFrame:
     ≡ ``scd2_read_history`` is asserted in tests)."""
     _recover(dim_dir)
     meta = _meta(dim_dir)
+    hcols = _history_cols(_extras(meta))
     cur = (
-        _minus_tombstones(spark, dim_dir, meta, _read_current(spark, dim_dir))
+        _minus_tombstones(
+            spark, dim_dir, meta, _read_current(spark, dim_dir, meta)
+        )
         .filter(F.col("_written_inc") <= batch_id)
-        .select(*_HISTORY_COLS)
+        .select(*hcols)
     )
     if not _has_closed(dim_dir):
         return cur
     closed = _minus_tombstones(
-        spark, dim_dir, meta, spark.read.parquet(_p(dim_dir, "closed"))
+        spark, dim_dir, meta, _read_closed(spark, dim_dir, meta)
     ).filter(F.col("_written_inc") <= batch_id)
-    closed_by_now = closed.filter(F.col("inc") <= batch_id).select(*_HISTORY_COLS)
+    closed_by_now = closed.filter(F.col("inc") <= batch_id).select(*hcols)
     reopened = (
         closed.filter(F.col("inc") > batch_id)
         .withColumn("valid_to", F.lit(None).cast("timestamp"))
         .withColumn("is_current", F.lit(True))
-        .select(*_HISTORY_COLS)
+        .select(*hcols)
     )
     return closed_by_now.unionByName(reopened).unionByName(cur)
 
@@ -605,7 +694,9 @@ def scd2_rebucket(spark: SparkSession, dim_dir: str, n_buckets: int) -> None:
     meta = _meta(dim_dir)
     if int(n_buckets) == int(meta["n_buckets"]):
         return
-    cur = _read_current(spark, dim_dir).select(*_STORE_COLS)
+    cur = _read_current(spark, dim_dir, meta).select(
+        *_store_cols(_extras(meta))
+    )
     token = uuid.uuid4().hex[:12]
     stage = _p(dim_dir, f".staging-{token}/current")
     (
@@ -621,9 +712,9 @@ def scd2_rebucket(spark: SparkSession, dim_dir: str, n_buckets: int) -> None:
             os.remove(p)
     if not any(n.startswith("bucket=") for n in os.listdir(stage)):
         # empty store: keep a typed empty bucket so reads stay schema'd
-        spark.createDataFrame([], _STORE_SCHEMA).write.mode("overwrite").parquet(
-            os.path.join(stage, "bucket=0")
-        )
+        spark.createDataFrame([], _store_ddl(_extras(meta))).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, "bucket=0"))
     _write_journal(
         dim_dir,
         {
@@ -677,17 +768,16 @@ def scd2_compact_closed(
     before = parquet_file_count(root)
     # cluster key-bucket-major: a key-pruned read touches ~1/1024 of
     # the files; within a bucket slice `inc` stays contiguous so
-    # time-travel filters keep pruning too. Legacy pre-cbucket stores
-    # cluster on inc alone.
-    cols = (
-        ["cbucket", "inc"]
-        if "cbucket" in spark.read.parquet(root).columns
-        else ["inc"]
-    )
+    # time-travel filters keep pruning too. The rewrite reads under
+    # the EXPLICIT evolved schema — a footer-sampled read could
+    # silently drop a column pre-evolution files lack.
+    cols = ["cbucket", "inc"]
+    schema = _store_ddl(_extras(_meta(dim_dir))) + ", inc int, cbucket int"
     token = uuid.uuid4().hex[:12]
     stage = _p(dim_dir, f".staging-{token}/closed")
     cluster_parquet_into(
-        spark, root, stage, cols, target_bytes=target_bytes or TARGET_FILE_BYTES
+        spark, root, stage, cols,
+        target_bytes=target_bytes or TARGET_FILE_BYTES, schema=schema,
     )
     _write_journal(
         dim_dir, {"moves": [], "swaps": [[stage, root]], "meta": _meta(dim_dir)}
@@ -1168,8 +1258,8 @@ def scd2_purge_keys(
     stage = _p(dim_dir, f".staging-{token}")
 
     # current/: rewrite only the touched buckets, minus the spec
-    cur = _read_current(spark, dim_dir).filter(F.col("bucket").isin(tb))
-    kept = _minus_spec(cur).select(*_STORE_COLS)
+    cur = _read_current(spark, dim_dir, meta).filter(F.col("bucket").isin(tb))
+    kept = _minus_spec(cur).select(*_store_cols(_extras(meta)))
     (
         kept.withColumn("bucket", _bucket_of(n_buckets))
         .repartition(len(tb), "bucket")
@@ -1183,7 +1273,7 @@ def scd2_purge_keys(
         src = os.path.join(stage, f"current/bucket={b}")
         if not os.path.isdir(src):
             if empty is None:
-                empty = spark.createDataFrame([], _STORE_SCHEMA)
+                empty = spark.createDataFrame([], _store_ddl(_extras(meta)))
             empty.write.mode("overwrite").parquet(src)
         swaps.append([src, _p(dim_dir, f"current/bucket={b}")])
 
@@ -1204,9 +1294,11 @@ def scd2_purge_keys(
         )
         touched_files = _closed_files_touching(_p(dim_dir, "closed"), cbs)
         if touched_files:
-            closed = spark.read.parquet(*touched_files)
+            closed = spark.read.schema(
+                _store_ddl(_extras(meta)) + ", inc int, cbucket int"
+            ).parquet(*touched_files)
             kept_closed = _minus_spec(closed)
-            cols = ["cbucket", "inc"] if "cbucket" in closed.columns else ["inc"]
+            cols = ["cbucket", "inc"]
             (
                 kept_closed.repartitionByRange(
                     max(1, min(len(touched_files),
@@ -1253,6 +1345,37 @@ def scd2_store_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = hist.select("id").filter(F.col("id") % 97 == 0).distinct()
     scd2_purge_keys(spark, dst, keys)
     return scd2_read_history(spark, dst)
+
+
+def scd2_store_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of SCHEMA EVOLUTION (r10 verdict ask #3; the
+    reference validates nullable column adds end-to-end,
+    1-data-ingestion-pipeline/task9-validate-cdc.sh:296-320): build
+    the store from the initial load under the BASE schema, then apply
+    the CDC tail carrying a brand-new nullable ``channel`` column —
+    the upsert evolves ``meta.json``, writes the column into the new
+    files, and pre-evolution files back-fill null at read. Oracle
+    (``CDC_SCD2_HISTORY_EVOLVED_SQL``): the batch SCD2 build over the
+    concatenated changelog with the evolved schema — hash equality
+    attests evolved values land on exactly the post-evolution
+    versions, every pre-evolution version reads back null, and the
+    effectivity chain is untouched by the column add."""
+    from datapipe_spark.sources.cdc import synth_changelog
+    from datapipe_spark.util import fresh_dir
+
+    log = synth_changelog(spark, sf_dir)
+    store = fresh_dir("scd2_evolved")
+    scd2_init(spark, store)
+    scd2_upsert(spark, store, log.filter(F.col("__op") == "c"), batch_id=0)
+    tail = log.filter(F.col("__op") != "c").withColumn(
+        "channel",
+        F.when(
+            F.col("__op") == "u",
+            F.concat(F.lit("ch-"), (F.col("id") % 5).cast("string")),
+        ),
+    )
+    scd2_upsert(spark, store, tail, batch_id=1)
+    return scd2_read_history(spark, store)
 
 
 def scd2_store_purge_queued(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1312,7 +1435,7 @@ def scd2_expire_closed(spark: SparkSession, dim_dir: str, cutoff) -> dict:
     if not _has_closed(dim_dir):
         return {"expired_versions": 0}
     cut = F.lit(cutoff).cast("timestamp")
-    closed = spark.read.parquet(_p(dim_dir, "closed"))
+    closed = _read_closed(spark, dim_dir, meta)
     kept = closed.filter(F.col("valid_to") >= cut)
     # ONE aggregation yields both sides of the stats delta — the
     # rewrite below is then the only other scan of closed/ (a separate

@@ -279,6 +279,34 @@ WHERE __op <> 'd'
 """
 
 
+# oracle for scd2_store_evolved (schema evolution): the batch SCD2
+# build over the changelog with the evolved schema — 'u' rows (the
+# post-evolution tail) carry the new nullable channel column, 'c'
+# rows (pre-evolution) read back null
+CDC_SCD2_HISTORY_EVOLVED_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY}),
+ev AS (
+  SELECT *,
+         CASE WHEN __op = 'u'
+              THEN 'ch-' || CAST(id % 5 AS VARCHAR) END AS channel
+  FROM changelog
+),
+versions AS (
+  SELECT *,
+         LEAD(__ts_ms) OVER (PARTITION BY id ORDER BY __source_lsn) AS valid_to
+  FROM ev
+)
+SELECT id, user_id, status,
+       CAST(CAST(total_amount AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+       __ts_ms AS valid_from,
+       valid_to,
+       (valid_to IS NULL AND __op <> 'd') AS is_current,
+       __source_lsn,
+       channel
+FROM versions WHERE __op <> 'd'
+"""
+
+
 # oracle for scd2_dimension_as_of (time travel to the pre-delete
 # batch): SCD2 built over the changelog PREFIX — creates + updates
 # only, every delete still in the future

@@ -198,6 +198,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         scd2.scd2_store_purge_queued,
         cdcq.CDC_SCD2_HISTORY_PURGED_SQL,
     ),
+    # schema evolution (r11): the CDC tail adds a nullable column; the
+    # store evolves in place (meta + new files only — zero pre-
+    # evolution bytes rewritten) and must read back the batch build
+    # over the evolved changelog exactly
+    "scd2_store_evolved": (
+        scd2.scd2_store_evolved,
+        cdcq.CDC_SCD2_HISTORY_EVOLVED_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

@@ -1113,6 +1113,111 @@ def test_scd2_purge_keys_erases_all_history(spark, tmp_path, monkeypatch):
     assert {tuple(r) for r in scd2.scd2_read_history(spark, d3).collect()} == before3
 
 
+def test_scd2_schema_evolution_lifecycle(spark, tmp_path):
+    """r10 verdict ask #3: an increment carrying a new nullable column
+    evolves the store in place — meta records the column, new files
+    carry it, pre-evolution files back-fill null at read with ZERO
+    data rewritten (untouched bucket files stay byte-identical). The
+    evolved column must survive every store surface: history, lookup,
+    key-pruned reads, time travel, compaction, rebucketing, and purge;
+    a post-evolution increment WITHOUT the column (a lagging producer)
+    writes null."""
+    import datetime as dt
+    import hashlib
+    import os as _os
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "evolved")
+    base_schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    creates = spark.createDataFrame(
+        [(i, i * 10, "A", "5.00", t(0), "c", t(i), i) for i in range(1, 7)],
+        base_schema,
+    )
+    scd2.scd2_init(spark, d, n_buckets=4)
+    scd2.scd2_upsert(spark, d, creates, batch_id=0)
+
+    # pre-evolution bucket files that inc1 won't touch must not move
+    def _bucket_file_hashes():
+        out = {}
+        croot = scd2._p(d, "current")
+        for b in sorted(_os.listdir(croot)):
+            for f in sorted(_os.listdir(_os.path.join(croot, b))):
+                if f.endswith(".parquet"):
+                    with open(_os.path.join(croot, b, f), "rb") as fh:
+                        out[f"{b}/{f}"] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before_files = _bucket_file_hashes()
+
+    ev_schema = base_schema + ", channel string"
+    inc1 = spark.createDataFrame(
+        [(1, 10, "B", "6.00", t(0), "u", t(10), 101, "web")], ev_schema
+    )
+    assert scd2.scd2_upsert(spark, d, inc1, batch_id=1) is True
+    assert scd2._extras(scd2._meta(d)) == [("channel", "string")]
+
+    hist = {r["id"]: r for r in scd2.scd2_read_history(spark, d).collect()}
+    assert "channel" in scd2.scd2_read_history(spark, d).columns
+    # key 1 now has two versions: take the open one via lookup
+    assert scd2.scd2_lookup(spark, d, [1]).collect()[0]["channel"] == "web"
+    assert all(
+        r["channel"] is None
+        for r in scd2.scd2_read_history(spark, d).filter("id != 1").collect()
+    )
+    # untouched buckets: byte-identical (zero-rewrite column add)
+    after_files = _bucket_file_hashes()
+    touched_bucket = [
+        r[0]
+        for r in spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(1).cast("long")), F.lit(4)).cast("int")
+        ).collect()
+    ][0]
+    untouched = {
+        k: v
+        for k, v in before_files.items()
+        if not k.startswith(f"bucket={touched_bucket}/")
+    }
+    assert untouched, "fixture needs at least one untouched bucket"
+    for k, v in untouched.items():
+        assert after_files.get(k) == v, f"{k} rewritten by a column add"
+
+    # a lagging producer without the column writes null
+    inc2 = spark.createDataFrame(
+        [(2, 20, "C", "7.00", t(0), "u", t(11), 201)], base_schema
+    )
+    scd2.scd2_upsert(spark, d, inc2, batch_id=2)
+    assert scd2.scd2_lookup(spark, d, [2]).collect()[0]["channel"] is None
+
+    want = sorted(tuple(r) for r in scd2.scd2_read_history(spark, d).collect())
+
+    # time travel: pre-evolution state reads the evolved schema, null
+    asof0 = scd2.scd2_as_of(spark, d, 0)
+    assert "channel" in asof0.columns
+    assert all(r["channel"] is None for r in asof0.collect())
+    asof1 = {r["id"]: r for r in scd2.scd2_as_of(spark, d, 1).filter("is_current").collect()}
+    assert asof1[1]["channel"] == "web"
+
+    # maintenance preserves the evolved column exactly
+    scd2.scd2_compact_closed(spark, d)
+    assert sorted(tuple(r) for r in scd2.scd2_read_history(spark, d).collect()) == want
+    scd2.scd2_rebucket(spark, d, 8)
+    assert sorted(tuple(r) for r in scd2.scd2_read_history(spark, d).collect()) == want
+    kf = scd2.scd2_history_for_keys(
+        spark, d, spark.createDataFrame([(1,)], "id long")
+    ).collect()
+    assert {r["channel"] for r in kf} == {None, "web"}
+
+    # purge composes with evolution
+    scd2.scd2_purge_keys(spark, d, spark.createDataFrame([(1,)], "id long"))
+    got = sorted(tuple(r) for r in scd2.scd2_read_history(spark, d).collect())
+    assert got == [r for r in want if r[0] != 1]
+
+
 def test_scd2_queued_purges_equal_immediate_purges(spark, tmp_path):
     """r10 verdict ask #2 property: k queued purges (with interleaved
     upserts, including a re-insert of a queued key) read back — and,
