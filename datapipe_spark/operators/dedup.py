@@ -1513,7 +1513,10 @@ CC_DRIVER_MAX_EDGES = 500_000
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, driver_max_edges: int = CC_DRIVER_MAX_EDGES
+    pairs: DataFrame,
+    max_iters: int = 20,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-cluster assignment: connected components over a
     near-dup pair graph by iterative min-label propagation (the
@@ -1535,6 +1538,14 @@ def connected_components(
     O(diameter) Spark rounds of fixed overhead. Both paths are
     equivalence-tested; the distributed loop remains the path for
     billion-edge graphs.
+
+    A distributed loop that still has label changes after
+    ``max_iters`` RAISES instead of returning silently-wrong clusters
+    (r11: a component deeper than max_iters hops — min-label travels
+    one hop per round — would otherwise split into several clusters
+    with no signal; callers with genuinely deep graphs pass a larger
+    ``max_iters``). ``stats``, if given, receives
+    ``{"edges", "rounds", "path"}`` for scale instrumentation.
     """
     # near-dup pair graphs are far smaller than the corpus (edges ≈
     # true duplicates); size the per-iteration shuffles to the actual
@@ -1552,7 +1563,12 @@ def connected_components(
         .persist()  # count + repartition below both read this once-built cache
     )
     n_edges = undirected.count()
+    if stats is not None:
+        stats["edges"] = n_edges
     if n_edges <= driver_max_edges:
+        if stats is not None:
+            stats["path"] = "driver"
+            stats["rounds"] = 0
         rows = undirected.collect()
         parent: dict[int, int] = {}
 
@@ -1581,14 +1597,23 @@ def connected_components(
     # join key, so only the (smaller) labels side shuffles per round.
     n_parts = max(4, min(-(-n_edges // 1_000_000), 2048))
     edges = undirected.repartition(n_parts, "dst").persist()
+    # each round references `labels` TWICE (neighbor-min join + the
+    # step join), so building the next labels from the previous PLAN
+    # doubles the logical tree every round — by ~9 rounds the plan
+    # string alone OOMed the driver (r11, found by the deep-chain
+    # stress). localCheckpoint(eager) truncates lineage each round:
+    # the loop's plan stays constant-size at any depth, which is the
+    # property that lets the O(diameter) path run 200+ rounds.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    cached = labels  # the handle actually persisted (labels may be a projection of it)
+    changed = -1
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -1603,23 +1628,32 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
                 (F.col("nlabel") < F.col("label")).alias("_chg"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = stepped.agg(F.count(F.when(F.col("_chg"), 1))).first()[0]
-        cached.unpersist()
-        cached = stepped
         labels = stepped.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        edges.unpersist()
+        undirected.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"rounds ({changed} labels still moving): the graph has a "
+            "component deeper than max_iters hops — raise max_iters "
+            "rather than accept silently split clusters."
+        )
+    if stats is not None:
+        stats["path"] = "distributed"
+        stats["rounds"] = rounds
     # sever the result (small — one row per node in the pair graph)
-    # from every loop cache before releasing them; without this the
-    # final iteration's cache leaked for the rest of the session,
-    # measurably degrading later queries
+    # sever the result from the loop caches before releasing them
+    # (checkpointed label blocks are reclaimed by GC once the handle
+    # drops; the persisted edge caches are released explicitly)
     from datapipe_spark.util import materialize_and_release
 
     return materialize_and_release(
         labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id")),
-        cached,
         edges,
         undirected,
     )
