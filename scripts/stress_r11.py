@@ -53,8 +53,25 @@ def pruned_purge(spark, scratch: str) -> None:
     for n_keys in (200_000, 800_000, 3_200_000):
         store = os.path.join(scratch, f"ppurge_{n_keys}")
         _bulk_load(spark, store, n_keys, max(8, n_keys // 25_000))
+        # two more update generations over 25% of keys: a real closed
+        # slice (~60% of n_keys versions), so the clustered rewrite
+        # splits into enough files for footer pruning to matter
+        for gen in (2, 3):
+            upd = spark.range(0, n_keys, 4).select(
+                "id",
+                (F.col("id") % 1000).alias("user_id"),
+                F.lit(f"s{gen}").alias("status"),
+                (F.col("id") % 997 + gen).cast("decimal(18,2)").cast("string")
+                .alias("total_amount"),
+                F.lit("u").alias("__op"),
+                F.expr(
+                    f"timestamp'2024-01-01' + make_interval(0,0,0,0,0,{gen})"
+                ).alias("__ts_ms"),
+                (F.col("id") * 100_000 + gen).alias("__source_lsn"),
+            )
+            scd2.scd2_upsert(spark, store, upd, batch_id=gen)
         # cluster history so footer pruning has narrow cbucket ranges
-        scd2.scd2_compact_closed(spark, store, target_bytes=4 << 20)
+        scd2.scd2_compact_closed(spark, store, target_bytes=512 << 10)
         closed_mb = table_bytes(os.path.join(store, "closed")) / 1e6
         n_files = sum(
             1
@@ -201,20 +218,25 @@ def bpe_largek(spark, scratch: str) -> None:
 
     from datapipe_spark.operators import textstats as ts
 
-    # char-level types from the sf0.1 documents vocabulary, frequency-
-    # capped so the recount oracle's flat-times-k wall stays feasible
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    vocab = (
-        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
-        .filter("w rlike '^[a-z]+$'")
-        .groupBy("w")
-        .count()
-        .orderBy(F.desc("count"), "w")
-        .limit(12_000)
-        .collect()
-    )
-    types = {tuple(r["w"]) + ("</w>",): int(r["count"]) for r in vocab}
+    # the driver testdata's documents vocabulary is 31 synthetic words
+    # — far too small to sustain 8192 merges — so the large-k row uses
+    # a seeded synthetic vocabulary with a rich character-pair
+    # distribution (Zipf-ish frequencies, word lengths 6-14). Both
+    # trainers see the SAME types dict; the comparison is shape, not
+    # corpus realism.
+    import random
+
+    rng = random.Random(11)
+    types: dict = {}
+    while len(types) < 6_000:
+        n = rng.randint(6, 14)
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n)
+        )
+        t = tuple(w) + ("</w>",)
+        if t not in types:
+            types[t] = max(1, int(5_000 / (len(types) + 1) ** 0.7))
+    _ = F  # spark unused on this path; keep the import uniform
 
     def _timed(fn, k):
         t0 = time.monotonic()
