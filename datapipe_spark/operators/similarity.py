@@ -14,10 +14,13 @@ heap (mapInPandas), which preserves the same output contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from datapipe_spark.operators.lease import guards_writer
 from datapipe_spark.sources.tables import load_table
 
 DEFAULT_K = 10
@@ -335,6 +338,7 @@ def _load_centroids(spark: SparkSession, index_dir: str):
     return np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in cent])
 
 
+@guards_writer
 def append_ivf_index(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -> None:
     """Incremental add — the reason the persisted split exists: new
     ``(vec_id, v)`` rows are assigned with the FROZEN persisted
@@ -349,6 +353,7 @@ def append_ivf_index(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -
     ).partitionBy("qcell").parquet(index_dir.rstrip("/") + "/cells")
 
 
+@guards_writer
 def compact_ivf_index(
     spark: SparkSession, index_dir: str, target_bytes: int | None = None
 ) -> tuple:
@@ -371,6 +376,11 @@ def compact_ivf_index(
     )
 
     _ivf_roll_forward(index_dir, sweep=True)  # writer entry
+    # fold the merge-on-read erasure queue first (the posture shared
+    # by scd2_compact_closed and compact_minhash_index): post-
+    # compaction probes drop the anti-join entirely
+    if _ivf_has_tombstones(index_dir.rstrip("/")):
+        purge_ivf_index(spark, index_dir, None)
     cells = index_dir.rstrip("/") + "/cells"
     before = parquet_file_count(cells)
     # compact_parquet heals + sweeps any crashed prior swap at entry
@@ -431,6 +441,7 @@ def topk_ivf_index(
     idx = spark.read.parquet(index_dir.rstrip("/") + "/cells").filter(
         F.col("qcell").isin(sorted({int(c) for row in order for c in row}))
     )
+    idx = _ivf_minus_tombstones(spark, index_dir.rstrip("/"), idx)
     scored = (
         F.broadcast(probes)
         .join(idx, "qcell")
@@ -1488,6 +1499,17 @@ def _ivf_roll_forward(index_dir: str, sweep: bool = False) -> bool:
     if pending:
         with open(jp) as f:
             j = json.load(f)
+        for src, dst in j.get("moves", []):
+            if os.path.exists(src):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+            elif not os.path.exists(dst):
+                raise RuntimeError(
+                    f"IVF index journal at {jp} names a move whose source "
+                    f"and destination are both missing ({src} -> {dst}): "
+                    "the staged files were destroyed after the commit "
+                    "point. Refusing to complete a torn commit."
+                )
         for src, live in j["swaps"]:
             old = live + ".old"
             if os.path.exists(src):
@@ -1503,6 +1525,12 @@ def _ivf_roll_forward(index_dir: str, sweep: bool = False) -> bool:
                     "commit point. Refusing to complete a torn commit."
                 )
             shutil.rmtree(old, ignore_errors=True)
+        # deletes after moves/swaps (the journal posture shared with
+        # scd2/dedup_index): a purge folding the tombstone queue clears
+        # its files here — removing a missing file is the replayed state
+        for path in j.get("deletes", []):
+            if os.path.exists(path):
+                os.remove(path)
         os.remove(jp)
     if sweep:
         for name in os.listdir(base):
@@ -1511,8 +1539,81 @@ def _ivf_roll_forward(index_dir: str, sweep: bool = False) -> bool:
     return pending
 
 
-def purge_ivf_index(
+# broadcast gate for the tombstone fold at read: tombstone rows are a
+# single long column (~10 bytes/row on disk), so a BYTE gate gives the
+# reader its broadcast decision for free (no count job per probe) —
+# 32 MB ≈ the 2M-row gate the other stores use
+IVF_TOMBSTONE_BROADCAST_MAX_BYTES = 32 << 20
+
+
+def _ivf_has_tombstones(base: str) -> bool:
+    root = base + "/tombstones"
+    return os.path.isdir(root) and any(
+        n.endswith(".parquet") for n in os.listdir(root)
+    )
+
+
+def _ivf_minus_tombstones(spark: SparkSession, base: str, idx: DataFrame) -> DataFrame:
+    """Merge-on-read erasure on the probe's cells scan (r11 — the
+    ``scd2_queue_purge`` posture on the IVF index): queued vec_ids are
+    anti-joined out BEFORE scoring, so erased vectors appear in no
+    top-k and survivors fill the ranks exactly as they would after the
+    physical purge. Broadcast under a byte gate (tombstones are one
+    long column; bytes stand in for the row count with no extra job)."""
+    if not _ivf_has_tombstones(base):
+        return idx
+    from datapipe_spark.operators.maintenance import table_bytes
+
+    tomb = spark.read.parquet(base + "/tombstones").select("vec_id")
+    if table_bytes(base + "/tombstones") <= IVF_TOMBSTONE_BROADCAST_MAX_BYTES:
+        tomb = F.broadcast(tomb)
+    return idx.join(tomb, "vec_id", "left_anti")
+
+
+@guards_writer
+def queue_purge_ivf_index(
     spark: SparkSession, index_dir: str, purge_ids: DataFrame
+) -> int:
+    """Merge-on-read erasure queue for the IVF index (r11, completing
+    the r10 ask-#2 pattern across all three persisted stores): append
+    the vec_ids to ``tombstones/`` without rewriting any ``qcell=``
+    partition. Probes fold the queue at read; ``purge_ivf_index`` /
+    ``compact_ivf_index`` fold it physically and clear it. Journaled
+    (moves) like every other append in this repo. Returns the number
+    of ids queued."""
+    import json
+    import uuid
+
+    base = index_dir.rstrip("/")
+    _ivf_roll_forward(base, sweep=True)
+    kb = purge_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    n = kb.count()
+    if n == 0:
+        return 0
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(base, f".staging-{token}")
+    kb.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(stage, "tombstones")
+    )
+    moves = []
+    sdir = os.path.join(stage, "tombstones")
+    for name in sorted(os.listdir(sdir)):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            moves.append(
+                [os.path.join(sdir, name),
+                 os.path.join(base, f"tombstones/{token}-{name}")]
+            )
+    tmp = os.path.join(base, f"{_IVF_JOURNAL}.tmp-{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump({"moves": moves, "swaps": []}, f)
+    os.replace(tmp, os.path.join(base, _IVF_JOURNAL))
+    _ivf_roll_forward(base, sweep=True)
+    return n
+
+
+@guards_writer
+def purge_ivf_index(
+    spark: SparkSession, index_dir: str, purge_ids: DataFrame | None = None
 ) -> dict:
     """Compliance erasure on the persisted IVF index: remove every
     vector row for the given ``vec_id``s. The frozen quantizer
@@ -1548,7 +1649,27 @@ def purge_ivf_index(
     cells = base + "/cells"
     _ivf_roll_forward(base, sweep=True)
     recover_swap(cells)  # heal a crashed compaction swap first
-    kb = purge_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    # fold the merge-on-read queue (r11): queued tombstones join the
+    # explicit backlog and are cleared in this same journaled commit
+    # (purge_ids=None is the maintenance-pass form)
+    parts = []
+    if purge_ids is not None:
+        parts.append(purge_ids.select("vec_id"))
+    tomb_files = (
+        [
+            os.path.join(base, "tombstones", n)
+            for n in sorted(os.listdir(os.path.join(base, "tombstones")))
+            if n.endswith(".parquet")
+        ]
+        if _ivf_has_tombstones(base)
+        else []
+    )
+    if tomb_files:
+        parts.append(spark.read.parquet(base + "/tombstones").select("vec_id"))
+    if not parts:
+        return {"purged_vecs": 0, "touched_cells": 0}
+    spec = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    kb = spec.distinct().localCheckpoint(eager=True)
     n_purge = kb.count()
     if n_purge == 0:
         return {"purged_vecs": 0, "touched_cells": 0}
@@ -1565,6 +1686,14 @@ def purge_ivf_index(
     touched = sorted(int(r["qcell"]) for r in hits)
     n_found = int(sum(r["count"] for r in hits))
     if not touched:
+        if tomb_files:  # queue held only never-seen ids: just clear it
+            import json as _json
+
+            tmp = os.path.join(base, f"{_IVF_JOURNAL}.tmp-{os.getpid()}")
+            with open(tmp, "w") as f:
+                _json.dump({"swaps": [], "deletes": tomb_files}, f)
+            os.replace(tmp, os.path.join(base, _IVF_JOURNAL))
+            _ivf_roll_forward(base, sweep=True)
         return {"purged_vecs": 0, "touched_cells": 0}
 
     token = uuid.uuid4().hex[:12]
@@ -1587,7 +1716,7 @@ def purge_ivf_index(
         swaps.append([src, f"{cells}/qcell={c}"])
     tmp = os.path.join(base, f"{_IVF_JOURNAL}.tmp-{os.getpid()}")
     with open(tmp, "w") as f:
-        json.dump({"swaps": swaps}, f)
+        json.dump({"swaps": swaps, "deletes": tomb_files}, f)
     os.replace(tmp, os.path.join(base, _IVF_JOURNAL))
     _ivf_roll_forward(base, sweep=True)
     return {"purged_vecs": n_found, "touched_cells": len(touched)}
@@ -1659,6 +1788,33 @@ def similarity_topk_ivf_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(scratch, ignore_errors=True)
     shutil.copytree(idx, scratch)
     purge_ivf_index(
+        spark,
+        scratch,
+        load_table(spark, sf_dir, "embeddings")
+        .filter(IVF_PURGED_PRED)
+        .select("vec_id"),
+    )
+    return topk_ivf_index(spark, sf_dir, scratch)
+
+
+def similarity_topk_ivf_purge_queued(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of MERGE-ON-READ vector erasure (r11): clone the
+    cached persisted IVF index, QUEUE the same deterministic backlog —
+    tombstone appends only, zero ``qcell=`` partitions rewritten —
+    then answer the standard top-k through the tombstone-folding
+    probe. Rows-only like every ANN entry (learned float quantizer);
+    exact output equality with the physical-purge path is pinned in
+    tests, so the driver's row check plus that pin carry the
+    contract."""
+    import shutil
+
+    from datapipe_spark.util import fresh_dir
+
+    idx = _cached_ivf_store(spark, sf_dir)
+    scratch = fresh_dir("ivf_index_purge_queued")
+    shutil.rmtree(scratch, ignore_errors=True)
+    shutil.copytree(idx, scratch)
+    queue_purge_ivf_index(
         spark,
         scratch,
         load_table(spark, sf_dir, "embeddings")

@@ -450,6 +450,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # probe; rows-only (ANN) — frozen-quantizer rebuild equality and
     # purged-absent are pinned in tests instead of a SQL oracle
     "similarity_topk_ivf_purged": (similarity.similarity_topk_ivf_purged, None),
+    # merge-on-read vector erasure (r11): the same backlog queued as
+    # tombstones only; probe-equality with the physical purge pinned
+    # in tests (rows-only — ANN carve-out)
+    "similarity_topk_ivf_purge_queued": (
+        similarity.similarity_topk_ivf_purge_queued,
+        None,
+    ),
     "lang_id_ngram": (textstats.lang_id_ngram, None),  # data-derived model
     "knn_join_ivf": (similarity.knn_join_ivf, None),  # ANN kNN graph
     "lineage_orders_raw": (_lineage_orders_raw, None),  # Q4: nondeterministic

@@ -2650,6 +2650,45 @@ def test_purge_ivf_index_frozen_quantizer_equality(spark, sf_dir, tmp_path):
     }
 
 
+def test_queue_purge_ivf_equals_physical_purge(spark, sf_dir, tmp_path):
+    """r11 (completing the merge-on-read pattern across all three
+    persisted stores): a queued IVF erasure backlog probes identically
+    to the physical purge — erased ids in no result, survivors filling
+    the ranks — and compaction folds the queue: afterwards the cells
+    tables are row-identical and the tombstone set is gone."""
+    from datapipe_spark.operators import similarity as sim
+    from datapipe_spark.sources.tables import load_table
+
+    idx_q, idx_p = str(tmp_path / "mor"), str(tmp_path / "phys")
+    sim.build_ivf_index(spark, sf_dir, idx_q, nlist=10)
+    sim.build_ivf_index(spark, sf_dir, idx_p, nlist=10)
+    purge = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(sim.IVF_PURGED_PRED)
+        .select("vec_id")
+    )
+    assert sim.queue_purge_ivf_index(spark, idx_q, purge) > 0
+    sim.purge_ivf_index(spark, idx_p, purge)
+
+    def topk(idx):
+        return sorted(
+            map(tuple, sim.topk_ivf_index(spark, sf_dir, idx).collect())
+        )
+
+    got, want = topk(idx_q), topk(idx_p)
+    assert got == want and got, "MOR probe must equal the physical purge"
+    purged_ids = {r["vec_id"] for r in purge.collect()}
+    assert not purged_ids & {t[1] for t in got}, "erased ids surfaced"
+
+    # compaction folds the queue physically and clears it
+    sim.compact_ivf_index(spark, idx_q)
+    assert not sim._ivf_has_tombstones(idx_q)
+    cq = sorted(map(repr, spark.read.parquet(f"{idx_q}/cells").collect()))
+    cp = sorted(map(repr, spark.read.parquet(f"{idx_p}/cells").collect()))
+    assert cq == cp
+    assert topk(idx_q) == want
+
+
 def test_purge_ivf_index_torn_commit_recovers(spark, sf_dir, tmp_path, monkeypatch):
     """A crash between the purge's journal write and its partition
     swaps must be completed by the next reader entry — the journaled
