@@ -812,7 +812,7 @@ def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v5".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v6".encode()
     ).hexdigest()[:16]
     root = os.environ.get("SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2")
     out = os.path.join(root, key)
@@ -825,6 +825,11 @@ def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
         # scd2_as_of has nontrivial intermediate states to travel to
         for b, op in enumerate(("c", "u", "d")):
             scd2_upsert(spark, tmp, log.filter(F.col("__op") == op), batch_id=b)
+        # leave the cache in maintained form: closed/ range-clustered
+        # on (cbucket, inc), the layout a production store sits in
+        # between maintenance passes — key-pruned reads footer-prune
+        # and the purge entries exercise the file-pruned rewrite
+        scd2_compact_closed(spark, tmp)
         open(os.path.join(tmp, "_READY"), "w").close()
         try:
             os.makedirs(root, exist_ok=True)
@@ -1376,6 +1381,35 @@ def scd2_store_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scd2_upsert(spark, store, tail, batch_id=1)
     return scd2_read_history(spark, store)
+
+
+def scd2_store_evolved_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution × time travel (r11): build the evolved store
+    (base creates, then the CDC tail carrying the new ``channel``
+    column), then travel back to increment 0 — BEFORE the evolution.
+    The reconstruction must read under the evolved schema (the column
+    exists store-wide once meta records it) with ``channel`` null on
+    every version: pre-evolution versions never carried it, and the
+    versions the evolving increment closed re-open with their ORIGINAL
+    (pre-evolution) attribute values. Oracle
+    (``CDC_SCD2_AS_OF_C_EVOLVED_SQL``): the creates-only SCD2 build
+    with a typed null channel."""
+    from datapipe_spark.sources.cdc import synth_changelog
+    from datapipe_spark.util import fresh_dir
+
+    log = synth_changelog(spark, sf_dir)
+    store = fresh_dir("scd2_evolved_asof")
+    scd2_init(spark, store)
+    scd2_upsert(spark, store, log.filter(F.col("__op") == "c"), batch_id=0)
+    tail = log.filter(F.col("__op") != "c").withColumn(
+        "channel",
+        F.when(
+            F.col("__op") == "u",
+            F.concat(F.lit("ch-"), (F.col("id") % 5).cast("string")),
+        ),
+    )
+    scd2_upsert(spark, store, tail, batch_id=1)
+    return scd2_as_of(spark, store, batch_id=0)
 
 
 def scd2_store_purge_queued(spark: SparkSession, sf_dir: str) -> DataFrame:

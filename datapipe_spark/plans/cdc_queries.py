@@ -307,6 +307,22 @@ FROM versions WHERE __op <> 'd'
 """
 
 
+# oracle for scd2_store_evolved_asof (evolution × time travel): the
+# state BEFORE the evolving increment is the creates-only build —
+# every version open, the evolved column typed but null everywhere
+CDC_SCD2_AS_OF_C_EVOLVED_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY})
+SELECT id, user_id, status,
+       CAST(CAST(total_amount AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+       __ts_ms AS valid_from,
+       CAST(NULL AS TIMESTAMP) AS valid_to,
+       TRUE AS is_current,
+       __source_lsn,
+       CAST(NULL AS VARCHAR) AS channel
+FROM changelog WHERE __op = 'c'
+"""
+
+
 # oracle for scd2_dimension_as_of (time travel to the pre-delete
 # batch): SCD2 built over the changelog PREFIX — creates + updates
 # only, every delete still in the future

@@ -206,6 +206,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         scd2.scd2_store_evolved,
         cdcq.CDC_SCD2_HISTORY_EVOLVED_SQL,
     ),
+    # evolution × time travel: reconstructing the pre-evolution state
+    # must read the evolved schema with the new column null everywhere
+    "scd2_store_evolved_asof": (
+        scd2.scd2_store_evolved_asof,
+        cdcq.CDC_SCD2_AS_OF_C_EVOLVED_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
