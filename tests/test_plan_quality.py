@@ -699,3 +699,45 @@ def test_purge_ivf_index_plan_prunes_to_touched_cells(spark, tmp_path):
     assert "SortMergeJoin" not in plan and "Cartesian" not in plan
     pf = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "qcell" in pf, plan
+
+
+def test_ivf_tombstone_fold_broadcasts_and_vanishes_when_empty(spark, tmp_path):
+    """The IVF merge-on-read fold (r11): a probe scan against a queued
+    index folds tombstones with a broadcast anti-join under the byte
+    gate — never a shuffle of the cells table — and the anti-join
+    vanishes from the plan once the queue is folded/cleared."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import similarity as sim
+
+    base = str(tmp_path / "ivf_mor")
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), i -> cast(id * i as double))"
+        ).alias("v"),
+        (F.col("id") % 10).cast("int").alias("qcell"),
+    )
+    vecs.write.mode("overwrite").partitionBy("qcell").parquet(base + "/cells")
+    sim.queue_purge_ivf_index(
+        spark, base, spark.createDataFrame([(7,), (17,)], "vec_id long")
+    )
+    idx = spark.read.parquet(base + "/cells").filter(F.col("qcell").isin([7]))
+    plan = (
+        sim._ivf_minus_tombstones(spark, base, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+
+    sim.purge_ivf_index(spark, base, None)  # fold clears the queue
+    assert not sim._ivf_has_tombstones(base)
+    plan2 = (
+        sim._ivf_minus_tombstones(spark, base, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" not in plan2, plan2

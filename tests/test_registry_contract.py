@@ -28,6 +28,9 @@ _REPO = os.path.join(os.path.dirname(__file__), "..")
 ROWS_ONLY_BY_DESIGN = {
     "similarity_topk_ivf",
     "similarity_topk_ivf_purged",  # same ANN carve-out; rebuild-equality tested
+    # same carve-out; probe-equality with the physical purge pinned in
+    # test_queue_purge_ivf_equals_physical_purge (r11)
+    "similarity_topk_ivf_purge_queued",
     "similarity_topk_pq",
     "lang_id_ngram",
     "funnel_daily_approx",
