@@ -1330,6 +1330,64 @@ def test_scd2_queued_purges_equal_immediate_purges(spark, tmp_path):
     assert scd2._meta(d3).get("n_tombstones", 0) == 0
 
 
+def test_scd2_tombstones_compose_with_expiry_and_rebucket(spark, tmp_path):
+    """A queued (unfolded) erasure must survive every other
+    maintenance writer: expiry rewrites closed/ and rebucketing
+    rewrites current/ while tombstones are still queued — reads keep
+    hiding the queued keys throughout, and the eventual compaction
+    fold leaves exactly the expired+purged history."""
+    import datetime as dt
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "compose")
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    creates = spark.createDataFrame(
+        [(i, i * 10, "A", "5.00", t(0), "c", t(i), i) for i in range(1, 9)],
+        schema,
+    )
+    updates = spark.createDataFrame(
+        [(i, i * 10, "B", "6.00", t(0), "u", t(30 + i), 100 + i) for i in range(1, 9)],
+        schema,
+    )
+    scd2.scd2_init(spark, d, n_buckets=4)
+    scd2.scd2_upsert(spark, d, creates, batch_id=0)
+    scd2.scd2_upsert(spark, d, updates, batch_id=1)
+
+    scd2.scd2_queue_purge(spark, d, spark.createDataFrame([(3,)], "id long"))
+
+    def ids(df):
+        return sorted(r["id"] for r in df.collect())
+
+    # closed rows: creates 1..8 closed at t(31..38); expire the first 4
+    scd2.scd2_expire_closed(spark, d, t(35))
+    hist = scd2.scd2_read_history(spark, d)
+    pre_rebucket_ids = ids(hist)  # materialize BEFORE the next rewrite
+    assert 3 not in pre_rebucket_ids, "queued key visible after expiry rewrite"
+    # keys 1-4's closed versions expired (valid_to < t(35)); key 3 hidden
+    assert ids(hist.filter("is_current")) == [1, 2, 4, 5, 6, 7, 8]
+    assert ids(hist.filter("NOT is_current")) == [5, 6, 7, 8]
+
+    scd2.scd2_rebucket(spark, d, 8)
+    hist2 = scd2.scd2_read_history(spark, d)
+    assert ids(hist2) == pre_rebucket_ids, "rebucket changed visible history"
+    assert scd2._meta(d)["n_tombstones"] == 1, "rebucket must not drop the queue"
+
+    want = sorted(tuple(r) for r in hist2.collect())
+    scd2.scd2_compact_closed(spark, d)  # folds the queue
+    assert scd2._meta(d).get("n_tombstones", 0) == 0
+    assert sorted(tuple(r) for r in scd2.scd2_read_history(spark, d).collect()) == want
+    # post-fold, key 3 is physically gone from both slices
+    for part in ("current", "closed"):
+        assert (
+            spark.read.parquet(scd2._p(d, part)).filter("id = 3").count() == 0
+        ), part
+
+
 def test_scd2_writer_lease_blocks_second_writer(spark, tmp_path):
     """r10 verdict ask #8: the single-writer-per-store contract is now
     ENFORCED — a second writer finding a live lease raises and the
