@@ -1383,6 +1383,25 @@ def scd2_store_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_read_history(spark, store)
 
 
+def scd2_keyed_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the key-pruned history read (r11 — the
+    feature-serving PIT *source* path, previously plan-gated and
+    equality-tested but never driver-attested): every version of just
+    the ``id % 53 = 0`` keys from the cached store. The ``current/``
+    scan partition-prunes to the keys' layout buckets, the ``closed/``
+    scan filters on the fixed-modulus ``cbucket`` (footer-selective on
+    the compacted cache), and the broadcast semi join trims to the
+    exact key set. Oracle (``CDC_SCD2_HISTORY_KEYED_SQL``): the batch
+    SCD2 build filtered to the same keys."""
+    store = _cached_scd2_store(spark, sf_dir)
+    keys = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select(F.col("o_orderkey").alias("id"))
+        .filter(F.col("id") % 53 == 0)
+    )
+    return scd2_history_for_keys(spark, store, keys)
+
+
 def scd2_store_evolved_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution × time travel (r11): build the evolved store
     (base creates, then the CDC tail carrying the new ``channel``

@@ -307,6 +307,25 @@ FROM versions WHERE __op <> 'd'
 """
 
 
+# oracle for scd2_keyed_history (key-pruned full-history read): the
+# batch SCD2 build trimmed to the deterministic key set
+CDC_SCD2_HISTORY_KEYED_SQL = f"""
+WITH changelog AS ({SYNTH_CHANGELOG_SQL_BODY}),
+versions AS (
+  SELECT *,
+         LEAD(__ts_ms) OVER (PARTITION BY id ORDER BY __source_lsn) AS valid_to
+  FROM changelog
+)
+SELECT id, user_id, status,
+       CAST(CAST(total_amount AS DECIMAL(18,2)) AS DOUBLE) AS total_amount,
+       __ts_ms AS valid_from,
+       valid_to,
+       (valid_to IS NULL AND __op <> 'd') AS is_current,
+       __source_lsn
+FROM versions WHERE __op <> 'd' AND id % 53 = 0
+"""
+
+
 # oracle for scd2_store_evolved_asof (evolution × time travel): the
 # state BEFORE the evolving increment is the creates-only build —
 # every version open, the evolved column typed but null everywhere

@@ -212,6 +212,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         scd2.scd2_store_evolved_asof,
         cdcq.CDC_SCD2_AS_OF_C_EVOLVED_SQL,
     ),
+    # key-pruned full-history read (the PIT feature source): bucket-
+    # pruned current/ + cbucket-pruned closed/ + broadcast semi join,
+    # against the batch build trimmed to the same keys
+    "scd2_keyed_history": (
+        scd2.scd2_keyed_history,
+        cdcq.CDC_SCD2_HISTORY_KEYED_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
