@@ -854,6 +854,23 @@ def purge_minhash_index(
     # rows (meta delta) and the affected groups (rep translation)
     hits = mem.join(probe, "doc_id").localCheckpoint(eager=True)
     n_found = hits.count()
+    if n_found == 0:
+        # backlog held only never-indexed ids: nothing to rewrite —
+        # commit a queue-clear-only journal (the scd2_purge_keys /
+        # purge_ivf_index never-seen-keys posture; r11 advisory, low —
+        # a full mem/sigs/bands rewrite here would be a pointless
+        # O(index) pass for a no-op erasure)
+        if tomb_files:
+            tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"moves": [], "swaps": [], "deletes": tomb_files,
+                     "meta": {**meta, "n_tombstones": 0}},
+                    f,
+                )
+            os.replace(tmp, _p(index_dir, _JOURNAL))
+            _roll_forward(index_dir, sweep=True)
+        return {"purged_docs": 0, "dropped_reps": 0, "renamed_reps": 0}
     affected = hits.select("ghash", F.col("rep_id").alias("old_rep")).distinct()
     # new rep per affected group = min SURVIVING member (the build's
     # rep rule): aggregation over the affected slice only

@@ -34,9 +34,21 @@ reader-sweeps-live-staging hazard in lock form.
 In-process reentrancy: a writer entry that calls another writer entry
 on the same store (``scd2_compact_closed`` folding queued tombstones
 through ``scd2_purge_keys``) re-enters its own lease via a depth
-counter instead of deadlocking on its own file — the lease guards
-CROSS-PROCESS writers; within one process the single-writer contract
-is the caller's composition.
+counter instead of deadlocking on its own file. Reentry is per-THREAD
+(r11 advisory, low): the genuinely nested calls are same-thread by
+construction, while a second thread in the same process (two
+concurrent streaming queries in one driver — the most likely real
+concurrent-writer shape) is exactly the interleaved-journal hazard
+the lease exists to stop, so it raises ``StoreLockedError`` like any
+other concurrent writer.
+
+Steal safety (r11 advisory, medium): judging a lease stale and
+renaming it away are two steps, and the lease can change hands in
+between — the stale holder releases and a NEW writer acquires, so the
+rename would kidnap a LIVE lease and admit two writers. The stealer
+therefore re-reads the tombstone after the rename and verifies the
+token matches the lease it judged stale; on mismatch it restores the
+file and retries the loop, so a live lease is never destroyed.
 """
 
 from __future__ import annotations
@@ -72,7 +84,7 @@ def _pid_alive(pid) -> bool:
         return False
 
 
-# in-process reentrancy bookkeeping: abspath -> [token, depth]
+# in-process reentrancy bookkeeping: abspath -> [token, depth, thread_id]
 _held: dict[str, list] = {}
 _held_mu = threading.Lock()
 
@@ -80,13 +92,24 @@ _held_mu = threading.Lock()
 def acquire(store_dir: str, ttl_seconds: float = LEASE_TTL_SECONDS) -> str:
     """Acquire the store's writer lease; returns the lease token to
     pass to ``release``. Raises ``StoreLockedError`` if a live writer
-    holds it. Reentrant within the process (module docstring)."""
+    holds it. Reentrant within the owning THREAD only (module
+    docstring)."""
     path = _lease_path(store_dir)
     key = os.path.abspath(store_dir)
+    tid = threading.get_ident()
     with _held_mu:
-        if key in _held:
-            _held[key][1] += 1
-            return _held[key][0]
+        entry = _held.get(key)
+        if entry is not None:
+            if entry[2] == tid:
+                entry[1] += 1
+                return entry[0]
+            raise StoreLockedError(
+                f"store at {store_dir} has a live writer lease held by "
+                f"another thread of this process (thread {entry[2]}): "
+                "single writer per store by contract — a second "
+                "concurrent writer would interleave journal writes. "
+                "Nested writer calls re-enter only on the owning thread."
+            )
     token = uuid.uuid4().hex
     body = json.dumps(
         {"pid": os.getpid(), "token": token, "acquired": time.time()}
@@ -99,7 +122,7 @@ def acquire(store_dir: str, ttl_seconds: float = LEASE_TTL_SECONDS) -> str:
             finally:
                 os.close(fd)
             with _held_mu:
-                _held[key] = [token, 1]
+                _held[key] = [token, 1, tid]
             return token
         except FileExistsError:
             pass
@@ -109,16 +132,29 @@ def acquire(store_dir: str, ttl_seconds: float = LEASE_TTL_SECONDS) -> str:
             age = time.time() - os.stat(path).st_mtime
         except (FileNotFoundError, json.JSONDecodeError):
             continue  # holder released (or torn write) mid-check: retry
-        # a lease naming OUR OWN pid while _held lacks the key is
-        # debris from a crashed call in this very process (the file
-        # landed but the call died before release): _held is the
-        # in-process source of truth, so reclaim immediately — without
-        # this, a crashed writer would lock its own store until TTL
-        stale = (
-            age > ttl_seconds
-            or not _pid_alive(held.get("pid"))
-            or held.get("pid") == os.getpid()
-        )
+        if held.get("pid") == os.getpid():
+            # a lease naming OUR OWN pid needs the in-process source of
+            # truth consulted UNDER the mutex: if another thread holds
+            # it, this is the concurrent-thread case (raise); if _held
+            # lacks the key, the file is debris from a crashed call in
+            # this very process (the file landed but the call died
+            # before release) — reclaim immediately, else a crashed
+            # writer would lock its own store until TTL
+            with _held_mu:
+                entry = _held.get(key)
+                if entry is not None:
+                    if entry[2] == tid:
+                        entry[1] += 1
+                        return entry[0]
+                    raise StoreLockedError(
+                        f"store at {store_dir} has a live writer lease "
+                        f"held by another thread of this process "
+                        f"(thread {entry[2]}): single writer per store "
+                        "by contract."
+                    )
+            stale = True
+        else:
+            stale = age > ttl_seconds or not _pid_alive(held.get("pid"))
         if not stale:
             raise StoreLockedError(
                 f"store at {store_dir} has a live writer lease "
@@ -134,6 +170,24 @@ def acquire(store_dir: str, ttl_seconds: float = LEASE_TTL_SECONDS) -> str:
         try:
             os.rename(path, tomb)
         except FileNotFoundError:
+            continue
+        # TOCTOU guard (module docstring): between the staleness read
+        # and the rename, the stale holder may have released and a NEW
+        # writer acquired — then the tombstone is the new holder's LIVE
+        # lease. Verify the token matches the lease we judged stale;
+        # on mismatch restore it and retry the loop.
+        try:
+            with open(tomb) as f:
+                tomb_held = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            tomb_held = None
+        if tomb_held is not None and tomb_held.get("token") != held.get(
+            "token"
+        ):
+            try:
+                os.rename(tomb, path)  # path is absent: we renamed it away
+            except OSError:
+                os.remove(tomb)  # a third writer re-created path first
             continue
         os.remove(tomb)
     raise StoreLockedError(

@@ -124,17 +124,22 @@ def cluster_parquet_into(
     cluster_cols: list[str],
     target_bytes: int = TARGET_FILE_BYTES,
     schema: str | None = None,
+    transform=None,
 ) -> None:
     """The rewrite half of ``cluster_parquet`` without the swap (see
     ``compact_parquet_into`` for why journaled callers need it).
     ``schema``: optional explicit DDL — a schema-evolved table must be
     read under its full schema (a footer-sampled read silently drops
-    columns the sampled file predates)."""
+    columns the sampled file predates). ``transform``: optional
+    DataFrame→DataFrame hook applied before the cluster shuffle (e.g.
+    SCD2's cbucket back-fill healing for rows the schema null-filled)."""
     df = (
         spark.read.schema(schema).parquet(path)
         if schema
         else spark.read.parquet(path)
     )
+    if transform is not None:
+        df = transform(df)
     n_files = max(1, math.ceil(table_bytes(path) / target_bytes))
     shutil.rmtree(out, ignore_errors=True)
     (

@@ -98,6 +98,13 @@ _ENVELOPE_COLS = {
     "__op", "__ts_ms", "__source_ts_ms", "__source_lsn",
 }
 
+# names an evolved column may NOT take: the store's own derived /
+# lineage / partition columns (r11 advisory, low — a collision would
+# produce a duplicate column in the store DDL and corrupt meta)
+_RESERVED_COLS = (set(_STORE_COLS) - _ENVELOPE_COLS) | {
+    "bucket", "inc", "cbucket",
+}
+
 
 def _extras(meta: dict) -> list[tuple[str, str]]:
     """The store's evolved columns beyond the base schema, in
@@ -131,6 +138,17 @@ def _evolved_extras(
     known = _ENVELOPE_COLS | {n for n, _t in extras}
     for f in increment.schema.fields:
         if f.name not in known:
+            if f.name in _RESERVED_COLS:
+                # an evolved attribute named like a store-internal
+                # column (bucket, inc, cbucket, valid_from, ...) would
+                # duplicate a column in the store DDL and corrupt meta
+                # irreversibly (r11 advisory, low) — reject up front
+                raise ValueError(
+                    f"increment column {f.name!r} collides with an SCD2 "
+                    f"store-internal column ({sorted(_RESERVED_COLS)}); "
+                    "rename it before upserting — accepting it would "
+                    "duplicate a column in the store schema."
+                )
             extras.append((f.name, f.dataType.simpleString()))
     return extras
 
@@ -350,6 +368,25 @@ def _read_closed(spark: SparkSession, dim_dir: str, meta: dict) -> DataFrame:
     the ``inc``/``cbucket`` lineage columns)."""
     ddl = _store_ddl(_extras(meta)) + ", inc int, cbucket int"
     return spark.read.schema(ddl).parquet(_p(dim_dir, "closed"))
+
+
+def _heal_cbucket(df: DataFrame) -> DataFrame:
+    """Recompute ``cbucket`` for rows whose closed file predates the
+    column (the explicit-schema read back-fills null; r11 advisory,
+    medium): ``cbucket`` is a pure function of the key, the same
+    fixed-modulus derivation ``scd2_migrate`` uses, so every closed
+    REWRITE routes through this to heal legacy rows permanently
+    instead of persisting the null (which a bare ``cbucket IN``
+    filter would silently drop from keyed reads forever)."""
+    return df.withColumn(
+        "cbucket",
+        F.coalesce(
+            F.col("cbucket"),
+            F.pmod(
+                F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS)
+            ).cast("int"),
+        ),
+    )
 
 
 def _has_closed(dim_dir: str) -> bool:
@@ -627,8 +664,16 @@ def scd2_history_for_keys(
     ).select(*hcols)
     hist = cur
     if _has_closed(dim_dir):
+        # the IS NULL arm keeps rows from files predating cbucket (the
+        # explicit schema back-fills null — r11 advisory, medium): for
+        # cbucket-bearing files the pushed Or(In, IsNull) still prunes
+        # row groups (null_count 0 + min/max miss ⟹ skip); for legacy
+        # files the predicate isn't pushable and evaluates true post-
+        # scan, and the broadcast semi join below trims to exact keys
         closed = _read_closed(spark, dim_dir, meta).filter(
-            F.col("cbucket").isin(cb) if cb else F.lit(False)
+            (F.col("cbucket").isin(cb) | F.col("cbucket").isNull())
+            if cb
+            else F.lit(False)
         )
         closed = _minus_tombstones(spark, dim_dir, meta, closed)
         hist = closed.select(*hcols).unionByName(cur)
@@ -778,6 +823,7 @@ def scd2_compact_closed(
     cluster_parquet_into(
         spark, root, stage, cols,
         target_bytes=target_bytes or TARGET_FILE_BYTES, schema=schema,
+        transform=_heal_cbucket,  # legacy null cbucket healed on rewrite
     )
     _write_journal(
         dim_dir, {"moves": [], "swaps": [[stage, root]], "meta": _meta(dim_dir)}
@@ -1302,7 +1348,7 @@ def scd2_purge_keys(
             closed = spark.read.schema(
                 _store_ddl(_extras(meta)) + ", inc int, cbucket int"
             ).parquet(*touched_files)
-            kept_closed = _minus_spec(closed)
+            kept_closed = _heal_cbucket(_minus_spec(closed))
             cols = ["cbucket", "inc"]
             (
                 kept_closed.repartitionByRange(
@@ -1489,7 +1535,7 @@ def scd2_expire_closed(spark: SparkSession, dim_dir: str, cutoff) -> dict:
         return {"expired_versions": 0}
     cut = F.lit(cutoff).cast("timestamp")
     closed = _read_closed(spark, dim_dir, meta)
-    kept = closed.filter(F.col("valid_to") >= cut)
+    kept = _heal_cbucket(closed.filter(F.col("valid_to") >= cut))
     # ONE aggregation yields both sides of the stats delta — the
     # rewrite below is then the only other scan of closed/ (a separate
     # count-before + staged count-after would add a third full pass
@@ -1501,7 +1547,7 @@ def scd2_expire_closed(spark: SparkSession, dim_dir: str, cutoff) -> dict:
     n_expired = int(row["n"] - row["k"])
     token = uuid.uuid4().hex[:12]
     stage = _p(dim_dir, f".staging-{token}")
-    cols = ["cbucket", "inc"] if "cbucket" in closed.columns else ["inc"]
+    cols = ["cbucket", "inc"]  # explicit schema: always present (healed)
     (
         kept.repartitionByRange(
             max(1, spark.sparkContext.defaultParallelism // 4), *cols

@@ -1449,6 +1449,198 @@ def test_scd2_writer_lease_blocks_second_writer(spark, tmp_path):
     assert not _os.path.exists(lease._lease_path(d))
 
 
+def test_scd2_lease_thread_ownership_and_steal_verify(tmp_path):
+    """r11 advisory (lease): (a) a second THREAD of the same process is
+    a concurrent writer, not a reentrant call — acquire raises
+    ``StoreLockedError`` while the owning thread holds, and succeeds
+    after release; (b) the stale-steal path re-verifies the tombstone's
+    token after the rename, so a lease that changed hands between the
+    staleness read and the rename (stale holder released, NEW writer
+    acquired) is restored intact instead of being destroyed — the
+    two-concurrent-writers window is closed."""
+    import json as _json
+    import os as _os
+    import subprocess
+    import threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from datapipe_spark.operators import lease
+
+    d = str(tmp_path / "thr")
+    _os.makedirs(d)
+
+    # (a) cross-thread acquire is a concurrent writer
+    t1 = lease.acquire(d)
+    seen: list[str] = []
+
+    def second():
+        try:
+            lease.acquire(d)
+            seen.append("acquired")
+        except lease.StoreLockedError:
+            seen.append("locked")
+
+    th = threading.Thread(target=second)
+    th.start()
+    th.join()
+    assert seen == ["locked"], "a second thread must not co-hold the lease"
+    lease.release(d, t1)
+
+    got: list[str] = []
+
+    def third():
+        tok = lease.acquire(d)
+        got.append(tok)
+        lease.release(d, tok)
+
+    th = threading.Thread(target=third)
+    th.start()
+    th.join()
+    assert got and not _os.path.exists(lease._lease_path(d))
+
+    # (b) TOCTOU on steal: the lease changes hands between the
+    # staleness read and the rename — simulate the handover inside a
+    # patched os.rename, scoped to this lease path only
+    holder = subprocess.Popen(["sleep", "60"])
+    try:
+        path = lease._lease_path(d)
+        with open(path, "w") as f:
+            _json.dump({"pid": 999_999_999, "token": "stale", "acquired": 0.0}, f)
+        real_rename = _os.rename
+        fired = {"n": 0}
+
+        def handover_rename(src, dst):
+            if src == path and fired["n"] == 0:
+                fired["n"] = 1
+                with open(path, "w") as f:
+                    _json.dump(
+                        {"pid": holder.pid, "token": "newholder",
+                         "acquired": _time.time()},
+                        f,
+                    )
+            real_rename(src, dst)
+
+        _os.rename = handover_rename
+        try:
+            with _pytest.raises(lease.StoreLockedError, match="live writer"):
+                lease.acquire(d)
+        finally:
+            _os.rename = real_rename
+        with open(path) as f:
+            assert _json.load(f)["token"] == "newholder", (
+                "the new holder's live lease must be restored, not removed"
+            )
+    finally:
+        holder.kill()
+        holder.wait()
+        _os.remove(lease._lease_path(d))
+
+
+def test_scd2_precbucket_closed_rows_survive_keyed_reads_and_heal(
+    spark, tmp_path
+):
+    """r11 advisory (medium): closed files written before the
+    ``cbucket`` column read back null under the explicit schema — the
+    keyed history read must keep those rows (IS NULL pruning arm), and
+    a closed rewrite (compaction) must HEAL the column by recomputing
+    it from the key, never persist the null."""
+    import os as _os
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "precb")
+    _mini_store(spark, scd2, d)
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    want_hist = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    want_keyed = {
+        tuple(r) for r in scd2.scd2_history_for_keys(spark, d, keys).collect()
+    }
+    assert any(not r[6] for r in want_keyed), "fixture must have closed rows"
+
+    # simulate the pre-cbucket store: rewrite closed/ without the column
+    closed_root = scd2._p(d, "closed")
+    legacy_out = str(tmp_path / "legacy_closed")
+    spark.read.parquet(closed_root).drop("cbucket").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(legacy_out)
+    _sh.rmtree(closed_root)
+    _os.makedirs(closed_root)
+    for i, n in enumerate(sorted(_os.listdir(legacy_out))):
+        if n.endswith(".parquet"):
+            _sh.copy(
+                _os.path.join(legacy_out, n),
+                _os.path.join(closed_root, f"legacy-{i}.parquet"),
+            )
+
+    got_keyed = {
+        tuple(r) for r in scd2.scd2_history_for_keys(spark, d, keys).collect()
+    }
+    assert got_keyed == want_keyed, (
+        "null-backfilled cbucket rows must not be dropped from keyed reads"
+    )
+    assert {
+        tuple(r) for r in scd2.scd2_read_history(spark, d).collect()
+    } == want_hist
+
+    # compaction heals: every closed row comes out with the recomputed
+    # fixed-modulus cbucket, and the keyed read (now IN-pruned) agrees
+    scd2.scd2_compact_closed(spark, d)
+    healed = spark.read.parquet(closed_root)
+    assert "cbucket" in healed.columns
+    expect = F.pmod(
+        F.xxhash64("id"), F.lit(scd2.SCD2_CLOSED_KEY_BUCKETS)
+    ).cast("int")
+    assert (
+        healed.filter(
+            F.col("cbucket").isNull() | (F.col("cbucket") != expect)
+        ).count()
+        == 0
+    ), "rewrite must recompute cbucket for legacy rows"
+    assert {
+        tuple(r) for r in scd2.scd2_history_for_keys(spark, d, keys).collect()
+    } == want_keyed
+
+
+def test_scd2_evolved_column_name_collision_rejected(spark, tmp_path):
+    """r11 advisory (low): an increment attribute named like a
+    store-internal column (``bucket``, ``inc``, ``cbucket``,
+    ``valid_from``, ...) must be rejected up front — accepting it
+    would duplicate a column in the store DDL and corrupt meta
+    irreversibly."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import scd2
+
+    d = str(tmp_path / "collide")
+    _mini_store(spark, scd2, d)
+    want = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    for bad in ("bucket", "inc", "cbucket", "valid_from", "_written_inc"):
+        inc = spark.createDataFrame(
+            [(1, 10, "Z", "9.00", t0, "u", t0, 999)], schema
+        ).withColumn(bad, F.lit(1))
+        with _pytest.raises(ValueError, match="collides"):
+            scd2.scd2_upsert(spark, d, inc, batch_id=2)
+    meta = scd2._meta(d)
+    assert meta.get("extra_cols", []) == [], "no collision may reach meta"
+    assert meta["last_batch_id"] == 1, "rejected increments advance nothing"
+    assert {
+        tuple(r) for r in scd2.scd2_read_history(spark, d).collect()
+    } == want
+
+
 def test_scd2_purge_closed_rewrite_prunes_to_touched_files(spark, tmp_path):
     """r10 verdict ask #1: once compaction clusters ``closed/`` on
     ``(cbucket, inc)``, a small purge backlog rewrites ONLY the files

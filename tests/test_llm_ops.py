@@ -2450,6 +2450,40 @@ def test_purge_minhash_index_rebuild_equality_and_semantics(spark, tmp_path):
     assert _index_rows(spark, idx) == _index_rows(spark, ref)
 
 
+def test_purge_minhash_never_seen_queue_clears_without_rewrite(
+    spark, tmp_path
+):
+    """r11 advisory (low): a tombstone queue holding only never-indexed
+    ids must fold as a queue-clear-only commit — the mem/sigs/bands
+    parts stay byte-identical on disk (same inodes, no rewrite), the
+    tombstone files are deleted, and meta drops to zero queued."""
+    import os as _os
+
+    from datapipe_spark.operators import dedup_index as di
+
+    idx = str(tmp_path / "noop_fold")
+    di.build_minhash_index(spark, _purge_corpus(spark), idx)
+
+    def inodes():
+        return {
+            p: sorted(
+                (n, _os.stat(f"{idx}/{p}/{n}").st_ino)
+                for n in _os.listdir(f"{idx}/{p}")
+                if n.endswith(".parquet")
+            )
+            for p in ("mem", "sigs", "bands")
+        }
+
+    before = inodes()
+    backlog = spark.createDataFrame([(888,), (999,)], "doc_id long")
+    assert di.queue_purge_minhash_index(spark, idx, backlog) == 2
+    stats = di.purge_minhash_index(spark, idx, None)
+    assert stats == {"purged_docs": 0, "dropped_reps": 0, "renamed_reps": 0}
+    assert inodes() == before, "a no-op fold must not rewrite any part"
+    assert di._meta(spark, idx).get("n_tombstones", 0) == 0
+    assert not di._has_tombstones(idx)
+
+
 def test_queue_purge_minhash_equals_physical_purge(spark, tmp_path):
     """r10 verdict ask #2 on the band index: queued tombstones probe
     identically to the physical purge (rep promotion, group erasure,
