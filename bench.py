@@ -225,6 +225,28 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # Persist the FULL per-query detail in-repo (r11 verdict ask #1):
+    # the driver tail keeps only the compact line below, so without
+    # this artifact round-over-round per-query regressions are
+    # invisible. Round number = one past the newest driver-recorded
+    # BENCH_r{N}.json; repeated runs in a round just overwrite.
+    try:
+        import glob
+        import re
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        rounds = []
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json")):
+            m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+            if m:
+                rounds.append(int(m.group(1)))
+        rnd = (max(rounds) + 1) if rounds else 1
+        detail = os.path.join(repo, f"BENCH_DETAIL_r{rnd:02d}.json")
+        with open(detail, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"bench detail write failed (continuing): {exc!r}", file=sys.stderr)
     # The driver captures only the TAIL of stdout; the full line above
     # (with 105 per-query timing/row entries) overflows that window, so
     # its artifact recorded "parsed": null for three rounds running

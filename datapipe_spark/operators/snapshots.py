@@ -134,6 +134,156 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+def snapshot_files(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Iceberg's ``.files`` metadata table on the stand-in (r11 verdict
+    ask #3; the reference reads ``<table>.files`` / ``<table>.partitions``
+    in .devcontainer/test_spark.py:95-117): one row per live data file
+    of the snapshot with its partition tuple, record count, and byte
+    size. The stand-in has no manifests, so parquet footers ARE the
+    manifest: file discovery is a driver-side listing (O(files) NAMES
+    only — the same walk the read path's FileIndex does), while the
+    footer reads themselves are DISTRIBUTED (Arrow-batched
+    ``mapInPandas``, one pyarrow footer read per file inside the
+    executor), so a snapshot with 10^5 files never funnels 10^5
+    metadata reads through the driver.
+
+    Columns: ``file_path`` (relative to the snapshot dir),
+    ``partition`` (hive-style ``k=v[/k2=v2]``, '' when unpartitioned),
+    ``record_count``, ``file_size_in_bytes``."""
+    v = version if version is not None else current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    root = _version_dir(table_dir, v)
+    rels = []
+    for dirpath, _dirs, files in os.walk(root):
+        for n in files:
+            if n.endswith(".parquet"):
+                rels.append(os.path.relpath(os.path.join(dirpath, n), root))
+    schema = (
+        "file_path string, partition string, "
+        "record_count long, file_size_in_bytes long"
+    )
+    if not rels:
+        return spark.createDataFrame([], schema)
+
+    def _read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            recs = []
+            for rel in pdf["file_path"]:
+                fp = os.path.join(root, rel)
+                md = pq.ParquetFile(fp).metadata
+                part = "/".join(
+                    seg for seg in rel.split(os.sep)[:-1] if "=" in seg
+                )
+                recs.append((rel, part, md.num_rows, os.path.getsize(fp)))
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "file_path", "partition",
+                    "record_count", "file_size_in_bytes",
+                ],
+            )
+
+    paths = spark.createDataFrame([(r,) for r in sorted(rels)], "file_path string")
+    n_part = max(1, min(len(rels), spark.sparkContext.defaultParallelism))
+    return paths.repartition(n_part).mapInPandas(_read_footers, schema)
+
+
+def snapshot_partitions(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Iceberg's ``.partitions`` metadata table on the stand-in:
+    per-partition record count, live file count, and total bytes —
+    one aggregation over ``snapshot_files`` (metadata-only; no data
+    pages are read)."""
+    from pyspark.sql import functions as F
+
+    return (
+        snapshot_files(spark, table_dir, version)
+        .groupBy("partition")
+        .agg(
+            F.sum("record_count").alias("record_count"),
+            F.count("*").alias("file_count"),
+            F.sum("file_size_in_bytes").alias("total_size_bytes"),
+        )
+    )
+
+
+def _cached_events_snapshot(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once date-partitioned snapshot of the events table for a
+    testdata dir (the ``_cached_corpus_index`` posture: keyed by the
+    source parquet's identity, built privately, published with one
+    atomic rename). Layout is pinned one-file-per-partition — the
+    writer repartitions on the partition column, so each date lands in
+    exactly one task and each hive dir gets exactly one file — which
+    makes ``file_count`` deterministic and DuckDB-replayable."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:snapv1".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(
+        "SPARK_GRAFT_SNAPSHOT_DIR", "/tmp/datapipe_spark_snapshots"
+    )
+    out = os.path.join(root, key)
+    if not os.path.exists(os.path.join(out, "_READY")):
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ev = (
+            spark.read.parquet(src)
+            .withColumn("event_date", F.to_date("ts").cast("string"))
+            .repartition("event_date")
+        )
+        commit_snapshot(ev, tmp, partition_by=("event_date",))
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.makedirs(root, exist_ok=True)
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return out
+
+
+def snapshot_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the ``.partitions`` metadata read (r11 verdict
+    ask #3): commit the events table as a date-partitioned snapshot
+    (the reference partitions its Iceberg events table by date/hour —
+    .devcontainer/test_spark.py:60-68) and read the partition listing
+    back from parquet footers only. Oracle
+    (``SNAPSHOT_PARTITIONS_SQL``): DuckDB replays the per-date record
+    counts from the same source parquet, and the pinned
+    one-file-per-partition layout makes ``file_count`` an exact
+    literal — hash equality attests the metadata table reflects the
+    committed data exactly."""
+    from pyspark.sql import functions as F
+
+    tbl = _cached_events_snapshot(spark, sf_dir)
+    return snapshot_partitions(spark, tbl).select(
+        F.col("partition").alias("part"),
+        F.col("record_count"),
+        F.col("file_count"),
+    )
+
+
+SNAPSHOT_PARTITIONS_SQL = """
+SELECT
+  'event_date=' || CAST(CAST(ts AS DATE) AS VARCHAR) AS part,
+  CAST(COUNT(*) AS BIGINT) AS record_count,
+  CAST(1 AS BIGINT) AS file_count
+FROM events
+GROUP BY 1
+"""
+
+
 def expire_snapshots(table_dir: str, keep: int = 2) -> list[int]:
     """Retention: drop all but the newest ``keep`` snapshots
     (snapshot expiry, task6-ecommerce-tables-config.yaml:51-61).

@@ -120,8 +120,10 @@ LANG_ID_TRAIN_DOCS = 128  # per-language training-sample cap (deterministic)
 
 
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic n-gram language ID (rows-only check — model weights
-    are data-derived, not SQL-expressible). See ``lang_id_ngram_frame``."""
+    """Heuristic n-gram language ID. Hash-oracled since r12 (r11
+    verdict ask #5): the whole model is a deterministic function of the
+    corpus, and the scorer keeps every cross-engine-comparable quantity
+    EXACT — see ``lang_id_ngram_frame`` and ``LANG_ID_NGRAM_SQL``."""
     return lang_id_ngram_frame(load_table(spark, sf_dir, "documents"))
 
 
@@ -147,6 +149,19 @@ def lang_id_ngram_frame(d: DataFrame) -> DataFrame:
     Ties/zero vectors resolve to the alphabetically first language
     (argmax-first over the sorted language axis), matching the old
     scorer's strict-improvement scan.
+
+    Oracle exactness (r12, upgraded from rows-only): the score kept for
+    argmax is ``dot(x_counts, c_counts) / ||c_counts||`` with RAW
+    integer counts — the document norm is a per-document positive
+    constant, so dropping it changes no argmax. Every dot product is a
+    sum of non-negative integer-valued float64 terms far below 2^53,
+    hence EXACT in any summation order on any engine; the norm is one
+    correctly-rounded sqrt of an exact integer and the division is one
+    correctly-rounded op. DuckDB replaying the same formula
+    (``LANG_ID_NGRAM_SQL``) therefore produces bit-identical scores,
+    and the shared tie-break (max score, then alphabetically first
+    language) makes predictions hash-comparable, not just
+    approximately equal.
 
     Non-ASCII caveat: Python-side byte codes come from latin-1
     ('replace'), JVM-side dims from ``ascii()`` codepoints — identical
@@ -194,14 +209,17 @@ def lang_id_ngram_frame(d: DataFrame) -> DataFrame:
     li = {lang: i for i, lang in enumerate(langs)}
     for r in profile:
         cmat[li[r["lang"]], r["dim"]] = r["n"]
-    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
-    cmat /= np.where(norms == 0, 1.0, norms)
-    bc = d.sparkSession.sparkContext.broadcast((langs, cmat))
+    # RAW counts kept exact; only the centroid norm divides the score
+    # (the document norm is argmax-invariant) — see docstring oracle-
+    # exactness note
+    norms = np.linalg.norm(cmat, axis=1)
+    cnorms = np.where(norms == 0.0, 1.0, norms)
+    bc = d.sparkSession.sparkContext.broadcast((langs, cmat, cnorms))
 
     # note: no type hints — `from __future__ import annotations` turns
     # them into strings pyspark's hint parser rejects
     def _predict(texts):
-        langs, cmat = bc.value
+        langs, cmat, cnorms = bc.value
         # row-chunked: the DENSE doc×dim count matrix (and its int64
         # bincount intermediate) is the only batch-size amplification
         # here — at Arrow's default 10k-row batches it would transiently
@@ -235,9 +253,10 @@ def lang_id_ngram_frame(d: DataFrame) -> DataFrame:
             x = np.bincount(
                 doc_of * LANG_ID_DIM + codes, minlength=n * LANG_ID_DIM
             ).reshape(n, LANG_ID_DIM).astype(np.float64)
-            xn = np.linalg.norm(x, axis=1, keepdims=True)
-            x /= np.where(xn == 0, 1.0, xn)
-            best = np.argmax(x @ cmat.T, axis=1)  # first max = tie-break
+            # exact integer dots (docstring), one rounded division per
+            # (doc, lang); first max over the sorted lang axis = the
+            # alphabetical tie-break the oracle replays
+            best = np.argmax((x @ cmat.T) / cnorms, axis=1)
             out.extend(langs[i] for i in best)
         return pd.Series(out, dtype="object")
 
@@ -245,6 +264,64 @@ def lang_id_ngram_frame(d: DataFrame) -> DataFrame:
     return d.select(
         "doc_id", "lang", predict(F.col("text")).alias("predicted_lang")
     ).withColumn("lang_match", F.col("predicted_lang") == F.col("lang"))
+
+
+# DuckDB replay of lang_id_ngram (r11 verdict ask #5 — the simhash-r3
+# posture applied to the classifier): same training sample (first
+# LANG_ID_TRAIN_DOCS doc_ids per lang), same 24-bit trigram hash mod
+# LANG_ID_DIM, same exact-integer dot / centroid-norm score, same
+# (score DESC, lang ASC) tie-break. Bit-equality of scores is
+# structural, not approximate — see lang_id_ngram_frame's docstring.
+LANG_ID_NGRAM_SQL = f"""
+WITH train AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+    FROM documents
+  ) WHERE rk <= {LANG_ID_TRAIN_DOCS}
+),
+tri_train AS (
+  SELECT d.lang,
+         unnest([(ord(d.text[i:i]) * 65536 + ord(d.text[i+1:i+1]) * 256
+                  + ord(d.text[i+2:i+2])) % {LANG_ID_DIM}
+                 for i in range(1, length(d.text) - 1)]) AS dim
+  FROM documents d JOIN train USING (doc_id)
+),
+centroid AS (
+  SELECT lang, dim, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM tri_train GROUP BY lang, dim
+),
+cnorm AS (
+  SELECT lang, sqrt(SUM(c * c)) AS nrm FROM centroid GROUP BY lang
+),
+tri_doc AS (
+  SELECT d.doc_id,
+         unnest([(ord(d.text[i:i]) * 65536 + ord(d.text[i+1:i+1]) * 256
+                  + ord(d.text[i+2:i+2])) % {LANG_ID_DIM}
+                 for i in range(1, length(d.text) - 1)]) AS dim
+  FROM documents d
+),
+x AS (
+  SELECT doc_id, dim, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM tri_doc GROUP BY doc_id, dim
+),
+score AS (
+  SELECT x.doc_id, c.lang, SUM(x.n * c.c) AS dot
+  FROM x JOIN centroid c USING (dim)
+  GROUP BY x.doc_id, c.lang
+),
+pred AS (
+  SELECT s.doc_id, s.lang AS predicted_lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY s.doc_id
+           ORDER BY s.dot / n.nrm DESC, s.lang ASC
+         ) AS rk
+  FROM score s JOIN cnorm n ON s.lang = n.lang
+)
+SELECT d.doc_id, d.lang, p.predicted_lang,
+       d.lang = p.predicted_lang AS lang_match
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rk = 1
+"""
 
 
 def winnow_fingerprints(

@@ -21,6 +21,7 @@ from datapipe_spark.operators import (
     scd2,
     scrub,
     similarity,
+    snapshots,
     textstats,
 )
 from datapipe_spark.plans import analytics, behavior
@@ -218,6 +219,16 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "scd2_keyed_history": (
         scd2.scd2_keyed_history,
         cdcq.CDC_SCD2_HISTORY_KEYED_SQL,
+    ),
+    # --- r12 additions ------------------------------------------------
+    # Iceberg `.partitions` metadata-table parity on the snapshot
+    # stand-in (r11 verdict ask #3; reference test_spark.py:95-117):
+    # per-partition record/file counts read from parquet footers only,
+    # replayed by DuckDB from the same source rows (one-file-per-
+    # partition layout pinned at commit time makes file_count exact)
+    "snapshot_partitions": (
+        snapshots.snapshot_partitions_meta,
+        snapshots.SNAPSHOT_PARTITIONS_SQL,
     ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
@@ -470,7 +481,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.similarity_topk_ivf_purge_queued,
         None,
     ),
-    "lang_id_ngram": (textstats.lang_id_ngram, None),  # data-derived model
+    # hash-oracled since r12 (r11 verdict ask #5): exact-integer dot /
+    # centroid-norm scoring makes the model DuckDB-replayable bit-for-bit
+    "lang_id_ngram": (textstats.lang_id_ngram, textstats.LANG_ID_NGRAM_SQL),
     "knn_join_ivf": (similarity.knn_join_ivf, None),  # ANN kNN graph
     "lineage_orders_raw": (_lineage_orders_raw, None),  # Q4: nondeterministic
 }

@@ -32,7 +32,6 @@ ROWS_ONLY_BY_DESIGN = {
     # test_queue_purge_ivf_equals_physical_purge (r11)
     "similarity_topk_ivf_purge_queued",
     "similarity_topk_pq",
-    "lang_id_ngram",
     "funnel_daily_approx",
     "knn_join_ivf",
     "knn_join_ivfpq",
