@@ -1538,6 +1538,158 @@ def test_scd2_lease_thread_ownership_and_steal_verify(tmp_path):
         _os.remove(lease._lease_path(d))
 
 
+_LEASE_RACE_WRITER = """
+import os, sys, time, datetime as dt
+from pyspark.sql import SparkSession
+sys.path.insert(0, "/root/repo")
+from datapipe_spark.operators import scd2, lease
+
+store, scratch, role = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"lease-race-{role}")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+schema = (
+    "id long, user_id long, status string, total_amount string, "
+    "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+)
+t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+updates = spark.createDataFrame(
+    [(1, 10, "B", "6.00", t(0), "u", t(10), 101),
+     (2, 20, "C", "7.00", t(0), "u", t(11), 102)], schema)
+deletes = spark.createDataFrame(
+    [(3, 30, "X", "0.00", t(0), "d", t(12), 103)], schema)
+
+def wait_for(name, deadline=120.0):
+    end = time.time() + deadline
+    while time.time() < end:
+        if os.path.exists(os.path.join(scratch, name)):
+            return
+        time.sleep(0.05)
+    raise TimeoutError(name)
+
+def mark(name):
+    open(os.path.join(scratch, name), "w").close()
+
+if role == "A":
+    # the composition API: one job holding the writer lease across its
+    # critical section, with a REAL writer entry re-entering it
+    with lease.writer_lease(store):
+        mark("A_HOLDING")
+        wait_for("B_LOCKED")
+        scd2.scd2_upsert(spark, store, updates, batch_id=1)
+    mark("A_DONE")
+    print("A_APPLIED", flush=True)
+else:
+    wait_for("A_HOLDING")
+    try:
+        scd2.scd2_upsert(spark, store, deletes, batch_id=2)
+        print("B_UNEXPECTED_SUCCESS", flush=True)
+        sys.exit(3)
+    except lease.StoreLockedError:
+        print("B_LOCKED_OK", flush=True)
+    mark("B_LOCKED")
+    wait_for("A_DONE")
+    scd2.scd2_upsert(spark, store, deletes, batch_id=2)
+    print("B_APPLIED", flush=True)
+spark.stop()
+"""
+
+
+def test_scd2_lease_two_process_race_and_dead_holder_steal(spark, tmp_path):
+    """r11 verdict ask #4 — the writer lease under REAL concurrency:
+    two separate Spark driver processes race writer entries on one
+    store. The process that finds the live lease raises
+    ``StoreLockedError`` and touches nothing; after the holder
+    releases, its retry applies cleanly, and the final history is
+    hash-identical to the sequential build. Then the steal path with a
+    genuinely dead cross-process holder: a third process acquires the
+    lease and is SIGKILLed mid-hold; the next writer steals the
+    dead-pid lease and proceeds."""
+    import datetime as dt
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from datapipe_spark.operators import lease, scd2
+
+    d = str(tmp_path / "raced")
+    scratch = str(tmp_path / "scratch")
+    os.makedirs(scratch)
+    schema = (
+        "id long, user_id long, status string, total_amount string, "
+        "created_at timestamp, __op string, __ts_ms timestamp, __source_lsn long"
+    )
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)  # noqa: E731
+    creates = spark.createDataFrame(
+        [(i, i * 10, "A", "5.00", t(0), "c", t(i), i) for i in range(1, 7)],
+        schema,
+    )
+    scd2.scd2_init(spark, d, n_buckets=4)
+    scd2.scd2_upsert(spark, d, creates, batch_id=0)
+
+    # expected end state: the same increments applied sequentially
+    ref = str(tmp_path / "ref")
+    scd2.scd2_init(spark, ref, n_buckets=4)
+    scd2.scd2_upsert(spark, ref, creates, batch_id=0)
+    updates = spark.createDataFrame(
+        [(1, 10, "B", "6.00", t(0), "u", t(10), 101),
+         (2, 20, "C", "7.00", t(0), "u", t(11), 102)], schema)
+    deletes = spark.createDataFrame(
+        [(3, 30, "X", "0.00", t(0), "d", t(12), 103)], schema)
+    scd2.scd2_upsert(spark, ref, updates, batch_id=1)
+    scd2.scd2_upsert(spark, ref, deletes, batch_id=2)
+    want = {tuple(r) for r in scd2.scd2_read_history(spark, ref).collect()}
+
+    pa = subprocess.Popen(
+        [sys.executable, "-c", _LEASE_RACE_WRITER, d, scratch, "A"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo",
+    )
+    pb = subprocess.Popen(
+        [sys.executable, "-c", _LEASE_RACE_WRITER, d, scratch, "B"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd="/root/repo",
+    )
+    out_a, err_a = pa.communicate(timeout=300)
+    out_b, err_b = pb.communicate(timeout=300)
+    assert pa.returncode == 0, f"A failed:\n{out_a}\n{err_a[-3000:]}"
+    assert pb.returncode == 0, f"B failed:\n{out_b}\n{err_b[-3000:]}"
+    assert "A_APPLIED" in out_a
+    assert "B_LOCKED_OK" in out_b and "B_APPLIED" in out_b
+    got = {tuple(r) for r in scd2.scd2_read_history(spark, d).collect()}
+    assert got == want, "raced store must equal the sequential build"
+
+    # dead-holder steal: a third process acquires and dies mid-hold
+    holder = subprocess.Popen(
+        [
+            sys.executable, "-c",
+            "import sys, time; sys.path.insert(0, '/root/repo'); "
+            "from datapipe_spark.operators import lease; "
+            f"lease.acquire({d!r}); print('HELD', flush=True); time.sleep(120)",
+        ],
+        stdout=subprocess.PIPE, text=True,
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if os.path.exists(lease._lease_path(d)):
+            break
+        _time.sleep(0.05)
+    assert os.path.exists(lease._lease_path(d)), holder.stdout
+    holder.send_signal(signal.SIGKILL)
+    holder.wait()
+    # next writer steals the dead-pid lease and proceeds
+    reinsert = spark.createDataFrame(
+        [(3, 30, "A", "5.00", t(0), "c", t(20), 201)], schema)
+    scd2.scd2_upsert(spark, d, reinsert, batch_id=3)
+    assert scd2.scd2_lookup(spark, d, [3]).count() == 1
+    assert not os.path.exists(lease._lease_path(d)), "lease released after"
+
+
 def test_scd2_precbucket_closed_rows_survive_keyed_reads_and_heal(
     spark, tmp_path
 ):
