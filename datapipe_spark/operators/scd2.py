@@ -1448,32 +1448,64 @@ def scd2_keyed_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history_for_keys(spark, store, keys)
 
 
+def _cached_evolved_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the schema-EVOLVED store (base creates,
+    then the CDC tail carrying the new ``channel`` column) — the
+    ``_cached_scd2_store`` posture. The evolution WRITER is attested
+    by ``scd2_store_evolved``'s deliberate from-scratch rebuild every
+    call; entries that attest a READ path over an evolved store
+    (``scd2_store_evolved_asof``) serve from this cache instead of
+    paying a second identical rebuild per suite run (r11 verdict ask
+    #8: one writer-attestation build, readers clone/probe the
+    cache)."""
+    import hashlib
+
+    from datapipe_spark.sources.cdc import synth_changelog
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2evo1".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get("SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2")
+    out = os.path.join(root, key)
+    if not os.path.exists(os.path.join(out, "_READY")):
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        log = synth_changelog(spark, sf_dir)
+        scd2_init(spark, tmp)
+        scd2_upsert(spark, tmp, log.filter(F.col("__op") == "c"), batch_id=0)
+        tail = log.filter(F.col("__op") != "c").withColumn(
+            "channel",
+            F.when(
+                F.col("__op") == "u",
+                F.concat(F.lit("ch-"), (F.col("id") % 5).cast("string")),
+            ),
+        )
+        scd2_upsert(spark, tmp, tail, batch_id=1)
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.makedirs(root, exist_ok=True)
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return out
+
+
 def scd2_store_evolved_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution × time travel (r11): build the evolved store
-    (base creates, then the CDC tail carrying the new ``channel``
-    column), then travel back to increment 0 — BEFORE the evolution.
-    The reconstruction must read under the evolved schema (the column
-    exists store-wide once meta records it) with ``channel`` null on
-    every version: pre-evolution versions never carried it, and the
-    versions the evolving increment closed re-open with their ORIGINAL
-    (pre-evolution) attribute values. Oracle
+    """Schema evolution × time travel (r11): travel the EVOLVED store
+    back to increment 0 — BEFORE the evolution. The reconstruction
+    must read under the evolved schema (the column exists store-wide
+    once meta records it) with ``channel`` null on every version:
+    pre-evolution versions never carried it, and the versions the
+    evolving increment closed re-open with their ORIGINAL
+    (pre-evolution) attribute values. Attests the as-of READ path
+    under evolution — the evolution writer itself is attested by
+    ``scd2_store_evolved``'s rebuild, so this entry serves from the
+    build-once cache (r11 verdict ask #8). Oracle
     (``CDC_SCD2_AS_OF_C_EVOLVED_SQL``): the creates-only SCD2 build
     with a typed null channel."""
-    from datapipe_spark.sources.cdc import synth_changelog
-    from datapipe_spark.util import fresh_dir
-
-    log = synth_changelog(spark, sf_dir)
-    store = fresh_dir("scd2_evolved_asof")
-    scd2_init(spark, store)
-    scd2_upsert(spark, store, log.filter(F.col("__op") == "c"), batch_id=0)
-    tail = log.filter(F.col("__op") != "c").withColumn(
-        "channel",
-        F.when(
-            F.col("__op") == "u",
-            F.concat(F.lit("ch-"), (F.col("id") % 5).cast("string")),
-        ),
-    )
-    scd2_upsert(spark, store, tail, batch_id=1)
+    store = _cached_evolved_store(spark, sf_dir)
     return scd2_as_of(spark, store, batch_id=0)
 
 
