@@ -28,6 +28,33 @@ def main() -> None:
     spark = get_spark("datapipe-bench")
     qs = registry.queries()
 
+    # record which build-once cache roots pre-exist: cold vs warm
+    # /tmp explains most round-over-round per-query swings (r11's
+    # "regressed" SCD2 entries were cold-cache builds — REGRESSIONS_r12)
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    cache_roots = {
+        "stream": os.environ.get(
+            "SPARK_GRAFT_STREAM_DIR", os.path.join(tmp, "datapipe_spark_stream")
+        ),
+        "scd2": os.environ.get(
+            "SPARK_GRAFT_SCD2_DIR", os.path.join(tmp, "datapipe_spark_scd2")
+        ),
+        "minhash_index": os.environ.get(
+            "SPARK_GRAFT_INDEX_DIR",
+            os.path.join(tmp, "datapipe_spark_minhash_index"),
+        ),
+        "snapshots": os.environ.get(
+            "SPARK_GRAFT_SNAPSHOT_DIR",
+            os.path.join(tmp, "datapipe_spark_snapshots"),
+        ),
+    }
+    warm_caches = {
+        name: os.path.isdir(path) and bool(os.listdir(path))
+        for name, path in cache_roots.items()
+    }
+
     # Warm the JVM + file listing once (not timed): tiny scan
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     # Warm the Arrow/pandas Python-worker pool (not timed): the first
@@ -221,6 +248,7 @@ def main() -> None:
         "n_queries": len(timings),
         "stream_ingest_events_per_sec": ingest_rate,
         "ann_recall": ann_recall,
+        "warm_caches": warm_caches,
     }
     if errors:
         out["errors"] = errors
@@ -264,6 +292,7 @@ def main() -> None:
             "n_queries",
             "stream_ingest_events_per_sec",
             "ann_recall",
+            "warm_caches",
         )
     }
     # keep `queries` type-consistent (name -> seconds): just the slowest

@@ -215,13 +215,19 @@ def snapshot_partitions(
 
 
 def _cached_events_snapshot(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once date-partitioned snapshot of the events table for a
-    testdata dir (the ``_cached_corpus_index`` posture: keyed by the
-    source parquet's identity, built privately, published with one
-    atomic rename). Layout is pinned one-file-per-partition — the
-    writer repartitions on the partition column, so each date lands in
-    exactly one task and each hive dir gets exactly one file — which
-    makes ``file_count`` deterministic and DuckDB-replayable."""
+    """Build-once date-partitioned snapshot TABLE of the events data
+    for a testdata dir (the ``_cached_corpus_index`` posture: keyed by
+    the source parquet's identity, built privately, published with one
+    atomic rename). Two commits — an initial overwrite of the first 15
+    days and a copy-on-write append of the rest — so the ``.history``
+    metadata table has a real multi-version lineage to attest, and
+    time travel over the metadata tables has a nontrivial v1. Layout
+    is pinned one-file-per-partition: every date lands in exactly one
+    write task (the v1 half via ``repartition`` on the partition
+    column; the append's carried-over v1 rows arrive one-file-per-date
+    and file packing merges but never splits, so each date still
+    occupies one task), which makes ``file_count`` deterministic and
+    DuckDB-replayable."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -229,7 +235,7 @@ def _cached_events_snapshot(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:snapv1".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:snapv2".encode()
     ).hexdigest()[:16]
     root = os.environ.get(
         "SPARK_GRAFT_SNAPSHOT_DIR", "/tmp/datapipe_spark_snapshots"
@@ -238,12 +244,24 @@ def _cached_events_snapshot(spark: SparkSession, sf_dir: str) -> str:
     if not os.path.exists(os.path.join(out, "_READY")):
         tmp = f"{out}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        ev = (
-            spark.read.parquet(src)
-            .withColumn("event_date", F.to_date("ts").cast("string"))
-            .repartition("event_date")
+        ev = spark.read.parquet(src).withColumn(
+            "event_date", F.to_date("ts").cast("string")
         )
-        commit_snapshot(ev, tmp, partition_by=("event_date",))
+        split = F.date_add(F.min(F.to_date("ts")), SNAPSHOT_SPLIT_DAYS)
+        split_date = ev.agg(split.alias("s")).collect()[0]["s"].isoformat()
+        commit_snapshot(
+            ev.filter(F.col("event_date") < split_date)
+            .repartition("event_date"),
+            tmp,
+            partition_by=("event_date",),
+        )
+        commit_snapshot(
+            ev.filter(F.col("event_date") >= split_date)
+            .repartition("event_date"),
+            tmp,
+            mode="append",
+            partition_by=("event_date",),
+        )
         open(os.path.join(tmp, "_READY"), "w").close()
         try:
             os.makedirs(root, exist_ok=True)
@@ -251,6 +269,53 @@ def _cached_events_snapshot(spark: SparkSession, sf_dir: str) -> str:
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # another builder won
     return out
+
+
+# day offset of the initial-load/append split in the cached events
+# snapshot — shared with the oracles below so DuckDB replays the same
+# per-version membership
+SNAPSHOT_SPLIT_DAYS = 15
+
+
+def snapshot_history_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the ``.history``/``.snapshots`` metadata read
+    (reference .devcontainer/test_spark.py:75-94): the cached events
+    table's commit lineage — version, parent, commit mode, committed
+    row count. Oracle (``SNAPSHOT_HISTORY_SQL``): DuckDB recomputes
+    each version's row count from the same source rows and the shared
+    day-15 split, so hash equality attests the commit metadata
+    reflects exactly what each snapshot holds (v1 = the first 15 days'
+    overwrite; v2 = the copy-on-write append carrying everything)."""
+    rows = [
+        (
+            int(h["version"]),
+            None if h["parent"] is None else int(h["parent"]),
+            str(h["mode"]),
+            int(h["row_count"]),
+        )
+        for h in history(_cached_events_snapshot(spark, sf_dir))
+    ]
+    return spark.createDataFrame(
+        rows, "version int, parent int, mode string, row_count long"
+    )
+
+
+SNAPSHOT_HISTORY_SQL = f"""
+WITH b AS (
+  SELECT MIN(CAST(ts AS DATE)) + INTERVAL {SNAPSHOT_SPLIT_DAYS} DAY AS split
+  FROM events
+)
+SELECT CAST(1 AS INT) AS version, CAST(NULL AS INT) AS parent,
+       'overwrite' AS mode,
+       CAST(COUNT(*) FILTER (
+         WHERE CAST(ts AS DATE) < (SELECT split FROM b)
+       ) AS BIGINT) AS row_count
+FROM events
+UNION ALL
+SELECT CAST(2 AS INT), CAST(1 AS INT), 'append',
+       CAST(COUNT(*) AS BIGINT)
+FROM events
+"""
 
 
 def snapshot_partitions_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

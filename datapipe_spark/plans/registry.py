@@ -230,6 +230,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         snapshots.snapshot_partitions_meta,
         snapshots.SNAPSHOT_PARTITIONS_SQL,
     ),
+    # ...and the `.history`/`.snapshots` commit-lineage table
+    # (test_spark.py:75-94): per-version row counts recomputed by
+    # DuckDB from the same rows and the shared initial-load/append split
+    "snapshot_history": (
+        snapshots.snapshot_history_meta,
+        snapshots.SNAPSHOT_HISTORY_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),
