@@ -29,25 +29,23 @@ def main() -> None:
     qs = registry.queries()
 
     # record which build-once cache roots pre-exist: cold vs warm
-    # /tmp explains most round-over-round per-query swings (r11's
-    # "regressed" SCD2 entries were cold-cache builds — REGRESSIONS_r12)
-    import tempfile
+    # caches explain most round-over-round per-query swings (r11's
+    # "regressed" SCD2 entries were cold-cache builds — REGRESSIONS_r12).
+    # Defaults MIRROR each module's own default exactly (the operators
+    # hardcode /tmp; only the stream scratch honors gettempdir via
+    # util.scratch_root) — probing different paths would misattribute.
+    from datapipe_spark.util import scratch_root
 
-    tmp = tempfile.gettempdir()
     cache_roots = {
-        "stream": os.environ.get(
-            "SPARK_GRAFT_STREAM_DIR", os.path.join(tmp, "datapipe_spark_stream")
-        ),
+        "stream": scratch_root(),
         "scd2": os.environ.get(
-            "SPARK_GRAFT_SCD2_DIR", os.path.join(tmp, "datapipe_spark_scd2")
+            "SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2"
         ),
         "minhash_index": os.environ.get(
-            "SPARK_GRAFT_INDEX_DIR",
-            os.path.join(tmp, "datapipe_spark_minhash_index"),
+            "SPARK_GRAFT_INDEX_DIR", "/tmp/datapipe_spark_minhash_index"
         ),
         "snapshots": os.environ.get(
-            "SPARK_GRAFT_SNAPSHOT_DIR",
-            os.path.join(tmp, "datapipe_spark_snapshots"),
+            "SPARK_GRAFT_SNAPSHOT_DIR", "/tmp/datapipe_spark_snapshots"
         ),
     }
     warm_caches = {

@@ -621,35 +621,19 @@ def dedup_cross_corpus_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cached_corpus_index(
     spark: SparkSession, sf_dir: str, corpus: DataFrame
 ) -> str:
-    """Build-once cache of the corpus band index for a testdata dir,
-    keyed by the documents parquet's (path, size, mtime) so a driver
-    regeneration invalidates it."""
-    import hashlib
+    """Build-once cache of the corpus band index for a testdata dir
+    (``util.build_once``): keyed by the documents parquet's identity
+    so a driver regeneration invalidates it, published atomically so
+    concurrent builders (a smoke sweep racing the test suite) never
+    _READY-mark a mixed index."""
+    from datapipe_spark.util import build_once
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:v{_INDEX_FORMAT_VERSION}".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "SPARK_GRAFT_INDEX_DIR", "/tmp/datapipe_spark_minhash_index"
+    return build_once(
+        os.path.join(sf_dir, "documents.parquet"),
+        f"v{_INDEX_FORMAT_VERSION}",
+        "SPARK_GRAFT_INDEX_DIR", "/tmp/datapipe_spark_minhash_index",
+        lambda tmp: build_minhash_index(spark, corpus, tmp),
     )
-    out = os.path.join(root, key)
-    if not os.path.exists(os.path.join(out, "_READY")):
-        # build into a private dir and publish with one atomic rename:
-        # concurrent builders (a smoke sweep racing the test suite)
-        # can otherwise interleave overwrite writes into the shared key
-        # dir and _READY-mark a mixed index
-        tmp = f"{out}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        build_minhash_index(spark, corpus, tmp)
-        open(os.path.join(tmp, "_READY"), "w").close()
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            # another builder won the rename — use its index
-            shutil.rmtree(tmp, ignore_errors=True)
-    return out
 
 
 # broadcast gate for the purge's id set — the scd2 purge posture

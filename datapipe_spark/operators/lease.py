@@ -175,19 +175,25 @@ def acquire(store_dir: str, ttl_seconds: float = LEASE_TTL_SECONDS) -> str:
         # and the rename, the stale holder may have released and a NEW
         # writer acquired — then the tombstone is the new holder's LIVE
         # lease. Verify the token matches the lease we judged stale;
-        # on mismatch restore it and retry the loop.
+        # anything else (different token, or a body still mid-write by
+        # its creator — the O_EXCL-then-write gap) is restored, not
+        # removed. Restore via os.link, NOT rename: link refuses to
+        # replace an existing path, so a third writer's fresh lease is
+        # never clobbered (rename would silently overwrite it and admit
+        # two believed-holders). In that double-race the kidnapped
+        # lease stays dropped — the residual hazard of any advisory
+        # lock, vastly narrower than the clobber it replaces.
         try:
             with open(tomb) as f:
                 tomb_held = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError):
             tomb_held = None
-        if tomb_held is not None and tomb_held.get("token") != held.get(
-            "token"
-        ):
+        if tomb_held is None or tomb_held.get("token") != held.get("token"):
             try:
-                os.rename(tomb, path)  # path is absent: we renamed it away
+                os.link(tomb, path)
             except OSError:
-                os.remove(tomb)  # a third writer re-created path first
+                pass  # a third writer re-created path first: never clobber
+            os.remove(tomb)
             continue
         os.remove(tomb)
     raise StoreLockedError(

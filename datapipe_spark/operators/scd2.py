@@ -846,25 +846,14 @@ def scd2_dimension_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
     """Build-once cache of the materialized store for a testdata dir
-    (the ``_cached_corpus_index`` posture): keyed by the orders
-    parquet's identity, built privately, published with one atomic
-    rename. The feature-store READ path (``lineitem_pit_stored``)
-    probes this; the registry build entry deliberately rebuilds from
-    scratch each call — it is attesting the incremental writer."""
-    import hashlib
-
+    (``util.build_once``). The feature-store READ path
+    (``lineitem_pit_stored``) probes this; the registry build entry
+    deliberately rebuilds from scratch each call — it is attesting the
+    incremental writer."""
     from datapipe_spark.sources.cdc import synth_changelog
+    from datapipe_spark.util import build_once
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2v6".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get("SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2")
-    out = os.path.join(root, key)
-    if not os.path.exists(os.path.join(out, "_READY")):
-        tmp = f"{out}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
+    def _build(tmp: str) -> None:
         log = synth_changelog(spark, sf_dir)
         scd2_init(spark, tmp)
         # three increments (initial load, update tail, delete tail) so
@@ -876,13 +865,11 @@ def _cached_scd2_store(spark: SparkSession, sf_dir: str) -> str:
         # between maintenance passes — key-pruned reads footer-prune
         # and the purge entries exercise the file-pruned rewrite
         scd2_compact_closed(spark, tmp)
-        open(os.path.join(tmp, "_READY"), "w").close()
-        try:
-            os.makedirs(root, exist_ok=True)
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
-    return out
+
+    return build_once(
+        os.path.join(sf_dir, "orders.parquet"), "scd2v6",
+        "SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2", _build,
+    )
 
 
 def lineitem_pit_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1411,21 +1398,10 @@ def scd2_store_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     attests evolved values land on exactly the post-evolution
     versions, every pre-evolution version reads back null, and the
     effectivity chain is untouched by the column add."""
-    from datapipe_spark.sources.cdc import synth_changelog
     from datapipe_spark.util import fresh_dir
 
-    log = synth_changelog(spark, sf_dir)
     store = fresh_dir("scd2_evolved")
-    scd2_init(spark, store)
-    scd2_upsert(spark, store, log.filter(F.col("__op") == "c"), batch_id=0)
-    tail = log.filter(F.col("__op") != "c").withColumn(
-        "channel",
-        F.when(
-            F.col("__op") == "u",
-            F.concat(F.lit("ch-"), (F.col("id") % 5).cast("string")),
-        ),
-    )
-    scd2_upsert(spark, store, tail, batch_id=1)
+    _build_evolved_store(spark, sf_dir, store)
     return scd2_read_history(spark, store)
 
 
@@ -1448,48 +1424,43 @@ def scd2_keyed_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history_for_keys(spark, store, keys)
 
 
-def _cached_evolved_store(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once cache of the schema-EVOLVED store (base creates,
-    then the CDC tail carrying the new ``channel`` column) — the
-    ``_cached_scd2_store`` posture. The evolution WRITER is attested
-    by ``scd2_store_evolved``'s deliberate from-scratch rebuild every
-    call; entries that attest a READ path over an evolved store
-    (``scd2_store_evolved_asof``) serve from this cache instead of
-    paying a second identical rebuild per suite run (r11 verdict ask
-    #8: one writer-attestation build, readers clone/probe the
-    cache)."""
-    import hashlib
-
+def _build_evolved_store(spark: SparkSession, sf_dir: str, store: str) -> None:
+    """The one evolution build recipe — shared by the writer-attesting
+    rebuild entry (``scd2_store_evolved``) and the build-once cache
+    (``_cached_evolved_store``), so the attested writer and the cached
+    read-path fixture can never drift apart: base creates under the
+    BASE schema, then the CDC tail carrying the new nullable
+    ``channel`` column."""
     from datapipe_spark.sources.cdc import synth_changelog
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:scd2evo1".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get("SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2")
-    out = os.path.join(root, key)
-    if not os.path.exists(os.path.join(out, "_READY")):
-        tmp = f"{out}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        log = synth_changelog(spark, sf_dir)
-        scd2_init(spark, tmp)
-        scd2_upsert(spark, tmp, log.filter(F.col("__op") == "c"), batch_id=0)
-        tail = log.filter(F.col("__op") != "c").withColumn(
-            "channel",
-            F.when(
-                F.col("__op") == "u",
-                F.concat(F.lit("ch-"), (F.col("id") % 5).cast("string")),
-            ),
-        )
-        scd2_upsert(spark, tmp, tail, batch_id=1)
-        open(os.path.join(tmp, "_READY"), "w").close()
-        try:
-            os.makedirs(root, exist_ok=True)
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
-    return out
+    log = synth_changelog(spark, sf_dir)
+    scd2_init(spark, store)
+    scd2_upsert(spark, store, log.filter(F.col("__op") == "c"), batch_id=0)
+    tail = log.filter(F.col("__op") != "c").withColumn(
+        "channel",
+        F.when(
+            F.col("__op") == "u",
+            F.concat(F.lit("ch-"), (F.col("id") % 5).cast("string")),
+        ),
+    )
+    scd2_upsert(spark, store, tail, batch_id=1)
+
+
+def _cached_evolved_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the schema-EVOLVED store
+    (``util.build_once`` over ``_build_evolved_store``). The evolution
+    WRITER is attested by ``scd2_store_evolved``'s deliberate
+    from-scratch rebuild every call; entries that attest a READ path
+    over an evolved store (``scd2_store_evolved_asof``) serve from
+    this cache instead of paying a second identical rebuild per suite
+    run (r11 verdict ask #8)."""
+    from datapipe_spark.util import build_once
+
+    return build_once(
+        os.path.join(sf_dir, "orders.parquet"), "scd2evo1",
+        "SPARK_GRAFT_SCD2_DIR", "/tmp/datapipe_spark_scd2",
+        lambda tmp: _build_evolved_store(spark, sf_dir, tmp),
+    )
 
 
 def scd2_store_evolved_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

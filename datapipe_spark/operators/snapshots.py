@@ -223,52 +223,49 @@ def _cached_events_snapshot(spark: SparkSession, sf_dir: str) -> str:
     metadata table has a real multi-version lineage to attest, and
     time travel over the metadata tables has a nontrivial v1. Layout
     is pinned one-file-per-partition: every date lands in exactly one
-    write task (the v1 half via ``repartition`` on the partition
-    column; the append's carried-over v1 rows arrive one-file-per-date
-    and file packing merges but never splits, so each date still
-    occupies one task), which makes ``file_count`` deterministic and
-    DuckDB-replayable."""
-    import hashlib
-
+    write task — the new half via ``repartition`` on the partition
+    column, and the append's carried-over v1 rows by raising
+    ``maxPartitionBytes`` for the build so the scan can neither split
+    a large per-date file across tasks nor the write emit two files
+    into one date dir. The pin is a TEST-scale determinism device (it
+    lets DuckDB replay ``file_count`` as a literal); a production
+    deployment would not pin file counts and the ``.partitions``
+    record/byte columns need no such pin."""
     from pyspark.sql import functions as F
 
+    from datapipe_spark.util import build_once
+
     src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:snapv2".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get(
-        "SPARK_GRAFT_SNAPSHOT_DIR", "/tmp/datapipe_spark_snapshots"
-    )
-    out = os.path.join(root, key)
-    if not os.path.exists(os.path.join(out, "_READY")):
-        tmp = f"{out}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ev = spark.read.parquet(src).withColumn(
-            "event_date", F.to_date("ts").cast("string")
-        )
-        split = F.date_add(F.min(F.to_date("ts")), SNAPSHOT_SPLIT_DAYS)
-        split_date = ev.agg(split.alias("s")).collect()[0]["s"].isoformat()
-        commit_snapshot(
-            ev.filter(F.col("event_date") < split_date)
-            .repartition("event_date"),
-            tmp,
-            partition_by=("event_date",),
-        )
-        commit_snapshot(
-            ev.filter(F.col("event_date") >= split_date)
-            .repartition("event_date"),
-            tmp,
-            mode="append",
-            partition_by=("event_date",),
-        )
-        open(os.path.join(tmp, "_READY"), "w").close()
+
+    def _build(tmp: str) -> None:
+        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 30))
         try:
-            os.makedirs(root, exist_ok=True)
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
-    return out
+            ev = spark.read.parquet(src).withColumn(
+                "event_date", F.to_date("ts").cast("string")
+            )
+            split = F.date_add(F.min(F.to_date("ts")), SNAPSHOT_SPLIT_DAYS)
+            split_date = ev.agg(split.alias("s")).collect()[0]["s"].isoformat()
+            commit_snapshot(
+                ev.filter(F.col("event_date") < split_date)
+                .repartition("event_date"),
+                tmp,
+                partition_by=("event_date",),
+            )
+            commit_snapshot(
+                ev.filter(F.col("event_date") >= split_date)
+                .repartition("event_date"),
+                tmp,
+                mode="append",
+                partition_by=("event_date",),
+            )
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+    return build_once(
+        src, "snapv3",
+        "SPARK_GRAFT_SNAPSHOT_DIR", "/tmp/datapipe_spark_snapshots", _build,
+    )
 
 
 # day offset of the initial-load/append split in the cached events

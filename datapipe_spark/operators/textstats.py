@@ -318,10 +318,21 @@ pred AS (
          ) AS rk
   FROM score s JOIN cnorm n ON s.lang = n.lang
 )
-SELECT d.doc_id, d.lang, p.predicted_lang,
-       d.lang = p.predicted_lang AS lang_match
-FROM documents d JOIN pred p ON d.doc_id = p.doc_id AND p.rk = 1
+SELECT d.doc_id, d.lang,
+       COALESCE(p.predicted_lang, (SELECT MIN(lang) FROM centroid))
+         AS predicted_lang,
+       d.lang = COALESCE(p.predicted_lang, (SELECT MIN(lang) FROM centroid))
+         AS lang_match
+FROM documents d
+LEFT JOIN pred p ON d.doc_id = p.doc_id AND p.rk = 1
 """
+# The LEFT JOIN + COALESCE arm mirrors the scorer's zero-vector /
+# zero-overlap behavior: a document shorter than 3 chars or sharing no
+# trigram bucket with any centroid has every dot = 0, and np.argmax
+# over all-zero scores returns index 0 = the alphabetically first
+# language. Score rows, when present, always carry dot > 0 (counts are
+# positive), so the COALESCE fires exactly when Spark's all-zero path
+# does — no tie ambiguity between present and absent langs.
 
 
 def winnow_fingerprints(

@@ -26,6 +26,40 @@ def scratch_root() -> str:
     return root
 
 
+def build_once(
+    src: str, version_tag: str, env_var: str, default_root: str, builder
+) -> str:
+    """Build-once artifact cache, shared by every persisted-store
+    fixture (SCD2 store, evolved store, band index, events snapshot —
+    r12 dedup of four near-verbatim copies): keyed by the SOURCE
+    parquet's identity ``(abspath, size, mtime_ns)`` plus a version
+    tag (bump it when the build recipe changes), built privately under
+    ``<out>.tmp-<pid>`` by ``builder(tmp_dir)``, and published with
+    one atomic rename after a ``_READY`` marker lands — concurrent
+    builders race the rename and the loser discards its copy, so
+    readers never see a partial or mixed artifact. Returns the
+    published directory."""
+    import hashlib
+
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{version_tag}".encode()
+    ).hexdigest()[:16]
+    root = os.environ.get(env_var, default_root)
+    out = os.path.join(root, key)
+    if not os.path.exists(os.path.join(out, "_READY")):
+        tmp = f"{out}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        builder(tmp)
+        open(os.path.join(tmp, "_READY"), "w").close()
+        try:
+            os.makedirs(root, exist_ok=True)
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
+    return out
+
+
 def fresh_dir(*parts: str) -> str:
     """Deterministic scratch path, wiped on each call."""
     path = os.path.join(scratch_root(), *parts)

@@ -1532,6 +1532,64 @@ def test_scd2_lease_thread_ownership_and_steal_verify(tmp_path):
             assert _json.load(f)["token"] == "newholder", (
                 "the new holder's live lease must be restored, not removed"
             )
+
+        # (c) torn tombstone: the lease changed hands to a holder whose
+        # body is still mid-write (unparseable) — restore it, never
+        # remove it; the stuck-churn exit leaves the file in place
+        with open(path, "w") as f:
+            _json.dump({"pid": 999_999_999, "token": "stale", "acquired": 0.0}, f)
+        fired["n"] = 0
+
+        def torn_rename(src, dst):
+            if src == path and fired["n"] == 0:
+                fired["n"] = 1
+                with open(path, "w") as f:
+                    f.write("{torn")  # new holder's write not yet complete
+            real_rename(src, dst)
+
+        _os.rename = torn_rename
+        try:
+            with _pytest.raises(lease.StoreLockedError):
+                lease.acquire(d)
+        finally:
+            _os.rename = real_rename
+        assert _os.path.exists(path), "a torn lease must be restored"
+
+        # (d) restore must never clobber a THIRD writer's fresh lease
+        # that landed between the rename-away and the restore
+        with open(path, "w") as f:
+            _json.dump({"pid": 999_999_999, "token": "stale", "acquired": 0.0}, f)
+        fired["n"] = 0
+
+        def third_writer_rename(src, dst):
+            if src == path and fired["n"] == 0:
+                fired["n"] = 1
+                with open(path, "w") as f:
+                    _json.dump(
+                        {"pid": holder.pid, "token": "newholder",
+                         "acquired": _time.time()},
+                        f,
+                    )
+                real_rename(src, dst)
+                with open(path, "w") as f:  # third writer wins path
+                    _json.dump(
+                        {"pid": holder.pid, "token": "third",
+                         "acquired": _time.time()},
+                        f,
+                    )
+                return
+            real_rename(src, dst)
+
+        _os.rename = third_writer_rename
+        try:
+            with _pytest.raises(lease.StoreLockedError, match="live writer"):
+                lease.acquire(d)
+        finally:
+            _os.rename = real_rename
+        with open(path) as f:
+            assert _json.load(f)["token"] == "third", (
+                "the restore must not overwrite the third writer's lease"
+            )
     finally:
         holder.kill()
         holder.wait()
