@@ -130,10 +130,53 @@ def ingest_variance(spark, scratch: str) -> None:  # noqa: ARG001
     )
 
 
+def snapshot_files_scale(spark, scratch: str) -> None:
+    """The ``.files``/``.partitions`` metadata tables at file-count
+    scale: an (event_date, hour)-partitioned snapshot of the sf0.1
+    events table (~720 hive dirs, one file each) — the listing is a
+    driver-side name walk, the footer reads are distributed, so the
+    wall should track file count with a small constant, never data
+    bytes (no data pages are read)."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators import snapshots as snap
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("event_date", F.to_date("ts").cast("string"))
+        .withColumn("hour", F.hour("ts"))
+        .repartition("event_date", "hour")
+    )
+    tbl = os.path.join(scratch, "files_scale")
+    snap.commit_snapshot(ev, tbl, partition_by=("event_date", "hour"))
+    t0 = time.monotonic()
+    files = snap.snapshot_files(spark, tbl)
+    n_files = files.count()
+    t_files = time.monotonic() - t0
+    t0 = time.monotonic()
+    n_parts = snap.snapshot_partitions(spark, tbl).count()
+    t_parts = time.monotonic() - t0
+    total_rows = files.agg(F.sum("record_count")).collect()[0][0]
+    print(
+        json.dumps({
+            "experiment": "snapshot_files_scale",
+            "n_files": n_files,
+            "n_partitions": n_parts,
+            "total_rows": int(total_rows),
+            "files_wall_s": round(t_files, 2),
+            "partitions_wall_s": round(t_parts, 2),
+        }),
+        flush=True,
+    )
+
+
 def main() -> None:
     from datapipe_spark import get_spark
 
-    which = set(sys.argv[1:]) or {"queue_depth", "ingest_variance"}
+    which = set(sys.argv[1:]) or {
+        "queue_depth", "ingest_variance", "snapshot_files_scale"
+    }
     spark = get_spark()
     scratch = "/tmp/datapipe_spark_stress_r12"
     shutil.rmtree(scratch, ignore_errors=True)
@@ -143,6 +186,8 @@ def main() -> None:
             queue_depth(spark, scratch)
         if "ingest_variance" in which:
             ingest_variance(spark, scratch)
+        if "snapshot_files_scale" in which:
+            snapshot_files_scale(spark, scratch)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
