@@ -112,7 +112,19 @@ def _prepare_commit(
                 moves.append(
                     [os.path.join(sdir, name), _p(index_dir, f"{part}/{token}-{name}")]
                 )
-    journal = {"stage": stage, "moves": moves, "meta": new_meta}
+    return _commit_journal(
+        index_dir, {"stage": stage, "moves": moves, "meta": new_meta}
+    )
+
+
+def _commit_journal(index_dir: str, journal: dict) -> str:
+    """THE commit point, spelled once for every writer (r12 review —
+    five hand-repeated copies drifted once already, dropping a meta
+    key): journal JSON written aside + one atomic rename. Past the
+    rename the commit is durable and WILL be completed by
+    ``_roll_forward``. Returns the journal path."""
+    import json
+
     tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(journal, f)
@@ -140,8 +152,29 @@ def _roll_forward(index_dir: str, sweep: bool = False) -> bool:
     Readers (the probe path) must NOT sweep — a probe running beside
     an in-flight pre-journal append would delete the live writer's
     staging and lose the increment (the scd2 r9 advisory, applied to
-    the sibling journal). Returns True if a pending commit was
+    the sibling journal). Replay runs under the store's recovery lock
+    (r12 review): readers roll forward too, and two processes
+    replaying one journal concurrently could interleave a swap's
+    rename pair destructively. Returns True if a pending commit was
     completed."""
+    jp = _p(index_dir, _JOURNAL)
+    pending = False
+    if os.path.exists(jp):
+        from datapipe_spark.operators.lease import recovery_guard
+
+        with recovery_guard(index_dir):
+            pending = _replay_journal(index_dir)
+    if sweep:
+        for name in os.listdir(index_dir):
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+    return pending
+
+
+def _replay_journal(index_dir: str) -> bool:
+    """The replay body of ``_roll_forward``, called ONLY under the
+    recovery lock; re-checks journal existence (the winner of the lock
+    race replays, losers find it retired)."""
     import json
 
     jp = _p(index_dir, _JOURNAL)
@@ -186,10 +219,6 @@ def _roll_forward(index_dir: str, sweep: bool = False) -> bool:
                 os.remove(path)
         _write_meta(index_dir, j["meta"])
         os.remove(jp)
-    if sweep:
-        for name in os.listdir(index_dir):
-            if name.startswith(".staging-"):
-                shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
     return pending
 
 
@@ -208,7 +237,21 @@ def build_minhash_index(
     map-side-combinable or per-row — no all-pairs work at build time,
     and the bands/ join surface is O(reps × _BANDS) rows regardless of
     copy skew. Returns ``{"n_docs", "n_reps", "index_dir"}``.
+
+    Rebuild-in-place clears prior store state first (r12 review): a
+    stale commit journal, staging debris, or tombstone queue from the
+    OLD index must not roll forward into (or hide docs of) the fresh
+    one — a stale journal would inject foreign delta files and
+    resurrect the old batch-id watermark, silently skipping future
+    appends.
     """
+    if os.path.isdir(index_dir):
+        jp = _p(index_dir, _JOURNAL)
+        if os.path.exists(jp):
+            os.remove(jp)
+        for name in os.listdir(index_dir):
+            if name.startswith(".staging-") or name == "tombstones":
+                shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
     mem = _collapse_exact(docs.select("doc_id", "text")).persist()
     reps = _rep_docs(docs, mem)
     sigs = (
@@ -255,7 +298,23 @@ def _meta(spark: SparkSession, index_dir: str) -> dict:
 
 def last_applied_batch(spark: SparkSession, index_dir: str) -> int:
     """Exactly-once high-watermark: the largest ``batch_id`` whose
-    append has committed to this index (−1 if none recorded)."""
+    append has COMMITTED to this index (−1 if none recorded). A pending
+    commit journal counts as committed (r12 review): past the journal's
+    atomic rename the append WILL complete via roll-forward, and
+    ``meta.json`` still holds the pre-append watermark — reading only
+    meta here let a crash-after-journal replay re-run its probe against
+    an index that already contained the batch (self-match pairs in the
+    sink). The journal's meta snapshot is the post-commit truth."""
+    import json
+
+    jp = _p(index_dir, _JOURNAL)
+    if os.path.exists(jp):
+        try:
+            with open(jp) as f:
+                jm = json.load(f).get("meta", {})
+            return int(jm.get("last_batch_id", -1))
+        except (json.JSONDecodeError, FileNotFoundError):
+            pass  # journal retired (or torn tmp debris) mid-read: fall through
     return int(_meta(spark, index_dir).get("last_batch_id", -1))
 
 
@@ -362,16 +421,18 @@ def append_minhash_index(
     sigs = rep_sigs.localCheckpoint(eager=True)
     # meta deltas are counted on the checkpointed frames — no table
     # rescan — BEFORE the commit point, so the journaled meta snapshot
-    # is final
+    # is final. Spread over the EXISTING meta (r12 review): rebuilding
+    # the dict from scratch dropped n_tombstones, silently losing the
+    # queued erasure backlog after any append (readers gate the
+    # tombstone anti-join on that counter).
     new_meta = {
+        **meta,
         "hash": h,
         "n_docs": meta["n_docs"] + mem.count(),
         "n_reps": meta["n_reps"] + sigs.count(),
     }
     if batch_id is not None:
         new_meta["last_batch_id"] = batch_id
-    elif "last_batch_id" in meta:
-        new_meta["last_batch_id"] = meta["last_batch_id"]
     _prepare_commit(index_dir, mem, sigs, new_meta)
     _roll_forward(index_dir, sweep=True)
     return True
@@ -405,8 +466,15 @@ def compact_minhash_index(
     rewrites are staged under one ``.staging-*`` dir and committed as
     a SINGLE journaled swaps entry (the scd2 r9 compaction advisory
     applied here too: a bare rename-pair swap could crash between
-    renames and leave a part dir missing entirely), so a reader sees
-    the old index or the new one, never a mix or a hole.
+    renames and leave a part dir missing entirely), so a reader
+    ENTERING the index sees the old index or the new one, never a mix
+    — and a crash anywhere is healed by the next entry's roll-forward.
+    Scope honestly (r12 review): a Spark scan already RUNNING when the
+    swap lands read file paths that just moved and can fail mid-job —
+    the inherent limit of directory-swap rewrites on a plain
+    filesystem (Iceberg solves it with manifest indirection); such a
+    probe retries against the committed index. Entry-time consistency
+    is the guarantee, not scan-during-swap isolation.
     Probe-equality before/after is oracled by the
     ``dedup_cross_corpus_compacted`` registry entry and file counts are
     gated in tests. Returns per-part (files_before, files_after).
@@ -427,33 +495,41 @@ def compact_minhash_index(
     # freshly clustered bands/ (breaking the range-cluster layout) and
     # meta.json would be rewound from the journal snapshot
     _roll_forward(index_dir, sweep=True)
+    before: dict = {
+        part: parquet_file_count(_p(index_dir, part))
+        for part in ("mem", "sigs", "bands")
+    }
     # fold the merge-on-read erasure queue first (the scd2_compact
     # posture): post-compaction probes drop the anti-join entirely.
     # Re-enters this writer's own lease.
+    tb = target_bytes or TARGET_FILE_BYTES
+    folded = False
     if int(_meta(spark, index_dir).get("n_tombstones", 0)) > 0:
         purge_minhash_index(spark, index_dir, None)
-    tb = target_bytes or TARGET_FILE_BYTES
+        folded = True
+    # the fold already wrote bands/ range-clustered on band_key at the
+    # default file target — re-clustering it here would run the most
+    # expensive pass TWICE for nothing (r12 review). mem/sigs still
+    # compact below (the purge rewrite sizes them by plan partitions,
+    # not by bytes). A custom target_bytes re-clusters to honor it.
+    skip_bands = folded and target_bytes is None
     token = uuid.uuid4().hex[:12]
     stage = _p(index_dir, f".staging-{token}")
-    before: dict = {}
     swaps = []
     for part in ("mem", "sigs"):
         live = _p(index_dir, part)
-        before[part] = parquet_file_count(live)
         compact_parquet_into(spark, live, os.path.join(stage, part), target_bytes=tb)
         swaps.append([os.path.join(stage, part), live])
-    live = _p(index_dir, "bands")
-    before["bands"] = parquet_file_count(live)
-    cluster_parquet_into(
-        spark, live, os.path.join(stage, "bands"), ["band_key"], target_bytes=tb
-    )
-    swaps.append([os.path.join(stage, "bands"), live])
+    if not skip_bands:
+        live = _p(index_dir, "bands")
+        cluster_parquet_into(
+            spark, live, os.path.join(stage, "bands"), ["band_key"],
+            target_bytes=tb,
+        )
+        swaps.append([os.path.join(stage, "bands"), live])
     with open(_p(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump({"moves": [], "swaps": swaps, "meta": meta}, f)
-    os.replace(tmp, _p(index_dir, _JOURNAL))
+    _commit_journal(index_dir, {"moves": [], "swaps": swaps, "meta": meta})
     _roll_forward(index_dir, sweep=True)
     return {
         part: (before[part], parquet_file_count(_p(index_dir, part)))
@@ -469,6 +545,20 @@ def dedup_cross_corpus_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hash check attests the rewrite dropped, duplicated, and
     corrupted nothing — the same content-preservation contract
     ``lineitem_cluster_rewrite`` pins for source tables."""
+    tagged, scratch = _clone_cached_index(spark, sf_dir, "minhash_index_compacted")
+    compact_minhash_index(spark, scratch)
+    return probe_minhash_index(
+        spark, scratch, tagged.filter("is_new").select("doc_id", "text")
+    )
+
+
+def _clone_cached_index(spark: SparkSession, sf_dir: str, name: str):
+    """Shared preamble of the mutate-then-probe registry entries (r12
+    review — three verbatim copies): split the corpus/batch docs, make
+    sure the build-once corpus index exists, and clone it into a fresh
+    scratch dir the entry can mutate. ``_READY`` is excluded so a
+    crashed clone can never be mistaken for a published cache. Returns
+    ``(tagged, scratch)``."""
     import shutil as _sh
 
     from datapipe_spark.operators.dedup import _cross_tagged
@@ -478,13 +568,10 @@ def dedup_cross_corpus_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _cached_corpus_index(
         spark, sf_dir, tagged.filter(~F.col("is_new")).select("doc_id", "text")
     )
-    scratch = fresh_dir("minhash_index_compacted")
+    scratch = fresh_dir(name)
     _sh.rmtree(scratch, ignore_errors=True)
-    _sh.copytree(idx, scratch)
-    compact_minhash_index(spark, scratch)
-    return probe_minhash_index(
-        spark, scratch, tagged.filter("is_new").select("doc_id", "text")
-    )
+    _sh.copytree(idx, scratch, ignore=_sh.ignore_patterns("_READY"))
+    return tagged, scratch
 
 
 def probe_minhash_index(
@@ -707,10 +794,7 @@ def queue_purge_minhash_index(
                  _p(index_dir, f"tombstones/{token}-{name}")]
             )
     new_meta = {**meta, "n_tombstones": int(meta.get("n_tombstones", 0)) + n}
-    tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump({"moves": moves, "swaps": [], "meta": new_meta}, f)
-    os.replace(tmp, _p(index_dir, _JOURNAL))
+    _commit_journal(index_dir, {"moves": moves, "swaps": [], "meta": new_meta})
     _roll_forward(index_dir, sweep=True)
     return n
 
@@ -845,14 +929,11 @@ def purge_minhash_index(
         # a full mem/sigs/bands rewrite here would be a pointless
         # O(index) pass for a no-op erasure)
         if tomb_files:
-            tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
-            with open(tmp, "w") as f:
-                json.dump(
-                    {"moves": [], "swaps": [], "deletes": tomb_files,
-                     "meta": {**meta, "n_tombstones": 0}},
-                    f,
-                )
-            os.replace(tmp, _p(index_dir, _JOURNAL))
+            _commit_journal(
+                index_dir,
+                {"moves": [], "swaps": [], "deletes": tomb_files,
+                 "meta": {**meta, "n_tombstones": 0}},
+            )
             _roll_forward(index_dir, sweep=True)
         return {"purged_docs": 0, "dropped_reps": 0, "renamed_reps": 0}
     affected = hits.select("ghash", F.col("rep_id").alias("old_rep")).distinct()
@@ -909,14 +990,11 @@ def purge_minhash_index(
         [os.path.join(stage, part), _p(index_dir, part)]
         for part in ("mem", "sigs", "bands")
     ]
-    tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(
-            {"moves": [], "swaps": swaps, "deletes": tomb_files,
-             "meta": new_meta},
-            f,
-        )
-    os.replace(tmp, _p(index_dir, _JOURNAL))
+    _commit_journal(
+        index_dir,
+        {"moves": [], "swaps": swaps, "deletes": tomb_files,
+         "meta": new_meta},
+    )
     _roll_forward(index_dir, sweep=True)
     return {
         "purged_docs": n_found,
@@ -935,18 +1013,9 @@ def dedup_cross_corpus_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     check attests erased docs surface in no pair, surviving groups
     (including rep-promoted ones) still match exactly, and nothing else
     moved."""
-    import shutil as _sh
+    from datapipe_spark.operators.dedup import PURGED_DOCS_PRED
 
-    from datapipe_spark.operators.dedup import PURGED_DOCS_PRED, _cross_tagged
-    from datapipe_spark.util import fresh_dir
-
-    tagged = _cross_tagged(spark, sf_dir)
-    idx = _cached_corpus_index(
-        spark, sf_dir, tagged.filter(~F.col("is_new")).select("doc_id", "text")
-    )
-    scratch = fresh_dir("minhash_index_purged")
-    _sh.rmtree(scratch, ignore_errors=True)
-    _sh.copytree(idx, scratch)
+    tagged, scratch = _clone_cached_index(spark, sf_dir, "minhash_index_purged")
     purge_minhash_index(
         spark,
         scratch,
@@ -966,18 +1035,11 @@ def dedup_cross_corpus_purge_queued(spark: SparkSession, sf_dir: str) -> DataFra
     tombstone-folding probe surfaces exactly what a probe against the
     physically purged index would, before any compaction folds the
     queue."""
-    import shutil as _sh
+    from datapipe_spark.operators.dedup import PURGED_DOCS_PRED
 
-    from datapipe_spark.operators.dedup import PURGED_DOCS_PRED, _cross_tagged
-    from datapipe_spark.util import fresh_dir
-
-    tagged = _cross_tagged(spark, sf_dir)
-    idx = _cached_corpus_index(
-        spark, sf_dir, tagged.filter(~F.col("is_new")).select("doc_id", "text")
+    tagged, scratch = _clone_cached_index(
+        spark, sf_dir, "minhash_index_purge_queued"
     )
-    scratch = fresh_dir("minhash_index_purge_queued")
-    _sh.rmtree(scratch, ignore_errors=True)
-    _sh.copytree(idx, scratch)
     queue_purge_minhash_index(
         spark,
         scratch,

@@ -71,9 +71,17 @@ _LEASE = "writer.lease"
 # an hour-old lease belongs to a crashed holder on any sizing
 LEASE_TTL_SECONDS = 3600.0
 
+# the journal-replay mutex (r12 review): roll-forward executes
+# filesystem writes and READERS run it too (they never take the writer
+# lease), so recovery gets its own short-TTL lock — replay is seconds
+# at most, and a crashed recoverer must not stall readers for the
+# writer lease's hour horizon
+RECOVERY_LOCK = "recovery.lock"
+RECOVERY_TTL_SECONDS = 120.0
 
-def _lease_path(store_dir: str) -> str:
-    return store_dir.rstrip("/") + "/" + _LEASE
+
+def _lease_path(store_dir: str, name: str = _LEASE) -> str:
+    return store_dir.rstrip("/") + "/" + name
 
 
 def _pid_alive(pid) -> bool:
@@ -89,13 +97,18 @@ _held: dict[str, list] = {}
 _held_mu = threading.Lock()
 
 
-def acquire(store_dir: str, ttl_seconds: float = LEASE_TTL_SECONDS) -> str:
-    """Acquire the store's writer lease; returns the lease token to
-    pass to ``release``. Raises ``StoreLockedError`` if a live writer
-    holds it. Reentrant within the owning THREAD only (module
-    docstring)."""
-    path = _lease_path(store_dir)
-    key = os.path.abspath(store_dir)
+def acquire(
+    store_dir: str,
+    ttl_seconds: float = LEASE_TTL_SECONDS,
+    name: str = _LEASE,
+) -> str:
+    """Acquire the store's writer lease (or, with ``name=``, another
+    named mutex on the store such as the recovery lock); returns the
+    lease token to pass to ``release``. Raises ``StoreLockedError`` if
+    a live holder exists. Reentrant within the owning THREAD only
+    (module docstring)."""
+    path = _lease_path(store_dir, name)
+    key = f"{os.path.abspath(store_dir)}::{name}"
     tid = threading.get_ident()
     with _held_mu:
         entry = _held.get(key)
@@ -203,12 +216,12 @@ def acquire(store_dir: str, ttl_seconds: float = LEASE_TTL_SECONDS) -> str:
     )
 
 
-def release(store_dir: str, token: str) -> None:
+def release(store_dir: str, token: str, name: str = _LEASE) -> None:
     """Release the lease if WE still hold it (a stolen-then-reissued
     lease belongs to the new holder and must not be removed). A
     reentrant hold only drops the file at depth 0."""
-    path = _lease_path(store_dir)
-    key = os.path.abspath(store_dir)
+    path = _lease_path(store_dir, name)
+    key = f"{os.path.abspath(store_dir)}::{name}"
     with _held_mu:
         entry = _held.get(key)
         if entry is not None and entry[0] == token:
@@ -239,6 +252,45 @@ def guards_writer(fn):
             release(store_dir, token)
 
     return wrapper
+
+
+class recovery_guard:
+    """``with recovery_guard(store_dir):`` — serializes journal
+    ROLL-FORWARD across processes and threads (r12 review): recovery
+    executes filesystem writes (staged-file moves, whole-dir swaps,
+    meta), and two processes replaying one journal concurrently could
+    interleave a swap's rename pair destructively (one installs the
+    new live dir, the other renames it to ``.old`` and the first's
+    trailing rmtree deletes it — a live part gone with the journal
+    retired). Writers already serialize on the writer lease, but
+    READERS also roll pending journals forward and never take that
+    lease, so recovery gets its own mutex. BLOCKING with a bounded
+    poll (recovery is fast and rare): a waiter retries until the
+    holder releases, the holder's pid dies, or the short TTL lapses —
+    then re-checks whether a journal still exists before replaying."""
+
+    def __init__(self, store_dir: str, timeout_seconds: float = 300.0):
+        self.store_dir = store_dir
+        self.timeout_seconds = timeout_seconds
+        self._token: str | None = None
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout_seconds
+        while True:
+            try:
+                self._token = acquire(
+                    self.store_dir, RECOVERY_TTL_SECONDS, name=RECOVERY_LOCK
+                )
+                return self
+            except StoreLockedError:
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        if self._token is not None:
+            release(self.store_dir, self._token, name=RECOVERY_LOCK)
+        return False
 
 
 class writer_lease:

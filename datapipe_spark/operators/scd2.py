@@ -240,7 +240,36 @@ def _roll_forward(dim_dir: str, sweep: bool = False) -> bool:
     must NOT sweep — a reader running concurrently with an in-flight
     pre-journal upsert would delete the live writer's staging and
     manufacture exactly the lost-increment state above (r9 advisory,
-    medium #2). Returns True if a pending commit was completed."""
+    medium #2). Replay runs under the store's recovery lock (r12
+    review — readers roll forward too; two concurrent replays of one
+    journal could interleave a swap's rename pair destructively).
+    Returns True if a pending commit was completed."""
+    jp = _p(dim_dir, _JOURNAL)
+    pending = False
+    if os.path.exists(jp):
+        from datapipe_spark.operators.lease import recovery_guard
+
+        with recovery_guard(dim_dir):
+            pending = _replay_journal(dim_dir)
+    # layout gate AFTER journal replay, not before: the only journal a
+    # legacy-meta store can carry is `scd2_migrate`'s own commit (legacy
+    # stores predate the journal entirely), and its j["meta"] carries
+    # the current layout — completing it first lets a reader finish a
+    # crashed migration; a journal-less legacy store still raises here
+    # at every entry (r9 advisory, low)
+    if os.path.exists(_p(dim_dir, "meta.json")):
+        _meta(dim_dir)
+    if sweep:
+        for name in os.listdir(dim_dir):
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
+    return pending
+
+
+def _replay_journal(dim_dir: str) -> bool:
+    """The replay body of ``_roll_forward``, called ONLY under the
+    recovery lock; re-checks journal existence (the winner of the lock
+    race replays, losers find it retired)."""
     jp = _p(dim_dir, _JOURNAL)
     pending = os.path.exists(jp)
     if pending:
@@ -285,18 +314,6 @@ def _roll_forward(dim_dir: str, sweep: bool = False) -> bool:
                 os.remove(path)
         _write_meta(dim_dir, j["meta"])
         os.remove(jp)
-    # layout gate AFTER journal replay, not before: the only journal a
-    # legacy-meta store can carry is `scd2_migrate`'s own commit (legacy
-    # stores predate the journal entirely), and its j["meta"] carries
-    # the current layout — completing it first lets a reader finish a
-    # crashed migration; a journal-less legacy store still raises here
-    # at every entry (r9 advisory, low)
-    if os.path.exists(_p(dim_dir, "meta.json")):
-        _meta(dim_dir)
-    if sweep:
-        for name in os.listdir(dim_dir):
-            if name.startswith(".staging-"):
-                shutil.rmtree(os.path.join(dim_dir, name), ignore_errors=True)
     return pending
 
 

@@ -1488,12 +1488,36 @@ def _ivf_roll_forward(index_dir: str, sweep: bool = False) -> bool:
     rather than silently retire a torn commit. ``sweep=True`` (writer
     entries only) clears journal-less ``.staging-*`` debris; readers
     must not sweep (the reader-vs-writer rule shared by every
-    journaled store in this repo)."""
-    import json
+    journaled store in this repo). Replay runs under the store's
+    recovery lock (r12 review — readers roll forward too; two
+    concurrent replays of one journal could interleave a swap's
+    rename pair destructively)."""
     import os
     import shutil
 
     base = index_dir.rstrip("/")
+    jp = os.path.join(base, _IVF_JOURNAL)
+    pending = False
+    if os.path.exists(jp):
+        from datapipe_spark.operators.lease import recovery_guard
+
+        with recovery_guard(base):
+            pending = _ivf_replay_journal(base)
+    if sweep:
+        for name in os.listdir(base):
+            if name.startswith(".staging-"):
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+    return pending
+
+
+def _ivf_replay_journal(base: str) -> bool:
+    """The replay body of ``_ivf_roll_forward``, called ONLY under the
+    recovery lock; re-checks journal existence (the winner of the lock
+    race replays, losers find it retired)."""
+    import json
+    import os
+    import shutil
+
     jp = os.path.join(base, _IVF_JOURNAL)
     pending = os.path.exists(jp)
     if pending:
@@ -1532,10 +1556,6 @@ def _ivf_roll_forward(index_dir: str, sweep: bool = False) -> bool:
             if os.path.exists(path):
                 os.remove(path)
         os.remove(jp)
-    if sweep:
-        for name in os.listdir(base):
-            if name.startswith(".staging-"):
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
     return pending
 
 

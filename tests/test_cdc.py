@@ -1748,6 +1748,46 @@ def test_scd2_lease_two_process_race_and_dead_holder_steal(spark, tmp_path):
     assert not os.path.exists(lease._lease_path(d)), "lease released after"
 
 
+def test_recovery_guard_serializes_blocks_and_is_independent(tmp_path):
+    """r12 review: journal replay runs under a dedicated recovery lock
+    (readers roll forward too and never hold the writer lease). The
+    guard must (a) BLOCK a second acquirer until release — recovery is
+    fast, so waiting beats failing a probe — (b) release its file, and
+    (c) be independent of the writer lease (a writer holding the store
+    lease takes the recovery lock without deadlock, the nested-call
+    shape of every journaled writer entry)."""
+    import os as _os
+    import threading
+    import time as _time
+
+    from datapipe_spark.operators import lease
+
+    d = str(tmp_path / "rg")
+    _os.makedirs(d)
+    order = []
+    with lease.recovery_guard(d):
+        assert _os.path.exists(lease._lease_path(d, lease.RECOVERY_LOCK))
+
+        def second():
+            with lease.recovery_guard(d, timeout_seconds=30):
+                order.append("second")
+
+        th = threading.Thread(target=second)
+        th.start()
+        _time.sleep(0.3)
+        order.append("first-releasing")
+    th.join(30)
+    assert order == ["first-releasing", "second"]
+    assert not _os.path.exists(lease._lease_path(d, lease.RECOVERY_LOCK))
+
+    # independence from the writer lease: the nested writer shape
+    t = lease.acquire(d)
+    with lease.recovery_guard(d):
+        assert _os.path.exists(lease._lease_path(d, lease.RECOVERY_LOCK))
+    lease.release(d, t)
+    assert not _os.path.exists(lease._lease_path(d))
+
+
 def test_scd2_precbucket_closed_rows_survive_keyed_reads_and_heal(
     spark, tmp_path
 ):

@@ -2450,6 +2450,97 @@ def test_purge_minhash_index_rebuild_equality_and_semantics(spark, tmp_path):
     assert _index_rows(spark, idx) == _index_rows(spark, ref)
 
 
+def test_append_preserves_tombstone_queue(spark, tmp_path):
+    """r12 review: an append must carry the queued-erasure counter
+    through its meta rewrite — dropping it made readers skip the
+    tombstone anti-join (erased docs resurfacing in probes) and made
+    purge/compaction never fold the queue (the erasure obligation
+    silently lost)."""
+    from datapipe_spark.operators import dedup_index as di
+
+    idx = str(tmp_path / "appq")
+    corpus = _purge_corpus(spark)
+    di.build_minhash_index(spark, corpus, idx)
+    # queue the erasure of the 3-copy group's rep, then APPEND
+    assert di.queue_purge_minhash_index(
+        spark, idx, spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    ) == 3
+    batch = spark.createDataFrame(
+        [(50, "a new appended document with some fresh wording inside it")],
+        "doc_id long, text string",
+    )
+    assert di.append_minhash_index(spark, idx, batch, batch_id=0) is True
+    assert di._meta(spark, idx).get("n_tombstones", 0) == 3, (
+        "append must not drop the queued-erasure counter"
+    )
+    # the merge-on-read reader still hides the erased group
+    probe = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta common group text")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["corpus_doc_id"]
+        for r in di.probe_minhash_index(spark, idx, probe).collect()
+    }
+    assert not hits & {1, 2, 3}, "erased docs must stay hidden after append"
+    # ...and compaction still folds the queue physically
+    di.compact_minhash_index(spark, idx)
+    assert di._meta(spark, idx).get("n_tombstones", 0) == 0
+    assert not di._has_tombstones(idx)
+    mem_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{idx}/mem").collect()
+    }
+    assert not mem_ids & {1, 2, 3}
+
+
+def test_build_in_place_clears_stale_store_state(spark, tmp_path):
+    """r12 review: rebuilding an index in place must clear a stale
+    commit journal, staging debris, and the old tombstone queue — a
+    stale journal would roll the OLD index's delta files and batch-id
+    watermark into the fresh build (future appends silently skipped)."""
+    import json as _json
+
+    from datapipe_spark.operators import dedup_index as di
+
+    idx = str(tmp_path / "rebuild")
+    corpus = _purge_corpus(spark)
+    di.build_minhash_index(spark, corpus, idx)
+    di.append_minhash_index(
+        spark, idx,
+        spark.createDataFrame(
+            [(60, "stale generation document with words nobody else uses")],
+            "doc_id long, text string",
+        ),
+        batch_id=7,
+    )
+    di.queue_purge_minhash_index(
+        spark, idx, spark.createDataFrame([(7,)], "doc_id long")
+    )
+    # manufacture the pre-rebuild debris: a fake pending journal that
+    # would resurrect the old watermark, plus staging leftovers
+    with open(di._p(idx, di._JOURNAL), "w") as f:
+        _json.dump({"moves": [], "swaps": [], "meta": {"last_batch_id": 7}}, f)
+    import os as _os
+    _os.makedirs(di._p(idx, ".staging-stale/mem"), exist_ok=True)
+
+    di.build_minhash_index(spark, corpus, idx)
+    assert not _os.path.exists(di._p(idx, di._JOURNAL))
+    assert not [n for n in _os.listdir(idx) if n.startswith(".staging-")]
+    assert not di._has_tombstones(idx)
+    meta = di._meta(spark, idx)
+    assert meta.get("last_batch_id") is None and meta.get("n_tombstones", 0) == 0
+    # the fresh index accepts batch 0 (the stale watermark is gone)
+    assert di.last_applied_batch(spark, idx) == -1
+    assert di.append_minhash_index(
+        spark, idx,
+        spark.createDataFrame(
+            [(61, "new generation document with its own novel vocabulary")],
+            "doc_id long, text string",
+        ),
+        batch_id=0,
+    ) is True
+
+
 def test_purge_minhash_never_seen_queue_clears_without_rewrite(
     spark, tmp_path
 ):

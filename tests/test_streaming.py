@@ -643,9 +643,12 @@ def test_torn_index_append_commit_recovers_exactly_once(spark, tmp_path, monkeyp
         di.append_minhash_index(spark, idx_torn, batch, batch_id=0)
     monkeypatch.undo()
 
-    # torn state on disk: journal present, commit incomplete
+    # torn state on disk: journal present, commit incomplete — but the
+    # journal rename IS the commit point, so the watermark must already
+    # read as applied (r12 review: returning -1 here let a replayed
+    # probe re-run against an index that contained its own batch)
     assert os.path.exists(di._p(idx_torn, di._JOURNAL))
-    assert di.last_applied_batch(spark, idx_torn) == -1
+    assert di.last_applied_batch(spark, idx_torn) == 0
 
     # replay after restart: entry recovery completes the journaled
     # commit (idempotent moves + meta), then the watermark skips the
