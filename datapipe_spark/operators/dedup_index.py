@@ -120,16 +120,14 @@ def _prepare_commit(
 def _commit_journal(index_dir: str, journal: dict) -> str:
     """THE commit point, spelled once for every writer (r12 review —
     five hand-repeated copies drifted once already, dropping a meta
-    key): journal JSON written aside + one atomic rename. Past the
-    rename the commit is durable and WILL be completed by
-    ``_roll_forward``. Returns the journal path."""
-    import json
+    key): journal JSON written aside + one fsynced atomic rename
+    (power-loss durable — r12 review). Past the rename the commit is
+    durable and WILL be completed by ``_roll_forward``. Returns the
+    journal path."""
+    from datapipe_spark.util import atomic_write_json
 
-    tmp = _p(index_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(journal, f)
     jp = _p(index_dir, _JOURNAL)
-    os.replace(tmp, jp)
+    atomic_write_json(jp, journal)
     return jp
 
 
@@ -279,14 +277,12 @@ def _write_meta(index_dir: str, meta: dict) -> None:
     # a JSON sidecar, not a Spark table: one-row driver-side metadata
     # costs a whole Spark job per write as parquet (~2 s measured on
     # the append hot path); in production this row lives in a catalog.
-    # Written aside + atomic rename: meta.json carries the exactly-once
-    # high-watermark, so a torn write on crash must be impossible
-    import json
+    # Fsynced atomic rename: meta.json carries the exactly-once
+    # high-watermark, so a torn write must be impossible even across
+    # power loss (r12 review)
+    from datapipe_spark.util import atomic_write_json
 
-    tmp = _p(index_dir, f"meta.json.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _p(index_dir, "meta.json"))
+    atomic_write_json(_p(index_dir, "meta.json"), meta)
 
 
 def _meta(spark: SparkSession, index_dir: str) -> dict:

@@ -54,6 +54,15 @@ is completed by the next entry before anything else runs. A replayed
 ``batch_id`` ≤ the watermark is skipped wholesale. Single writer per
 store by contract (one streaming query owns a dimension).
 
+Scope of the reader guarantee (r12 review): "readers never see a torn
+increment" is an ENTRY-time property — a reader entering the store
+sees the pre-commit or post-commit state, never a mix, across any
+crash. A Spark scan already RUNNING when a live writer's swap lands
+read file paths that just moved and can fail mid-job (the inherent
+limit of directory-swap commits on a plain filesystem; Iceberg buys
+scan-during-commit isolation with manifest indirection) — such a read
+retries against the committed store.
+
 Increments must arrive in per-key LSN order (the CDC stream contract —
 Debezium preserves per-key order within a topic partition).
 """
@@ -188,10 +197,9 @@ def _p(dim_dir: str, part: str) -> str:
 
 
 def _write_meta(dim_dir: str, meta: dict) -> None:
-    tmp = _p(dim_dir, f"meta.json.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, _p(dim_dir, "meta.json"))
+    from datapipe_spark.util import atomic_write_json
+
+    atomic_write_json(_p(dim_dir, "meta.json"), meta)
 
 
 def _meta(dim_dir: str) -> dict:
@@ -210,12 +218,12 @@ def _meta(dim_dir: str) -> dict:
 
 
 def _write_journal(dim_dir: str, journal: dict) -> None:
-    """The commit point: once this atomic rename lands, the commit is
-    durable and WILL be completed by ``_roll_forward``."""
-    tmp = _p(dim_dir, f"{_JOURNAL}.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump(journal, f)
-    os.replace(tmp, _p(dim_dir, _JOURNAL))
+    """The commit point: once this fsynced atomic rename lands, the
+    commit is durable (power loss included — r12 review) and WILL be
+    completed by ``_roll_forward``."""
+    from datapipe_spark.util import atomic_write_json
+
+    atomic_write_json(_p(dim_dir, _JOURNAL), journal)
 
 
 def _roll_forward(dim_dir: str, sweep: bool = False) -> bool:
@@ -328,11 +336,36 @@ def _bucket_of(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets)).cast("int")
 
 
+def _cbucket_of():
+    """The fixed-modulus closed-key bucket — a pure function of the
+    key, decoupled from the layout bucket count. ONE spelling for
+    writer, reader, heal, migrate, and purge (r12 review: five
+    hand-repeated copies — one drifted hash or modulus would silently
+    mis-route keyed history reads and purge file-pruning, since values
+    written by one path would stop matching sets computed by
+    another)."""
+    return F.pmod(
+        F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS)
+    ).cast("int")
+
+
 def scd2_init(
     spark: SparkSession, dim_dir: str, n_buckets: int = SCD2_DEFAULT_BUCKETS
 ) -> None:
     """Create an empty store: typed empty ``current/bucket=0``, no
-    history, watermark −1."""
+    history, watermark −1. Refuses an already-initialized store (r12
+    review): re-running init on a live store would HALF-reset it —
+    watermark and bucket=0 clobbered while other buckets, closed/
+    history, and tombstones survive — and the next upsert would merge
+    a fresh timeline into stale open rows. Wipe the directory (or
+    point at a fresh one) to rebuild."""
+    if os.path.exists(_p(dim_dir, "meta.json")):
+        raise FileExistsError(
+            f"SCD2 store at {dim_dir} is already initialized "
+            "(meta.json present): scd2_init would half-reset it, "
+            "leaving stale buckets and closed history under a fresh "
+            "watermark. Remove the store directory first to rebuild."
+        )
     os.makedirs(dim_dir, exist_ok=True)
     spark.createDataFrame([], _STORE_SCHEMA).write.mode("overwrite").parquet(
         _p(dim_dir, "current/bucket=0")
@@ -396,13 +429,7 @@ def _heal_cbucket(df: DataFrame) -> DataFrame:
     instead of persisting the null (which a bare ``cbucket IN``
     filter would silently drop from keyed reads forever)."""
     return df.withColumn(
-        "cbucket",
-        F.coalesce(
-            F.col("cbucket"),
-            F.pmod(
-                F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS)
-            ).cast("int"),
-        ),
+        "cbucket", F.coalesce(F.col("cbucket"), _cbucket_of())
     )
 
 
@@ -520,15 +547,11 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
         "inc", F.lit(batch_id).cast("int")
     ).withColumn(
         "cbucket",
-        F.pmod(F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS)).cast("int"),
+        _cbucket_of(),
     ).write.mode("overwrite").parquet(os.path.join(stage, "closed"))
-    moves = []
-    sdir = os.path.join(stage, "closed")
-    for name in sorted(os.listdir(sdir)):
-        if name.startswith("part-") and name.endswith(".parquet"):
-            moves.append(
-                [os.path.join(sdir, name), _p(dim_dir, f"closed/{token}-{name}")]
-            )
+    moves = _staged_moves(
+        os.path.join(stage, "closed"), _p(dim_dir, "closed"), token
+    )
 
     # stage the rewritten touched buckets (one output file per bucket)
     new_current = cur_untouched.select(*_store_cols(extras)).unionByName(
@@ -541,21 +564,42 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
         .partitionBy("bucket")
         .parquet(os.path.join(stage, "current"))
     )
+    swaps = _bucket_swaps(spark, stage, dim_dir, tb, _store_ddl(extras))
+
+    _write_journal(dim_dir, {"moves": moves, "swaps": swaps, "meta": new_meta})
+    _roll_forward(dim_dir, sweep=True)
+    return True
+
+
+def _staged_moves(sdir: str, dest_dir: str, token: str) -> list[list[str]]:
+    """Journal ``moves`` for every staged part file: token-prefixed
+    destination names stay unique in the live dir across replays of
+    the same batch. One spelling for upsert/queue-purge/purge (r12
+    review — a drifted copy would desync the journals)."""
+    return [
+        [os.path.join(sdir, name), os.path.join(dest_dir, f"{token}-{name}")]
+        for name in sorted(os.listdir(sdir))
+        if name.startswith("part-") and name.endswith(".parquet")
+    ]
+
+
+def _bucket_swaps(
+    spark: SparkSession, stage: str, dim_dir: str, tb: list, ddl: str
+) -> list[list[str]]:
+    """Journal ``swaps`` for the touched buckets: a bucket whose every
+    key was tombstoned/purged produced no staged dir — swap in a typed
+    empty one so the stale open rows still get replaced (one spelling
+    for upsert and purge)."""
     swaps = []
     empty = None
     for b in tb:
         src = os.path.join(stage, f"current/bucket={b}")
         if not os.path.isdir(src):
-            # every key in the bucket was tombstoned: swap in a typed
-            # empty dir so the stale open rows still get replaced
             if empty is None:
-                empty = spark.createDataFrame([], _store_ddl(extras))
+                empty = spark.createDataFrame([], ddl)
             empty.write.mode("overwrite").parquet(src)
         swaps.append([src, _p(dim_dir, f"current/bucket={b}")])
-
-    _write_journal(dim_dir, {"moves": moves, "swaps": swaps, "meta": new_meta})
-    _roll_forward(dim_dir, sweep=True)
-    return True
+    return swaps
 
 
 def _has_tombstones(dim_dir: str) -> bool:
@@ -656,14 +700,20 @@ def scd2_history_for_keys(
     meta = _meta(dim_dir)
     n_buckets = int(meta["n_buckets"])
     kb = keys.select("id").distinct().localCheckpoint(eager=True)
+    # broadcast gate (r12 review — the upsert/purge probe posture):
+    # a snapshot-sized key set (the docstring's training shard) must
+    # not force-broadcast through the driver; past the gate the semi
+    # join falls back to a shuffle. The count is free on the
+    # checkpointed frame.
+    n_keys = kb.count()
+    gated = n_keys <= SCD2_BROADCAST_MAX_ROWS
     # one job yields both pruning sets (layout bucket + fixed-modulus
-    # closed bucket per distinct key)
+    # closed bucket per distinct key); bounded: ≤ n_buckets × 1024
+    # distinct pairs regardless of key count
     pairs = (
         kb.select(
             _bucket_of(n_buckets).alias("b"),
-            F.pmod(F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS))
-            .cast("int")
-            .alias("cb"),
+            _cbucket_of().alias("cb"),
         )
         .distinct()
         .collect()
@@ -694,7 +744,7 @@ def scd2_history_for_keys(
         )
         closed = _minus_tombstones(spark, dim_dir, meta, closed)
         hist = closed.select(*hcols).unionByName(cur)
-    return hist.join(F.broadcast(kb), "id", "semi")
+    return hist.join(F.broadcast(kb) if gated else kb, "id", "semi")
 
 
 def scd2_as_of(spark: SparkSession, dim_dir: str, batch_id: int) -> DataFrame:
@@ -997,6 +1047,16 @@ def scd2_migrate(
     the current layout (then this is just a writer entry: it completes
     any pending commit and sweeps staging debris).
     """
+    if os.path.exists(_p(dim_dir, _JOURNAL)):
+        # the only journal a legacy-meta store can carry is a prior
+        # crashed migration's own commit — complete it BEFORE the raw
+        # meta read and the staging sweep (r12 review, high: sweeping
+        # first destroys the pending journal's swap sources; a crash in
+        # the window before this call's own journal overwrite would
+        # then let replay treat each sourceless swap as already-done
+        # and stamp layout 2 onto the UN-migrated legacy dirs — every
+        # bucket filter null-drops and the store silently reads empty)
+        _roll_forward(dim_dir)
     with open(_p(dim_dir, "meta.json")) as f:
         raw_meta = json.load(f)  # raw read: _meta would raise on legacy
     if int(raw_meta.get("layout", 0)) >= _LAYOUT:
@@ -1045,12 +1105,7 @@ def scd2_migrate(
             closed = closed.withColumn("_written_inc", F.lit(0).cast("int"))
         closed = closed.select(
             *_STORE_COLS, F.col("inc").cast("int").alias("inc")
-        ).withColumn(
-            "cbucket",
-            F.pmod(
-                F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS)
-            ).cast("int"),
-        )
+        ).withColumn("cbucket", _cbucket_of())
         (
             closed.repartitionByRange(
                 max(1, spark.sparkContext.defaultParallelism // 4),
@@ -1184,14 +1239,9 @@ def scd2_queue_purge(spark: SparkSession, dim_dir: str, keys: DataFrame) -> int:
     kb.withColumn("asof_inc", F.lit(asof).cast("int")).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(stage, "tombstones"))
-    moves = []
-    sdir = os.path.join(stage, "tombstones")
-    for name in sorted(os.listdir(sdir)):
-        if name.startswith("part-") and name.endswith(".parquet"):
-            moves.append(
-                [os.path.join(sdir, name),
-                 _p(dim_dir, f"tombstones/{token}-{name}")]
-            )
+    moves = _staged_moves(
+        os.path.join(stage, "tombstones"), _p(dim_dir, "tombstones"), token
+    )
     new_meta = {**meta, "n_tombstones": int(meta.get("n_tombstones", 0)) + n}
     _write_journal(dim_dir, {"moves": moves, "swaps": [], "meta": new_meta})
     _roll_forward(dim_dir, sweep=True)
@@ -1322,15 +1372,9 @@ def scd2_purge_keys(
         .partitionBy("bucket")
         .parquet(os.path.join(stage, "current"))
     )
-    swaps = []
-    empty = None
-    for b in tb:
-        src = os.path.join(stage, f"current/bucket={b}")
-        if not os.path.isdir(src):
-            if empty is None:
-                empty = spark.createDataFrame([], _store_ddl(_extras(meta)))
-            empty.write.mode("overwrite").parquet(src)
-        swaps.append([src, _p(dim_dir, f"current/bucket={b}")])
+    swaps = _bucket_swaps(
+        spark, stage, dim_dir, tb, _store_ddl(_extras(meta))
+    )
 
     # closed/: footer-prune the rewrite to the files whose cbucket
     # range intersects the purged keys' cbuckets (docstring cost shape)
@@ -1339,11 +1383,7 @@ def scd2_purge_keys(
     if _has_closed(dim_dir):
         cbs = sorted(
             r[0]
-            for r in kb.select(
-                F.pmod(F.xxhash64(F.col("id")), F.lit(SCD2_CLOSED_KEY_BUCKETS))
-                .cast("int")
-                .alias("cb")
-            )
+            for r in kb.select(_cbucket_of().alias("cb"))
             .distinct()
             .collect()  # ≤ SCD2_CLOSED_KEY_BUCKETS rows by construction
         )
@@ -1364,13 +1404,9 @@ def scd2_purge_keys(
                 .write.mode("overwrite")
                 .parquet(os.path.join(stage, "closed"))
             )
-            sdir = os.path.join(stage, "closed")
-            for name in sorted(os.listdir(sdir)):
-                if name.startswith("part-") and name.endswith(".parquet"):
-                    moves.append(
-                        [os.path.join(sdir, name),
-                         _p(dim_dir, f"closed/{token}-{name}")]
-                    )
+            moves = _staged_moves(
+                os.path.join(stage, "closed"), _p(dim_dir, "closed"), token
+            )
             deletes = list(touched_files)
     deletes += tomb_files  # fold: the queue is cleared in this commit
 
@@ -1565,6 +1601,11 @@ def scd2_expire_closed(spark: SparkSession, dim_dir: str, cutoff) -> dict:
         F.count(F.when(F.col("valid_to") >= cut, 1)).alias("k"),
     ).collect()[0]
     n_expired = int(row["n"] - row["k"])
+    if n_expired == 0:
+        # nothing outside the horizon: skip the full rewrite of the
+        # store's LARGEST slice (r12 review — callers wanting a
+        # re-cluster already have scd2_compact_closed)
+        return {"expired_versions": 0}
     token = uuid.uuid4().hex[:12]
     stage = _p(dim_dir, f".staging-{token}")
     cols = ["cbucket", "inc"]  # explicit schema: always present (healed)

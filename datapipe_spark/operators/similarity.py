@@ -1623,10 +1623,11 @@ def queue_purge_ivf_index(
                 [os.path.join(sdir, name),
                  os.path.join(base, f"tombstones/{token}-{name}")]
             )
-    tmp = os.path.join(base, f"{_IVF_JOURNAL}.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump({"moves": moves, "swaps": []}, f)
-    os.replace(tmp, os.path.join(base, _IVF_JOURNAL))
+    from datapipe_spark.util import atomic_write_json
+
+    atomic_write_json(
+        os.path.join(base, _IVF_JOURNAL), {"moves": moves, "swaps": []}
+    )
     _ivf_roll_forward(base, sweep=True)
     return n
 
@@ -1707,12 +1708,12 @@ def purge_ivf_index(
     n_found = int(sum(r["count"] for r in hits))
     if not touched:
         if tomb_files:  # queue held only never-seen ids: just clear it
-            import json as _json
+            from datapipe_spark.util import atomic_write_json
 
-            tmp = os.path.join(base, f"{_IVF_JOURNAL}.tmp-{os.getpid()}")
-            with open(tmp, "w") as f:
-                _json.dump({"swaps": [], "deletes": tomb_files}, f)
-            os.replace(tmp, os.path.join(base, _IVF_JOURNAL))
+            atomic_write_json(
+                os.path.join(base, _IVF_JOURNAL),
+                {"swaps": [], "deletes": tomb_files},
+            )
             _ivf_roll_forward(base, sweep=True)
         return {"purged_vecs": 0, "touched_cells": 0}
 
@@ -1734,10 +1735,12 @@ def purge_ivf_index(
                 empty = spark.createDataFrame([], "vec_id long, v array<double>")
             empty.write.mode("overwrite").parquet(src)
         swaps.append([src, f"{cells}/qcell={c}"])
-    tmp = os.path.join(base, f"{_IVF_JOURNAL}.tmp-{os.getpid()}")
-    with open(tmp, "w") as f:
-        json.dump({"swaps": swaps, "deletes": tomb_files}, f)
-    os.replace(tmp, os.path.join(base, _IVF_JOURNAL))
+    from datapipe_spark.util import atomic_write_json
+
+    atomic_write_json(
+        os.path.join(base, _IVF_JOURNAL),
+        {"swaps": swaps, "deletes": tomb_files},
+    )
     _ivf_roll_forward(base, sweep=True)
     return {"purged_vecs": n_found, "touched_cells": len(touched)}
 

@@ -26,6 +26,29 @@ def scratch_root() -> str:
     return root
 
 
+def atomic_write_json(path: str, obj) -> None:
+    """Durably publish a small JSON control file (journal, meta): write
+    aside, flush + fsync the data, atomically rename over the target,
+    then fsync the DIRECTORY so the rename itself survives power loss
+    (r12 review: without the fsyncs, 'once the journal exists the
+    commit WILL complete' held for process crashes but not power cuts —
+    a persisted rename of unpersisted bytes leaves a torn JSON that
+    wedges every subsequent store entry on json.load)."""
+    import json
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
 def build_once(
     src: str, version_tag: str, env_var: str, default_root: str, builder
 ) -> str:
