@@ -201,6 +201,14 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("to_type").isNotNull())
         .select(F.col("event_type").alias("from_type"), "to_type")
     )
+    return transition_matrix(pairs)
+
+
+def transition_matrix(pairs: DataFrame) -> DataFrame:
+    """(from_type, to_type) adjacency rows → counts + row-normalized
+    probabilities — spelled once for the batch window form and the
+    streaming per-user-state form (r12 review: the tail lived in two
+    files under one oracle)."""
     counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
     w_from = Window.partitionBy("from_type")
     return counts.select(

@@ -47,6 +47,15 @@ def funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("unique_users"),
         F.sum(F.when(F.col("event_type") == "purchase", money("value"))).alias("_rev"),
     )
+    return funnel_kpis(daily)
+
+
+def funnel_kpis(daily: DataFrame) -> DataFrame:
+    """The funnel's KPI tail, spelled once for the batch form and its
+    streaming MV twin (r12 review — two copies under ONE oracle could
+    drift until a driver run failed): stable column order, the decimal
+    revenue cast to double in the final projection only, zero-guarded
+    ratios."""
     return daily.select(
         "event_date",
         "total_events",

@@ -27,13 +27,12 @@ compaction; dedup state is bounded by ``dropDuplicatesWithinWatermark``.
 from __future__ import annotations
 
 import os
-import time
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datapipe_spark.functions import epoch_us, money, ratio
+from datapipe_spark.functions import epoch_us, money
 from datapipe_spark.streaming import source as src
 from datapipe_spark.streaming.sessions import apply_session_state
 
@@ -84,7 +83,7 @@ def _run(writer, checkpoint: str):
     return q
 
 
-def _events_stream(spark: SparkSession, sf_dir: str, sentinel: bool, dup_every: int = 0) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str, sentinel: bool) -> DataFrame:
     # one shared drop-set (sentinel variant) serves every non-dup query;
     # consumers that don't want flush rows filter on event_type.
     # files_per_trigger=3 → two micro-batches over the 4+flush drops
@@ -93,7 +92,7 @@ def _events_stream(spark: SparkSession, sf_dir: str, sentinel: bool, dup_every: 
     # overhead (state-store commit + per-group python exchange), so
     # fewer, larger polls is the same throughput knob as a bigger
     # Kafka maxOffsetsPerTrigger
-    drops = src.prepare_event_drops(spark, sf_dir, sentinel=sentinel, dup_every=dup_every)
+    drops = src.prepare_event_drops(spark, sf_dir, sentinel=sentinel)
     return src.read_event_stream(spark, drops, files_per_trigger=3)
 
 
@@ -135,8 +134,16 @@ def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             first_seen.writeStream.format("parquet").option("path", uniq),
             os.path.join(out, "cp_uniq"),
         )
-        q1.awaitTermination()
-        q2.awaitTermination()
+        try:
+            q1.awaitTermination()
+            q2.awaitTermination()
+        finally:
+            # one query failing must not orphan its sibling (r12
+            # review): a retry wipes this scratch dir, and a live
+            # orphan racing the fresh run corrupts sink + checkpoint
+            for q in (q1, q2):
+                if q.isActive:
+                    q.stop()
 
     merged = (
         spark.read.parquet(partials)
@@ -154,13 +161,9 @@ def streaming_funnel_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniques = spark.read.parquet(uniq).groupBy("event_date").agg(
         F.count("*").alias("unique_users")
     )
-    return merged.join(uniques, "event_date").select(
-        "event_date", "total_events", "views", "clicks", "purchases", "signups", "errors",
-        "unique_users",
-        F.col("_rev").cast("double").alias("purchase_revenue"),
-        ratio(F.col("clicks"), F.col("views")).alias("click_through_rate"),
-        ratio(F.col("purchases"), F.col("views")).alias("conversion_rate"),
-    )
+    from datapipe_spark.plans.events_queries import funnel_kpis
+
+    return funnel_kpis(merged.join(uniques, "event_date"))
 
 
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,8 +268,6 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch window's LEAD order, so counts and probabilities equal the
     batch form and its oracle. The aggregation runs over the sink's
     adjacency rows — output-sized, |event_types|² groups."""
-    from pyspark.sql.window import Window
-
     from datapipe_spark.streaming.sessions import apply_transition_state
 
     out = src.fresh_dir("transition_state")
@@ -279,18 +280,9 @@ def streaming_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.writeStream.format("parquet").option("path", sink),
             os.path.join(out, "cp"),
         )
-    counts = (
-        spark.read.parquet(sink)
-        .groupBy("from_type", "to_type")
-        .agg(F.count("*").alias("n"))
-    )
-    w_from = Window.partitionBy("from_type")
-    return counts.select(
-        "from_type",
-        "to_type",
-        "n",
-        (F.col("n").cast("double") / F.sum("n").over(w_from)).alias("p"),
-    )
+    from datapipe_spark.plans.behavior import transition_matrix
+
+    return transition_matrix(spark.read.parquet(sink))
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,19 +448,12 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.copytree(pristine, index_dir, ignore=shutil.ignore_patterns("_READY"))
     newdocs = tagged.filter("is_new").select("doc_id", "text")
-    base_mtime = time.time()
-    for i in range(CROSS_STREAM_BATCHES):
-        drop_dir = os.path.join(drops, f"drop_{i:02d}")
-        newdocs.filter(
-            F.col("doc_id") % CROSS_STREAM_BATCHES == i
-        ).coalesce(1).write.mode("overwrite").parquet(drop_dir)
-        # FileStreamSource orders replay by mtime; sequential writes on
-        # a coarse-mtime filesystem can collide, making batch order —
-        # and hence the arrival-order oracle — nondeterministic. Pin
-        # strictly increasing mtimes explicitly (r6 advisory).
-        for name in sorted(os.listdir(drop_dir)):
-            if name.endswith(".parquet"):
-                os.utime(os.path.join(drop_dir, name), (base_mtime + i, base_mtime + i))
+    src.write_sequential_drops(
+        newdocs,
+        [F.col("doc_id") % CROSS_STREAM_BATCHES == i
+         for i in range(CROSS_STREAM_BATCHES)],
+        drops,
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -488,17 +473,22 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # probe against the pre-append index snapshot, then the append
         # reuses the probe's membership/signature frames
         out_df, bmem, bsigs = _probe_plan(spark, index_dir, bdf)
-        # per-batch overwrite dir (T10 idempotent-archival shape): a
-        # crash BEFORE the append replays the batch, and the rewrite
-        # replaces rather than duplicates the probe output
-        out_df.withColumnRenamed("corpus_doc_id", "matched_doc_id").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sink, f"b_{bid:05d}"))
-        append_minhash_index(
-            spark, index_dir, bdf, precollapsed=(bmem, bsigs), batch_id=bid
-        )
-        bmem.unpersist()
-        bsigs.unpersist()
+        try:
+            # per-batch overwrite dir (T10 idempotent-archival shape): a
+            # crash BEFORE the append replays the batch, and the rewrite
+            # replaces rather than duplicates the probe output
+            out_df.withColumnRenamed("corpus_doc_id", "matched_doc_id").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sink, f"b_{bid:05d}"))
+            append_minhash_index(
+                spark, index_dir, bdf, precollapsed=(bmem, bsigs), batch_id=bid
+            )
+        finally:
+            # unpersist even when the write/append throws (r12 review:
+            # a skipped unpersist pins the plans in the session cache
+            # for good — the leak util.materialize_and_release documents)
+            bmem.unpersist()
+            bsigs.unpersist()
 
     with _stream_shuffle(spark):
         _run(stream.writeStream.foreachBatch(probe_then_append), os.path.join(out, "cp"))
@@ -530,13 +520,9 @@ def streaming_scd2_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim, drops = os.path.join(out, "dim"), os.path.join(out, "drops")
 
     log = synth_changelog(spark, sf_dir)
-    base_mtime = time.time()
-    for i, op in enumerate(("c", "u", "d")):
-        p = os.path.join(drops, f"drop_{i:02d}")
-        log.filter(F.col("__op") == op).coalesce(1).write.mode("overwrite").parquet(p)
-        for name in sorted(os.listdir(p)):
-            if name.endswith(".parquet"):
-                os.utime(os.path.join(p, name), (base_mtime + i, base_mtime + i))
+    src.write_sequential_drops(
+        log, [F.col("__op") == op for op in ("c", "u", "d")], drops
+    )
 
     scd2.scd2_init(spark, dim)
     stream = (
@@ -579,13 +565,9 @@ def streaming_pit_enriched_lineitems(spark: SparkSession, sf_dir: str) -> DataFr
     drops, sink = os.path.join(out, "drops"), os.path.join(out, "sink")
 
     li = _lineitem_facts(spark, sf_dir)
-    base_mtime = time.time()
-    for i in range(3):
-        p = os.path.join(drops, f"drop_{i:02d}")
-        li.filter(F.col("id") % 3 == i).coalesce(1).write.mode("overwrite").parquet(p)
-        for name in sorted(os.listdir(p)):
-            if name.endswith(".parquet"):
-                os.utime(os.path.join(p, name), (base_mtime + i, base_mtime + i))
+    src.write_sequential_drops(
+        li, [F.col("id") % 3 == i for i in range(3)], drops
+    )
 
     store = scd2._cached_scd2_store(spark, sf_dir)
 
@@ -892,15 +874,9 @@ def streaming_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipe_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    base_mtime = time.time()
-    for i in range(n_batches):
-        drop_dir = os.path.join(drops, f"drop_{i:02d}")
-        docs.filter(F.col("doc_id") % n_batches == i).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(drop_dir)
-        for name in sorted(os.listdir(drop_dir)):
-            if name.endswith(".parquet"):
-                os.utime(os.path.join(drop_dir, name), (base_mtime + i, base_mtime + i))
+    src.write_sequential_drops(
+        docs, [F.col("doc_id") % n_batches == i for i in range(n_batches)], drops
+    )
 
     stream = (
         spark.readStream.schema("doc_id long, text string, source string")
@@ -913,7 +889,11 @@ def streaming_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out, "cp"),
         )
     final = keep_best_latest_state(spark, state)
-    assert final is not None, "stream produced no state versions"
+    if final is None:  # explicit raise: a bare assert vanishes under -O
+        raise RuntimeError(
+            "streaming_keep_best produced no _SUCCESS-complete state "
+            "version — the final state write was torn or never ran"
+        )
     return final.select("ghash", "keep_doc_id", "src_rank")
 
 

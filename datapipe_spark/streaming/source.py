@@ -139,8 +139,58 @@ def prepare_event_drops(
             _write_drop(flush, os.path.join(out, f"drop_{n_drops:02d}_flush"), as_json, 0)
     finally:
         e.unpersist()
+    # pin strictly increasing mtimes in drop order (the r6 advisory the
+    # per-job drop writers already carry, applied to the SHARED drop
+    # set too — r12 review): FileStreamSource orders replay by
+    # timestamp, and sequential writes on a coarse-mtime filesystem can
+    # collide — a swapped drop, or the +30d flush sentinel replaying
+    # early, jumps the watermark and silently drops events as late.
+    # Lexicographic dir order IS arrival order (drop_00..drop_NN, then
+    # drop_{n}_flush carrying the max index).
+    import time as _time
+
+    base = _time.time()
+    for i, name in enumerate(sorted(os.listdir(out))):
+        d = os.path.join(out, name)
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if not fn.startswith((".", "_")):
+                    os.utime(os.path.join(d, fn), (base + i, base + i))
     open(os.path.join(out, "_READY"), "w").close()
     return out
+
+
+def write_sequential_drops(
+    parent: DataFrame, preds, drops_root: str
+) -> None:
+    """Write micro-batch drops ``drop_{i:02d}`` — one per predicate
+    over ``parent`` — with the two invariants every streaming job
+    needs, spelled once (r12 review: four hand-repeated copies):
+
+    - ``parent`` is persisted across the loop, so N drops cost ONE
+      source scan instead of N full recomputations of the upstream
+      plan (synth_changelog's explode, the corpus tag split);
+    - file mtimes are pinned strictly increasing in drop order (the
+      r6 advisory): FileStreamSource orders replay by timestamp, and
+      sequential writes on a coarse-mtime filesystem can collide —
+      swapped arrival order silently diverges the stateful operators'
+      arrival-order oracles.
+    """
+    import time as _time
+
+    base = _time.time()
+    parent = parent.persist()
+    try:
+        for i, pred in enumerate(preds):
+            drop_dir = os.path.join(drops_root, f"drop_{i:02d}")
+            parent.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+                drop_dir
+            )
+            for name in sorted(os.listdir(drop_dir)):
+                if name.endswith(".parquet"):
+                    os.utime(os.path.join(drop_dir, name), (base + i, base + i))
+    finally:
+        parent.unpersist()
 
 
 def _write_drop(df: DataFrame, path: str, as_json: bool, corrupt_every: int) -> None:
