@@ -123,7 +123,11 @@ def embedding_near_dup(
     ).persist()
     n = e.count()  # sizes the block grid; also materializes the cache
     n_blocks = max(1, math.ceil(n / _NEAR_DUP_BLOCK_ROWS))
-    blk = F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    # hash, not raw modulus (r12 review): strided or filtered ids (every
+    # id a multiple of k after an upstream sample) pile raw residues
+    # into few blocks and one cogroup task gets the whole corpus —
+    # xxhash64 keeps blocks ~uniform for any id distribution
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
     eb = e.withColumn("blk", blk)
     grid = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "bi int, bj int"
@@ -284,8 +288,25 @@ def build_ivf_index(
     rest. Returns ``{"nlist", "n_vecs", "index_dir"}``.
     """
     import math
+    import shutil
 
     import numpy as np
+
+    # rebuild-in-place clears prior store state first (r12 review, the
+    # build_minhash_index posture): a stale commit journal would roll
+    # the OLD quantizer's staged qcell dirs into the fresh index, a
+    # leftover tombstone queue would hide rebuilt vectors from every
+    # probe, and a crashed bare swap's cells__old would be resurrected
+    # over the new cells
+    base = index_dir.rstrip("/")
+    if os.path.isdir(base):
+        jp = os.path.join(base, _IVF_JOURNAL)
+        if os.path.exists(jp):
+            os.remove(jp)
+        for name in os.listdir(base):
+            if name.startswith(".staging-") or name == "tombstones":
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+        shutil.rmtree(base + "/cells__old", ignore_errors=True)
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
@@ -346,7 +367,15 @@ def append_ivf_index(spark: SparkSession, index_dir: str, new_vecs: DataFrame) -
     partitions only. Faiss add() semantics; when drift accumulates,
     re-training is an explicit ``build_ivf_index`` rewrite — the same
     maintenance posture as ``cluster_parquet``."""
+    from datapipe_spark.operators.maintenance import recover_swap
+
     _ivf_roll_forward(index_dir, sweep=True)  # writer entry
+    # heal a pre-r12 crashed compaction swap BEFORE appending (r12
+    # review, high): without this, mode('append') would CREATE a fresh
+    # cells/ holding only the batch, recover_swap would then never
+    # restore cells__old, and the next maintenance pass would rmtree
+    # the entire pre-crash index
+    recover_swap(index_dir.rstrip("/") + "/cells")
     cmat = _load_centroids(spark, index_dir)
     _cell_assignments(new_vecs.select("vec_id", "v"), cmat).write.mode(
         "append"
@@ -369,26 +398,42 @@ def compact_ivf_index(
     never touched: the frozen quantizer IS the index contract.
     Content-preserving atomic dir swap; returns (files_before,
     files_after)."""
+    import uuid
+
     from datapipe_spark.operators.maintenance import (
         TARGET_FILE_BYTES,
-        compact_parquet,
+        compact_parquet_into,
         parquet_file_count,
+        recover_swap,
     )
+    from datapipe_spark.util import atomic_write_json
 
     _ivf_roll_forward(index_dir, sweep=True)  # writer entry
+    base = index_dir.rstrip("/")
+    cells = base + "/cells"
+    recover_swap(cells)  # heal a pre-r12 crashed bare swap
     # fold the merge-on-read erasure queue first (the posture shared
     # by scd2_compact_closed and compact_minhash_index): post-
     # compaction probes drop the anti-join entirely
-    if _ivf_has_tombstones(index_dir.rstrip("/")):
+    if _ivf_has_tombstones(base):
         purge_ivf_index(spark, index_dir, None)
-    cells = index_dir.rstrip("/") + "/cells"
     before = parquet_file_count(cells)
-    # compact_parquet heals + sweeps any crashed prior swap at entry
-    after = compact_parquet(
-        spark, cells, target_bytes=target_bytes or TARGET_FILE_BYTES,
+    # stage + ONE journaled swap (r12 review: the previous bare
+    # rename-pair swap left a crash window with cells/ missing that
+    # only a racy reader-side recover_swap could heal; the store
+    # already has journal machinery whose replay is recovery-locked)
+    stage = os.path.join(base, f".staging-{uuid.uuid4().hex[:12]}")
+    compact_parquet_into(
+        spark, cells, os.path.join(stage, "cells"),
+        target_bytes=target_bytes or TARGET_FILE_BYTES,
         partition_cols=["qcell"],
     )
-    return before, after
+    atomic_write_json(
+        os.path.join(base, _IVF_JOURNAL),
+        {"swaps": [[os.path.join(stage, "cells"), cells]]},
+    )
+    _ivf_roll_forward(index_dir, sweep=True)
+    return before, parquet_file_count(cells)
 
 
 def topk_ivf_index(
@@ -413,9 +458,19 @@ def topk_ivf_index(
 
     # reader-side heal: complete a pending purge commit, then restore
     # a crashed compaction swap (restore-only, no debris sweep — the
-    # journaled stores' reader/writer rule)
+    # journaled stores' reader/writer rule). Compaction commits its
+    # swap through the journal since r12, so the bare-swap heal below
+    # only fires on legacy crash states — and under the recovery lock,
+    # because two racing readers (or a reader beside a live writer)
+    # running the exists-check-then-rename restore concurrently could
+    # fail each other (r12 review)
     _ivf_roll_forward(index_dir)
-    recover_swap(index_dir.rstrip("/") + "/cells")
+    _cells = index_dir.rstrip("/") + "/cells"
+    if not os.path.isdir(_cells) and os.path.isdir(_cells + "__old"):
+        from datapipe_spark.operators.lease import recovery_guard
+
+        with recovery_guard(index_dir.rstrip("/")):
+            recover_swap(_cells)
     import numpy as np
 
     cmat = _load_centroids(spark, index_dir)
@@ -425,6 +480,13 @@ def topk_ivf_index(
         .select("vec_id", _as_double("embedding").alias("v"))
         .collect()
     )
+    if not qrows:
+        # none of the requested ids exist (e.g. they were themselves
+        # erased): empty result, same schema as every other topk_*
+        # variant (r12 review — np.stack([]) raised instead)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qm = _l2n(np.stack([np.asarray(r["v"], dtype=np.float64) for r in qrows]))
     s = qm @ cmat.T
     cells = np.arange(len(cmat), dtype=np.int64)
@@ -925,12 +987,20 @@ def _quantizer_model(sf_dir: str, name: str, builder):
     )
     path = os.path.join(root, f"{key}.npz")
     if os.path.exists(path):
-        with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+        try:
+            with np.load(path) as z:
+                return {k: z[k] for k in z.files}
+        except Exception:  # noqa: BLE001 — torn zip after power loss
+            # self-heal instead of wedging every IVF/PQ entry forever
+            # (r12 review): drop the corrupt cache and rebuild below
+            os.remove(path)
     arrs = builder()
     os.makedirs(root, exist_ok=True)
     tmp = os.path.join(root, f"{key}.tmp-{os.getpid()}.npz")
-    np.savez(tmp, **arrs)
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrs)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
     return arrs
 
@@ -1119,8 +1189,9 @@ def _block_grid(
     both sides (O(nlist) driver rows each), enumerate every
     (cell, qb, ib) block pair, and replicate each side's rows onto its
     grid slots via a broadcast join — block ids are computable
-    JVM-side as ``pmod(vec_id, blocks(cell))``, so no extra shuffle is
-    introduced beyond the cogroup's own. ``payload`` names the index
+    JVM-side as ``pmod(xxhash64(vec_id), blocks(cell))`` (hashed so
+    strided id distributions cannot pile into one block — r12 review),
+    so no extra shuffle is introduced beyond the cogroup's own. ``payload`` names the index
     side's value column (raw vectors for knn_join_ivf, PQ codes for
     knn_join_ivfpq). Executor memory per cogroup task stays bounded by
     two ≤``block_rows``-row blocks regardless of cell skew.
@@ -1150,7 +1221,10 @@ def _block_grid(
     inb_map = F.create_map(*[F.lit(x) for kv in isizes.items() for x in kv])
     qnb_map = F.create_map(*[F.lit(x) for kv in qsizes.items() for x in kv])
     q_side = (
-        q.withColumn("qblk", F.pmod(F.col("vec_id"), qnb_map[F.col("qcell")]).cast("int"))
+        q.withColumn(
+            "qblk",
+            F.pmod(F.xxhash64(F.col("vec_id")), qnb_map[F.col("qcell")]).cast("int"),
+        )
         .alias("qa")
         .join(
             F.broadcast(grid.alias("gq")),
@@ -1165,7 +1239,10 @@ def _block_grid(
         )
     )
     i_side = (
-        idx.withColumn("iblk", F.pmod(F.col("vec_id"), inb_map[F.col("qcell")]).cast("int"))
+        idx.withColumn(
+            "iblk",
+            F.pmod(F.xxhash64(F.col("vec_id")), inb_map[F.col("qcell")]).cast("int"),
+        )
         .alias("ia")
         .join(
             F.broadcast(grid.alias("gi")),
@@ -1766,31 +1843,17 @@ IVF_PURGED_PRED = "vec_id % 17 = 5"
 
 def _cached_ivf_store(spark: SparkSession, sf_dir: str) -> str:
     """Build-once cache of the persisted IVF index for a testdata dir
-    (the ``_cached_corpus_index`` posture): keyed by the embeddings
-    parquet's identity, built privately, published with one atomic
-    rename."""
-    import hashlib
+    (``util.build_once`` — keyed by the embeddings parquet's identity,
+    built privately, published with one atomic rename)."""
     import os
-    import shutil
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:ivfstore-v1".encode()
-    ).hexdigest()[:16]
-    root = os.environ.get("SPARK_GRAFT_IVF_DIR", "/tmp/datapipe_spark_ivf_index")
-    out = os.path.join(root, key)
-    if not os.path.exists(os.path.join(out, "_READY")):
-        tmp = f"{out}.tmp-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        build_ivf_index(spark, sf_dir, tmp)
-        open(os.path.join(tmp, "_READY"), "w").close()
-        try:
-            os.makedirs(root, exist_ok=True)
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # another builder won
-    return out
+    from datapipe_spark.util import build_once
+
+    return build_once(
+        os.path.join(sf_dir, "embeddings.parquet"), "ivfstore-v1",
+        "SPARK_GRAFT_IVF_DIR", "/tmp/datapipe_spark_ivf_index",
+        lambda tmp: build_ivf_index(spark, sf_dir, tmp),
+    )
 
 
 def similarity_topk_ivf_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
