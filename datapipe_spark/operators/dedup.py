@@ -406,6 +406,7 @@ def _expand_rep_pairs(
     score_col: str,
     exact_score: F.Column,
     key_col: str = "ghash",
+    within_sides: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Project verified representative-level pairs back onto members
     and add the known within-group pairs.
@@ -418,6 +419,14 @@ def _expand_rep_pairs(
     ``key_col`` names the membership group key: ``ghash`` (md5 content
     hash) for text-copy groups, ``gkey`` (stringified fingerprint) for
     simhash fingerprint groups.
+
+    ``within_sides=(left, right)`` restricts the within arm to
+    left-member × right-member pairs of the same group (r12 review:
+    the cross-corpus caller only keeps new×corpus pairs, and expanding
+    a single-sided verbatim mega-cluster — 10^6 identical corpus
+    docs — materialized ~5·10^11 rows that the orientation filter then
+    dropped to zero; the two-sided join is output-sized by
+    construction since groups lacking either side produce nothing).
     """
     ma = mem.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("_da"))
     mb = mem.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("_db"))
@@ -430,18 +439,30 @@ def _expand_rep_pairs(
             F.col(score_col),
         )
     )
-    grp = mem.filter(F.col("gsz") > 1)
-    g1 = grp.select(key_col, F.col("doc_id").alias("_da"))
-    g2 = grp.select(key_col, F.col("doc_id").alias("_db"))
-    within = (
-        g1.join(g2, key_col)
-        .filter(F.col("_da") < F.col("_db"))
-        .select(
-            F.col("_da").alias("doc_a"),
-            F.col("_db").alias("doc_b"),
+    if within_sides is None:
+        grp = mem.filter(F.col("gsz") > 1)
+        g1 = grp.select(key_col, F.col("doc_id").alias("_da"))
+        g2 = grp.select(key_col, F.col("doc_id").alias("_db"))
+        within = (
+            g1.join(g2, key_col)
+            .filter(F.col("_da") < F.col("_db"))
+            .select(
+                F.col("_da").alias("doc_a"),
+                F.col("_db").alias("doc_b"),
+                exact_score.alias(score_col),
+            )
+        )
+    else:
+        g1 = within_sides[0].select(key_col, F.col("doc_id").alias("_da"))
+        g2 = within_sides[1].select(key_col, F.col("doc_id").alias("_db"))
+        # sides are disjoint doc sets: each mixed pair appears exactly
+        # once, no self-pairs — (least, greatest) matches the default
+        # arm's orientation
+        within = g1.join(g2, key_col).select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
             exact_score.alias(score_col),
         )
-    )
     return cross.unionByName(within)
 
 
@@ -508,17 +529,21 @@ def banded_pair_candidates(
     )
     # ONE aggregation serves both the activation probe and the
     # wide-bucket set (r7 advisory: the previous max-width probe plus
-    # the activated arm's re-aggregation cost two passes over bands):
-    # over-cap buckets are collected directly — empty ⟹ inactive, and
-    # the rows ARE the broadcast side of the star arm
-    wide_rows = (
+    # the activated arm's re-aggregation cost two passes over bands).
+    # The set stays DISTRIBUTED (r12 review: a paraphrase-mill corpus
+    # with millions of over-cap clusters collected O(clusters) Rows to
+    # the driver — the simhash guard's broadcast-without-collect shape
+    # applies here too); localCheckpoint materializes it once in the
+    # block manager, so the count probe and the broadcast reuse it.
+    wide = (
         bands.groupBy("band_id", "band_key")
         .agg(F.count("*").alias("_bc"), F.min("doc_id").alias("_star"))
         .filter(F.col("_bc") > bucket_cap)
         .select("band_id", "band_key", "_star")
-        .collect()
+        .localCheckpoint(eager=True)
     )
-    if not wide_rows:
+    n_wide = wide.count()
+    if n_wide == 0:
         cand = a.join(b, pairwise_cond).select(
             F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
         )
@@ -532,19 +557,15 @@ def banded_pair_candidates(
         import warnings
 
         warnings.warn(
-            f"minhash band-bucket guard ACTIVE: {len(wide_rows)} bucket(s) "
+            f"minhash band-bucket guard ACTIVE: {n_wide} bucket(s) "
             f"over cap {bucket_cap} degrade to star candidates — output "
             "diverges from the unguarded/oracle pair set",
             RuntimeWarning,
             stacklevel=2,
         )
-        wide = bands.sparkSession.createDataFrame(
-            wide_rows, "band_id int, band_key " + dict(bands.dtypes)["band_key"]
-            + ", _star long"
-        )
-        # over-cap keys are rare by construction — broadcast them
+        # over-cap keys are rare relative to bands — broadcast them
         tagged = bands.join(F.broadcast(wide), ["band_id", "band_key"], "left")
-        narrow = tagged.filter(F.col("_star").isNull()).drop("_star", "_bc")
+        narrow = tagged.filter(F.col("_star").isNull()).drop("_star")
         na, nb = narrow.alias("a"), narrow.alias("b")
         pair_narrow = na.join(nb, pairwise_cond).select(
             F.col("a.doc_id").alias("rep_a"), F.col("b.doc_id").alias("rep_b")
@@ -571,7 +592,12 @@ def minhash_rep_candidates(
     (near-identical non-verbatim content) the bucket cap stars."""
     mem = _collapse_exact(docs).persist()
     reps = _rep_docs(docs, mem)
-    sigs = minhash_signatures(reps, hash=hash).persist()
+    # project the raw text OFF before caching (r12 review): the cache
+    # holds the plan's full schema, and nothing downstream reads text —
+    # at corpus scale the un-projected cache held every rep's document
+    sigs = minhash_signatures(reps, hash=hash).select(
+        "doc_id", "_sh", "signature"
+    ).persist()
     bands = band_rows(sigs, hash=hash)
     candidates = banded_pair_candidates(bands, bucket_cap=bucket_cap)
     return mem, sigs, candidates
@@ -822,7 +848,18 @@ def cross_corpus_minhash_frame(
         .select("rep_a", "rep_b")
     )
     rep_pairs = _verify_rep_jaccard(sigs, cross_cand, threshold, hash)
-    pairs = _expand_rep_pairs(rep_pairs, mem, "jaccard", F.lit(1.0))
+    # within-group expansion restricted to new×corpus member pairs
+    # (r12 review): a corpus-side-only verbatim mega-cluster previously
+    # expanded quadratically only to be dropped by the orientation
+    # filter below — the two-sided join is output-sized instead
+    tagged_mem = mem.join(tags, "doc_id")
+    pairs = _expand_rep_pairs(
+        rep_pairs, mem, "jaccard", F.lit(1.0),
+        within_sides=(
+            tagged_mem.filter(F.col("is_new")),
+            tagged_mem.filter(~F.col("is_new")),
+        ),
+    )
     ta = tags.select(F.col("doc_id").alias("doc_a"), F.col("is_new").alias("_ia"))
     tb = tags.select(F.col("doc_id").alias("doc_b"), F.col("is_new").alias("_ib"))
     oriented = (
@@ -1013,7 +1050,9 @@ def dedup_pipeline_frame(
     # guarded self-join (exact collapse kills verbatim skew, the
     # bucket cap stars what remains — the paraphrase-mill hazard the
     # r6 verdict flagged), verify — every group is a singleton
-    sigs = minhash_signatures(surv).persist()
+    sigs = minhash_signatures(surv).select(
+        "doc_id", "_sh", "signature"
+    ).persist()  # text projected off before caching (r12 review)
     cand = banded_pair_candidates(band_rows(sigs), bucket_cap=bucket_cap)
     pairs = _verify_rep_jaccard(sigs, cand, JACCARD_THRESHOLD, "md5")
     from datapipe_spark.util import materialize_and_release
