@@ -26,6 +26,21 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
+def _token_stat_cols():
+    """The whitespace token-stat expressions shared by ``text_stats``
+    and ``corpus_quality_filter`` (r12 review: two hand copies under
+    separate oracles could drift — the quality gate is documented as
+    column algebra over the stats). Returns ``(n_tokens, n_distinct,
+    n_stop, stop_ratio, distinct_ratio)`` over a ``text`` column."""
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({_STOP_SQL}))"))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    return n_tokens, n_distinct, n_stop, stop_ratio, distinct_ratio
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality statistics + content fingerprint.
 
@@ -35,13 +50,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection downstream.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_tokens = F.size(words)
-    n_distinct = F.size(F.array_distinct(words))
-    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({_STOP_SQL}))"))
+    n_tokens, n_distinct, n_stop, stop_ratio, distinct_ratio = _token_stat_cols()
     avg_token_len = (F.col("n_chars") - n_tokens + 1).cast("double") / n_tokens
-    stop_ratio = n_stop.cast("double") / n_tokens
-    distinct_ratio = n_distinct.cast("double") / n_tokens
     quality = (
         distinct_ratio * 0.5
         + (F.lit(1.0) - stop_ratio) * 0.3
@@ -96,7 +106,13 @@ def token_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_regex_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
         (F.sum("n_regex_tokens").cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
-        (F.sum("n_chars").cast("double") / F.sum("n_regex_tokens")).alias("chars_per_token"),
+        # try_divide, not /: the session runs ANSI mode, and a language
+        # whose docs match no regex token (all-whitespace text) would
+        # abort the whole report with DIVIDE_BY_ZERO (r12 review,
+        # probe-confirmed); NULL for that row on both engines instead
+        F.try_divide(
+            F.sum("n_chars").cast("double"), F.sum("n_regex_tokens")
+        ).alias("chars_per_token"),
     )
 
 
@@ -110,7 +126,8 @@ SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(n_regex_tokens) AS BIGINT) AS total_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_regex_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
-       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_regex_tokens) AS chars_per_token
+       CAST(SUM(n_chars) AS DOUBLE) / NULLIF(SUM(n_regex_tokens), 0)
+         AS chars_per_token
 FROM t GROUP BY lang
 """
 
@@ -190,7 +207,11 @@ def lang_id_ngram_frame(d: DataFrame) -> DataFrame:
         .filter(F.col("_rk") <= LANG_ID_TRAIN_DOCS)
         .select("doc_id")
     )
-    tri = d.join(train_ids, "doc_id").select(
+    # length >= 3 guard (r12 review, probe-confirmed): for shorter
+    # texts sequence(0, length-3) DESCENDS (e.g. [0,-1]) and emits
+    # phantom sub-3-char "trigrams" the scorer and the DuckDB oracle
+    # (range(1, len-1) — empty) never see
+    tri = d.join(train_ids, "doc_id").filter(F.length("text") >= 3).select(
         "lang",
         F.explode(
             F.expr(
@@ -212,8 +233,9 @@ def lang_id_ngram_frame(d: DataFrame) -> DataFrame:
     # RAW counts kept exact; only the centroid norm divides the score
     # (the document norm is argmax-invariant) — see docstring oracle-
     # exactness note
-    norms = np.linalg.norm(cmat, axis=1)
-    cnorms = np.where(norms == 0.0, 1.0, norms)
+    # every lang in `profile` has >= 1 positive bucket, so norms > 0
+    # by construction — no zero guard (the oracle's cnorm CTE has none)
+    cnorms = np.linalg.norm(cmat, axis=1)
     bc = d.sparkSession.sparkContext.broadcast((langs, cmat, cnorms))
 
     # note: no type hints — `from __future__ import annotations` turns
@@ -421,12 +443,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, lang, text) columns.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    n_tokens = F.size(words)
-    n_distinct = F.size(F.array_distinct(words))
-    n_stop = F.size(F.expr(f"filter(split(text, ' '), w -> w IN ({_STOP_SQL}))"))
-    stop_ratio = n_stop.cast("double") / n_tokens
-    distinct_ratio = n_distinct.cast("double") / n_tokens
+    n_tokens, _n_distinct, _n_stop, stop_ratio, distinct_ratio = _token_stat_cols()
     reason = (
         F.when(n_tokens < QF_MIN_TOKENS, "too_short")
         .when(n_tokens > QF_MAX_TOKENS, "too_long")
@@ -481,7 +498,12 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row corpus total rides a broadcast cross join.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # empty-string tokens filtered like every other tokenizing operator
+    # in this file (r12 review: a double space made '' a vocabulary
+    # item here but not in tokenize_with_vocab)
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
     dt = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("k"))
     counts = dt.groupBy("tok").agg(F.sum("k").alias("c"))
     total = counts.agg(F.sum("c").alias("t"))
@@ -507,6 +529,7 @@ UNIGRAM_LOGPROB_SCORE_SQL = """
 WITH dt AS (
   SELECT doc_id, tok, COUNT(*) AS k
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
   GROUP BY doc_id, tok
 ), c AS (
   SELECT tok, SUM(k) AS c FROM dt GROUP BY tok
@@ -622,7 +645,9 @@ def featurize_documents(
     from datapipe_spark.operators.dedup import _hash_expr
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")  # '' is not a feature (r12 review)
     h = F.expr(_hash_expr("tok", hash))
     # bucket from the low bits, sign from an independent high bit
     # (bit 58 — inside the 60-bit md5 parse, positive under both
@@ -652,6 +677,7 @@ WITH toks AS (
   SELECT doc_id,
          CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
 ), per AS (
   SELECT doc_id, h % {FEATURE_HASH_DIM} AS dim,
          SUM(CASE WHEN (h >> 58) & 1 = 1 THEN -1 ELSE 1 END) AS v
@@ -957,7 +983,11 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE's standard skew-join case.
     """
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("_w")
+        "doc_id",
+        # '' dropped from the word stream like every other tokenizer
+        # here (r12 review): a double space otherwise minted '' uni-
+        # and bigrams with their own corpus counts
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("_w"),
     )
     pairs = (
         d.filter(F.size("_w") >= 2)
@@ -1002,7 +1032,8 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIGRAM_LM_SCORE_SQL = f"""
 WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
 ), pairs AS (
   SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
   FROM w WHERE len(w) >= 2
@@ -1049,9 +1080,15 @@ def cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; CMS guarantees est ≥ truth (tested) with overflow bounded
     by collisions.
     """
+    # persist the exploded token stream: the sketch cells AND the
+    # exact-truth counts both consume it, and without the cache each
+    # paid its own full split+explode pass over the corpus (r12
+    # review — the vocab_top_tokens posture). Both consumers are
+    # aggregations, so the cache is released before the result is
+    # returned via the unpersist below.
     d = load_table(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok") != "")
+    ).filter(F.col("tok") != "").persist()
 
     def bucket(j: int) -> F.Column:
         return F.expr(
@@ -1090,7 +1127,7 @@ def cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cell"),
     ).select("tok", "n_true", F.col("cell.j").alias("j"), F.col("cell.h").alias("h"))
-    return (
+    out = (
         probes.join(cells, ["j", "h"])
         .groupBy("tok", "n_true")
         .agg(F.min("c").alias("n_est"))
@@ -1101,6 +1138,9 @@ def cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_est") - F.col("n_true")).cast("long").alias("overcount"),
         )
     )
+    from datapipe_spark.util import materialize_and_release
+
+    return materialize_and_release(out, d)
 
 
 CMS_TOP_TOKENS_SQL = f"""
