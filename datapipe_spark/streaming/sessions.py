@@ -86,6 +86,45 @@ def _close(user_id: int, st: tuple) -> dict[str, Any]:
     }
 
 
+# how long (in gap units) a timed-out user's session_seq counter stays
+# remembered after the close: the timeout transition keeps a tiny
+# "closed" marker instead of dropping state, so a reconnecting user
+# continues the per-user-monotone session_seq the batch twin defines
+# (r12 review: remove() restarted every post-timeout session at seq 0,
+# emitting duplicate (user_id, session_seq) keys). After this many
+# further idle gaps the marker itself expires and the counter resets —
+# the documented bound any fixed-size-state design must pick.
+SESSION_SEQ_MEMORY_GAPS = 10
+
+
+def _cents(value: float) -> int:
+    """Exact cents of a purchase value, matching the batch twin's
+    ``CAST(value AS DECIMAL(18,2))`` (shortest-decimal-repr HALF_UP —
+    r12 review: ``int(round(v*100))`` banker's-rounded the FLOAT
+    PRODUCT, so 2.675 → 267 while both engines' decimal cast says
+    268)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(value)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100
+    )
+
+
+def _coalesce_sorted(
+    pdfs: Iterable[pd.DataFrame],
+    sort_cols: list,
+    drop_sentinel: bool = False,
+) -> pd.DataFrame:
+    """The micro-batch coalescing invariant every state fn needs,
+    spelled once (r12 review — three hand copies): concatenate the
+    Arrow chunks and stable-sort on the event-order key."""
+    chunks = list(pdfs)
+    pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    if drop_sentinel:
+        pdf = pdf[pdf["event_type"] != SENTINEL_TYPE]
+    return pdf.sort_values(sort_cols, kind="mergesort")
+
+
 def make_session_fn(gap_minutes: float = 30, use_timeout: bool = False):
     gap_us = int(gap_minutes * 60 * 1_000_000)
 
@@ -98,27 +137,37 @@ def make_session_fn(gap_minutes: float = 30, use_timeout: bool = False):
 
         # ProcessingTimeTimeout path (the reference's 30-min wall-clock
         # expiry, realtime design.md:378-379): the group is invoked with
-        # no data after its timeout fires — close and emit the open
-        # session. Same _close transition as the event-time gap.
+        # no data after its timeout fires. An OPEN session closes with
+        # the same _close transition as the event-time gap, and the
+        # state becomes a seq-memory marker (start_us = -1) so the next
+        # session continues the per-user sequence; an already-marker
+        # state timing out again is the memory horizon — drop it.
         if getattr(state, "hasTimedOut", False):
-            if st is not None:
+            if st is not None and st[1] >= 0:
                 rows.append(_close(user_id, st))
-            state.remove()
+                state.update((st[0] + 1, -1, 0, 0, 0, 0, 0, 0))
+                state.setTimeoutDuration(
+                    int(gap_minutes * 60 * 1000) * SESSION_SEQ_MEMORY_GAPS
+                )
+            else:
+                state.remove()
             if rows:
                 yield pd.DataFrame(rows, columns=_OUT_COLS)
             return
 
-        chunks = list(pdfs)
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pdf = _coalesce_sorted(pdfs, ["ts", "event_id"])
         ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
         for t_us, etype, value in zip(ts_us, pdf["event_type"], pdf["value"]):
             if etype == SENTINEL_TYPE:
-                if st is not None:
+                if st is not None and st[1] >= 0:
                     rows.append(_close(user_id, st))
-                    st = None
+                st = None
                 continue
-            if st is not None and t_us - st[2] > gap_us:
+            if st is not None and st[1] < 0:
+                # seq-memory marker: open the next session at the
+                # remembered sequence number
+                st = (st[0], t_us, t_us, 0, 0, 0, 0, 0)
+            elif st is not None and t_us - st[2] > gap_us:
                 rows.append(_close(user_id, st))
                 st = (st[0] + 1, t_us, t_us, 0, 0, 0, 0, 0)
             elif st is None:
@@ -126,7 +175,7 @@ def make_session_fn(gap_minutes: float = 30, use_timeout: bool = False):
             seq, start_us, _, n, views, clicks, purchases, cents = st
             is_purchase = etype == "purchase"
             if is_purchase and value is not None and value == value:
-                cents += int(round(value * 100))
+                cents += _cents(value)
             st = (
                 seq, start_us, t_us, n + 1,
                 views + (etype == "view"),
@@ -227,7 +276,7 @@ def make_attribution_fn():
         if pdf.empty:
             return
         pdf = pdf.assign(_is_p=(pdf["event_type"] == "purchase").astype("int64"))
-        pdf = pdf.sort_values(["ts", "_is_p", "event_id"], kind="mergesort")
+        pdf = pdf.sort_values(["ts", "_is_p", "event_id"], kind="mergesort")  # _coalesce_sorted shape + the _is_p tie key
         rows: list[dict] = []
         ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
         for eid, t_us, etype, value, is_p in zip(
@@ -304,12 +353,9 @@ def make_transition_fn():
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         st = state.get if state.exists else None
-        chunks = list(pdfs)
-        pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        pdf = pdf[pdf["event_type"] != SENTINEL_TYPE]
+        pdf = _coalesce_sorted(pdfs, ["ts", "event_id"], drop_sentinel=True)
         if pdf.empty:
             return
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         ts_us = pdf["ts"].astype("int64") // 1000
         froms: list[str] = []
         tos: list[str] = []

@@ -191,7 +191,13 @@ def test_state_fn_splits_on_gap_and_carries_seq():
 
 
 def test_state_fn_timeout_closes_open_session():
-    """T2 ProcessingTimeTimeout transition (realtime design.md:378-379)."""
+    """T2 ProcessingTimeTimeout transition (realtime design.md:378-379).
+    r12: the close keeps a seq-memory marker so the user's NEXT session
+    continues the per-user-monotone session_seq (remove() restarted at
+    seq 0, duplicating (user_id, session_seq) keys); the marker itself
+    expires after SESSION_SEQ_MEMORY_GAPS further idle gaps."""
+    import datapipe_spark.streaming.sessions as sess
+
     fn = make_session_fn(30, use_timeout=True)
     open_state = (0, 0, 5 * 60_000_000, 3, 1, 1, 1, 999)
     state = FakeState(value=open_state, timed_out=True)
@@ -200,7 +206,21 @@ def test_state_fn_timeout_closes_open_session():
     row = out[0].iloc[0]
     assert row["session_seq"] == 0 and row["n_events"] == 3
     assert abs(row["total_spent"] - 9.99) < 1e-9
-    assert state.removed
+    # seq memory kept, horizon armed
+    assert not state.removed
+    assert state.get == (1, -1, 0, 0, 0, 0, 0, 0)
+    assert state.timeout_set == 30 * 60 * 1000 * sess.SESSION_SEQ_MEMORY_GAPS
+
+    # a reconnecting user CONTINUES the sequence from the marker
+    state.hasTimedOut = False
+    t1 = BASE_TS + datetime.timedelta(hours=5)
+    assert list(fn((7,), [_pdf([(7, t1, 9, "view", None)])], state)) == []
+    assert state.get[0] == 1 and state.get[1] >= 0  # seq 1 open
+
+    # a marker that times out AGAIN is the memory horizon: dropped
+    state2 = FakeState(value=(4, -1, 0, 0, 0, 0, 0, 0), timed_out=True)
+    assert list(fn((7,), [], state2)) == []
+    assert state2.removed
 
 
 def test_state_fn_arms_timeout_when_enabled():
