@@ -57,28 +57,47 @@ def decontaminate_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decontaminate(spark, sf_dir, broadcast=False)
 
 
-def _decontaminate(spark: SparkSession, sf_dir: str, broadcast: bool) -> DataFrame:
+def _gram_split(spark: SparkSession, sf_dir: str, *extra_cols: str):
+    """Shared head of ``decontaminate`` and ``contamination_score``
+    (r12 review — two verbatim copies): documents shingled into
+    distinct word {_NGRAM}-grams, benchmark slice split off as a
+    distinct gram set. NULL text coalesces to an EMPTY gram array,
+    matching the oracles' ``CASE … ELSE []`` (a null-text doc
+    otherwise surfaced n_grams = NULL where DuckDB says 0). Returns
+    ``(train_docs, bench_grams)``."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("lang"), _shingles("text", _NGRAM).alias("grams")
+        "doc_id", *extra_cols,
+        F.coalesce(
+            _shingles("text", _NGRAM), F.array().cast("array<string>")
+        ).alias("grams"),
     )
     is_bench = F.col("doc_id") % _BENCH_MOD == 0
-
     bench_grams = (
-        d.filter(is_bench)
-        .select(F.explode("grams").alias("g"))
-        .distinct()
+        d.filter(is_bench).select(F.explode("grams").alias("g")).distinct()
     )
-    if broadcast:
-        bench_grams = F.broadcast(bench_grams)
-    else:
-        bench_grams = bench_grams.hint("shuffle_hash")
-    train = d.filter(~is_bench)
-    hits = (
+    return d.filter(~is_bench), bench_grams
+
+
+def _gram_hits(train: DataFrame, bench_grams, out_col: str) -> DataFrame:
+    """Per-training-doc count of benchmark-shared grams. Plain count:
+    each doc's grams are already distinct (``_shingles`` dedups) and
+    the bench side is distinct, so (doc_id, g) join rows are unique —
+    count_distinct forced a second dedup phase for identical values
+    (r12 review)."""
+    return (
         train.select("doc_id", F.explode("grams").alias("g"))
         .join(bench_grams, "g")
         .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_shared_grams"))
+        .agg(F.count("*").alias(out_col))
     )
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str, broadcast: bool) -> DataFrame:
+    train, bench_grams = _gram_split(spark, sf_dir, "lang")
+    bench_grams = (
+        F.broadcast(bench_grams) if broadcast else bench_grams.hint("shuffle_hash")
+    )
+    hits = _gram_hits(train, bench_grams, "n_shared_grams")
     return (
         train.select("doc_id", "lang")
         .join(hits, "doc_id", "left")
@@ -91,11 +110,18 @@ def _decontaminate(spark: SparkSession, sf_dir: str, broadcast: bool) -> DataFra
     )
 
 
+# oracle gram text derived from _NGRAM like its range bound (r12
+# review: a literal 5-term concat under an _NGRAM-derived bound would
+# silently desync the oracle if _NGRAM ever changed)
+_GRAM_CONCAT_SQL = " || ' ' || ".join(
+    ["w[i]"] + [f"w[i+{j}]" for j in range(1, _NGRAM)]
+)
+
 DECONTAMINATE_SQL = f"""
 WITH g AS (
   SELECT doc_id, lang,
     CASE WHEN len(w) >= {_NGRAM} THEN
-      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      list_distinct([{_GRAM_CONCAT_SQL}
                      for i in range(1, len(w) - {_NGRAM - 2})])
     ELSE [] END AS grams
   FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
@@ -177,23 +203,38 @@ def pack_token_budget(
     default matches the testdata + oracle. ``is_oversize`` flags docs
     that alone exceed the budget (the caller chunks those downstream).
     """
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split("text", " "))
     shard = (F.col("doc_id") % shards).cast("int")
-    w = Window.partitionBy("shard").orderBy("doc_id")
     toks = d.select("doc_id", shard.alias("shard"), n_tokens.alias("n_tokens"))
-    cum = toks.withColumn(
-        "cum_before",
-        F.coalesce(F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
-    )
-    return cum.select(
+    return _pack(toks).select(
         "doc_id",
         "shard",
         "n_tokens",
-        F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("pack_id"),
+        "pack_id",
         (F.col("n_tokens") > _PACK_BUDGET).alias("is_oversize"),
+    )
+
+
+def _pack(toks: DataFrame) -> DataFrame:
+    """The contiguous-fill packing rule over ``(doc_id, shard,
+    n_tokens)`` rows — ONE spelling for ``pack_token_budget`` and
+    ``curation_pipeline`` (r12 review: the shard/cumsum/floor window
+    lived in two Python places plus two SQL strings): per-shard
+    doc_id-ordered preceding cumsum, ``pack_id = floor(cum/budget)``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return toks.withColumn(
+        "cum_before",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "pack_id", F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long")
     )
 
 
@@ -258,7 +299,11 @@ def corpus_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_w = sum(w.values())
     budget = min(n * big_w // w[s] for s, n in counts.items()) if counts else 0
     quotas = spark.createDataFrame(
-        [(s, w[s], w[s] * budget // big_w) for s in sorted(counts)],
+        # None-safe sort (r12 review: a NULL source crashed sorted());
+        # a NULL-source quota row then drops out of the equi-join on
+        # both engines identically
+        [(s, w[s], w[s] * budget // big_w)
+         for s in sorted(counts, key=lambda x: (x is None, x or ""))],
         "source string, domain_weight long, domain_quota long",
     )
     wr = Window.partitionBy("source").orderBy(
@@ -322,8 +367,6 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     each partition stays executor-sized at any corpus (see
     ``pack_token_budget``).
     """
-    from pyspark.sql.window import Window
-
     from datapipe_spark.operators.dedup import exact_dedup
     from datapipe_spark.operators.textstats import corpus_quality_filter
 
@@ -339,20 +382,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(clean, "doc_id")
         .withColumn("shard", (F.col("doc_id") % _PACK_SHARDS).cast("int"))
     )
-    w = Window.partitionBy("shard").orderBy("doc_id")
-    cum = surv.withColumn(
-        "cum_before",
-        F.coalesce(
-            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    )
-    return cum.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
-        F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("pack_id"),
-    )
+    return _pack(surv).select("doc_id", "shard", "n_tokens", "pack_id")
 
 
 def _curation_pipeline_sql() -> str:
@@ -406,18 +436,8 @@ def contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same broadcast-semi-join scale shape as ``decontaminate``; the
     per-doc distinct-gram denominator rides the same explode.
     """
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _shingles("text", _NGRAM).alias("grams")
-    )
-    is_bench = F.col("doc_id") % _BENCH_MOD == 0
-    bench_grams = d.filter(is_bench).select(F.explode("grams").alias("g")).distinct()
-    train = d.filter(~is_bench)
-    hits = (
-        train.select("doc_id", F.explode("grams").alias("g"))
-        .join(F.broadcast(bench_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_shared"))
-    )
+    train, bench_grams = _gram_split(spark, sf_dir)
+    hits = _gram_hits(train, F.broadcast(bench_grams), "n_shared")
     return (
         train.select("doc_id", F.size("grams").alias("n_grams"))
         .join(hits, "doc_id", "left")
@@ -439,7 +459,7 @@ CONTAMINATION_SCORE_SQL = f"""
 WITH g AS (
   SELECT doc_id,
     CASE WHEN len(w) >= {_NGRAM} THEN
-      list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+      list_distinct([{_GRAM_CONCAT_SQL}
                      for i in range(1, len(w) - {_NGRAM - 2})])
     ELSE [] END AS grams
   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -574,10 +594,16 @@ def corpus_train_shards(
     )
 
 
-CORPUS_TRAIN_SHARDS_SQL = f"""
+def _train_shards_sql(salt: str = "") -> str:
+    """One template for the shard-manifest oracle and its epoch-salted
+    twin (r12 review: two verbatim copies differing only in the md5
+    salt — a window/offset fix applied to one would silently leave the
+    other stale)."""
+    key = "CAST(doc_id AS VARCHAR)" + (f" || '{salt}'" if salt else "")
+    return f"""
 WITH k AS (
   SELECT doc_id,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         CAST(('0x' || substring(md5({key}), 1, 15)) AS BIGINT)
            AS skey,
          len(string_split(text, ' ')) AS token_count
   FROM documents
@@ -592,6 +618,9 @@ SELECT doc_id,
 FROM k
 WINDOW w AS (PARTITION BY skey % {TRAIN_SHARDS} ORDER BY skey, doc_id)
 """
+
+
+CORPUS_TRAIN_SHARDS_SQL = _train_shards_sql()
 
 
 # the registry's fixed epoch for the multi-epoch reshuffle oracle — any
@@ -611,21 +640,4 @@ def corpus_train_shards_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_train_shards(spark, sf_dir, epoch=TRAIN_EPOCH)
 
 
-CORPUS_TRAIN_SHARDS_EPOCH_SQL = f"""
-WITH k AS (
-  SELECT doc_id,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{TRAIN_EPOCH}'), 1, 15)) AS BIGINT)
-           AS skey,
-         len(string_split(text, ' ')) AS token_count
-  FROM documents
-)
-SELECT doc_id,
-       CAST(skey % {TRAIN_SHARDS} AS INT) AS shard_id,
-       CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
-       CAST(token_count AS BIGINT) AS token_count,
-       CAST(COALESCE(SUM(token_count) OVER
-         (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         AS token_offset
-FROM k
-WINDOW w AS (PARTITION BY skey % {TRAIN_SHARDS} ORDER BY skey, doc_id)
-"""
+CORPUS_TRAIN_SHARDS_EPOCH_SQL = _train_shards_sql(f":{TRAIN_EPOCH}")
