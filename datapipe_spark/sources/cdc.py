@@ -76,16 +76,29 @@ def synth_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE scan of orders, not a 3-branch union (each branch re-reads the
     # table — 3× the IO at 100 TB): build the per-row version array and
     # explode; inapplicable versions are null elements dropped after the
-    # explode. Output rows identical to the union form.
-    versions = F.array(
-        version("c", 1, "INTERVAL 0 DAY", F.col("status")),
-        F.when(F.col("id") % 3 == 0, version("u", 2, "INTERVAL 1 DAY", F.lit("F"))),
-        F.when(F.col("id") % 7 == 0, version("d", 3, "INTERVAL 2 DAY", F.col("status"))),
-    )
-    return (
-        base.select(F.explode(versions).alias("_r"))
-        .filter(F.col("_r").isNotNull())
-        .select("_r.*")
+    # explode. Output rows identical to the union form. Trade-off
+    # (r12 review): an __op-filtered consumer no longer gets Catalyst
+    # branch pruning (all three structs are built per row before the
+    # filter) — extra per-row CPU on the same single scan, chosen over
+    # the union form's 3 scans for full-stream consumers, which
+    # dominate (the drop writers additionally persist across ops).
+    return _explode_versions(
+        base,
+        F.array(
+            version("c", 1, "INTERVAL 0 DAY", F.col("status")),
+            F.when(F.col("id") % 3 == 0, version("u", 2, "INTERVAL 1 DAY", F.lit("F"))),
+            F.when(F.col("id") % 7 == 0, version("d", 3, "INTERVAL 2 DAY", F.col("status"))),
+        ),
+    ).select("_r.*")
+
+
+def _explode_versions(base: DataFrame, versions: F.Column, *keep: str) -> DataFrame:
+    """The one-scan version-array explode shared by the single- and
+    multi-table changelog generators (r12 review — two verbatim
+    copies): inapplicable versions are null array elements dropped
+    after the explode."""
+    return base.select(*keep, F.explode(versions).alias("_r")).filter(
+        F.col("_r").isNotNull()
     )
 
 
@@ -168,8 +181,15 @@ def compact_latest(changelog: DataFrame, key: str = "id", lsn: str = "__source_l
     copy-on-write MERGE (task6-ecommerce-tables-config.yaml:58-60) and
     to the query-tool's newest-by-LSN invariant
     (utils-dev/read_s3_parquet.py:51).
+
+    Multi-table changelogs (``synth_changelog_multi``) compact PER
+    TABLE automatically: when a ``table_name`` column is present it
+    joins the partition key (r12 review — ids and LSNs collide across
+    tables, so a bare ``id`` key silently merged three tables' keys
+    and tie-broke arbitrarily).
     """
-    w = Window.partitionBy(key).orderBy(F.col(lsn).desc())
+    keys = [key] + (["table_name"] if "table_name" in changelog.columns else [])
+    w = Window.partitionBy(*keys).orderBy(F.col(lsn).desc())
     return (
         changelog.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("__op") != "d"))
@@ -199,6 +219,12 @@ def write_archive(
     sizing; at 100 TB add the compaction pass."""
     cols = _GRANULARITY_COLS[: _GRANULARITY_COLS.index(granularity) + 1]
     parts = time_partition_cols(ts_col)[: len(cols)]
+    # drop any pre-existing partition columns first (r12 review): the
+    # docstring's own remediation — re-archiving read_archive output at
+    # a coarser granularity — carries year/month/day/hour as DATA
+    # columns, and select('*', *parts) would duplicate the names and
+    # crash the repartition with AMBIGUOUS_REFERENCE
+    df = df.drop(*[c for c in _GRANULARITY_COLS if c in df.columns])
     # cluster rows by partition key before the write: without this,
     # every task holds rows of every time bucket and emits
     # tasks × partitions files (the small-file explosion + committer
@@ -254,8 +280,7 @@ def synth_changelog_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("id") % 7 == 0, version("d", 3)),
         )
         frames.append(
-            base.select("id", F.explode(versions).alias("_r"))
-            .filter(F.col("_r").isNotNull())
+            _explode_versions(base, versions, "id")
             .select(
                 F.lit(topic).alias("table_name"),
                 "id",
