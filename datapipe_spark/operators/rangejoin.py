@@ -39,6 +39,7 @@ def point_in_interval_join(
     bucket_seconds: int,
     extra_keys: tuple[str, ...] = (),
     how: str = "inner",
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start_ts <= point_ts <= end_ts`` (and equal ``extra_keys`` when
@@ -47,20 +48,52 @@ def point_in_interval_join(
     ``how``: ``inner`` or ``left`` (points with no containing interval
     kept with nulls — implemented as inner + anti-join-back union so
     the bucketed equi-join stays the only join shape).
+
+    ``max_buckets_per_interval`` fails FAST on pathological intervals
+    (r12 review): a sentinel far-future end (9999-12-31 "open"
+    windows) or an inverted ``end < start`` row would otherwise
+    explode one interval into millions of bucket rows — an executor
+    OOM with no pointer at the bad row. The per-row assert names the
+    width instead; widen ``bucket_seconds`` or fix the interval.
+    Domain bound: bucketing divides epoch-µs through doubles, exact
+    below 2^53 µs (~year 2255) — beyond that the cap trips long
+    before rounding can mis-bucket anything.
     """
-    if bucket_seconds <= 0:
-        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}: use 'inner' or 'left'")
-    bucket_us = int(bucket_seconds) * 1_000_000
+    # scale BEFORE int(): fractional bucket_seconds (0.5 for sub-second
+    # data) used to truncate to bucket_us = 0 and divide by zero (r12
+    # review); sub-µs buckets are rejected post-scaling instead
+    bucket_us = int(bucket_seconds * 1_000_000)
+    if bucket_us <= 0:
+        raise ValueError(
+            f"bucket_seconds must be at least 1 microsecond, got {bucket_seconds}"
+        )
 
     def _bucket(c: str) -> Column:
         return F.floor(epoch_us(F.col(c)) / F.lit(bucket_us)).cast("long")
 
     if how == "inner":
         p = points.withColumn(_B, _bucket(point_ts))
+        n_b = _bucket(end_ts) - _bucket(start_ts) + F.lit(1)
+        width_ok = (n_b >= 1) & (n_b <= F.lit(max_buckets_per_interval))
+        err = F.concat(
+            F.lit("point_in_interval_join: interval spans "),
+            n_b.cast("string"),
+            F.lit(
+                f" buckets (cap {max_buckets_per_interval}, "
+                f"bucket_seconds={bucket_seconds}; negative width means "
+                f"end < start) — widen bucket_seconds or fix the interval"
+            ),
+        )
         i = intervals.withColumn(
-            _B, F.explode(F.sequence(_bucket(start_ts), _bucket(end_ts)))
+            _B,
+            F.explode(
+                F.when(
+                    F.assert_true(width_ok, err).isNull(),
+                    F.sequence(_bucket(start_ts), _bucket(end_ts)),
+                )
+            ),
         )
         keys = [*extra_keys, _B]
         exact = (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
@@ -82,10 +115,15 @@ def point_in_interval_join(
     tagged = points.withColumn(_ID, F.monotonically_increasing_id()).localCheckpoint(
         eager=True
     )
+    # inner feeds BOTH union branches (the matched rows and the
+    # anti-join's id set); Spark does not CSE join subtrees, so
+    # without pinning, the bucketed join ran twice per action (r12
+    # review). The checkpoint is output-sized (matched pairs).
     inner = point_in_interval_join(
         tagged, intervals, point_ts, start_ts, end_ts, bucket_seconds,
         extra_keys=extra_keys, how="inner",
-    )
+        max_buckets_per_interval=max_buckets_per_interval,
+    ).localCheckpoint(eager=True)
     matched = inner.select(_ID).distinct()
     unmatched = tagged.join(matched, _ID, "left_anti")
     null_cols = [
@@ -122,11 +160,23 @@ def point_in_time_join(
     ``plans/cdc_queries.lineitem_pit_status_rollup``). Version columns
     keep their names; the caller resolves any collisions beforehand.
     """
+    if how not in ("inner", "left"):
+        # right/full would emit version rows whose key column the final
+        # projection drops — unattributable output (r12 review)
+        raise ValueError(f"unsupported how={how!r}: use 'inner' or 'left'")
     f = facts.alias("f")
     v = versions.alias("v")
+    # NULL window bounds are OPEN on both ends (r12 review: valid_to
+    # was open-ended but a NULL valid_from silently matched nothing —
+    # the mirror case of an "existed before history" seed row). The
+    # SCD2 store never writes null valid_from, so oracle parity for
+    # the registry forms is unaffected.
     cond = (
         (F.col(f"f.{key}") == F.col(f"v.{key}"))
-        & (F.col(f"f.{fact_ts}") >= F.col(f"v.{valid_from}"))
+        & (
+            F.col(f"v.{valid_from}").isNull()
+            | (F.col(f"f.{fact_ts}") >= F.col(f"v.{valid_from}"))
+        )
         & (
             F.col(f"v.{valid_to}").isNull()
             | (F.col(f"f.{fact_ts}") < F.col(f"v.{valid_to}"))

@@ -696,6 +696,58 @@ def test_point_in_interval_join_equivalence_and_plan(spark):
     assert "NestedLoop" not in plan, plan
 
 
+def test_point_in_interval_guards_and_pit_null_bounds(spark):
+    """r12 review hardening: (a) a pathological interval (far-future
+    sentinel end, or end < start) fails FAST with the width named
+    instead of exploding millions of bucket rows; (b) fractional
+    bucket_seconds scale before truncation (0.5 s is a valid bucket,
+    not a divide-by-zero); (c) point_in_time_join treats NULL
+    valid_from as open-START (the mirror of open-ended valid_to) and
+    rejects unsupported join types."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from datapipe_spark.operators.rangejoin import (
+        point_in_interval_join,
+        point_in_time_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, t0)], "pid long, ts timestamp")
+    bad = spark.createDataFrame(
+        [(10, t0, dt.datetime(9999, 12, 31))],
+        "iid long, s timestamp, e timestamp",
+    )
+    with _pytest.raises(Exception, match="interval spans"):
+        point_in_interval_join(pts, bad, "ts", "s", "e", 60).collect()
+    inverted = spark.createDataFrame(
+        [(10, t0, t0 - dt.timedelta(days=1))],
+        "iid long, s timestamp, e timestamp",
+    )
+    with _pytest.raises(Exception, match="interval spans"):
+        point_in_interval_join(pts, inverted, "ts", "s", "e", 60).collect()
+
+    # fractional bucket: 0.5 s buckets work (used to truncate to 0)
+    ok = spark.createDataFrame(
+        [(10, t0, t0 + dt.timedelta(seconds=2))],
+        "iid long, s timestamp, e timestamp",
+    )
+    got = point_in_interval_join(pts, ok, "ts", "s", "e", 0.5).collect()
+    assert len(got) == 1 and got[0]["iid"] == 10
+
+    # NULL valid_from = open start; unsupported how rejected
+    facts = spark.createDataFrame([(1, t0)], "id long, ts timestamp")
+    vers = spark.createDataFrame(
+        [(1, None, None, "seed")],
+        "id long, valid_from timestamp, valid_to timestamp, v string",
+    )
+    rows = point_in_time_join(facts, vers, "id", "ts").collect()
+    assert len(rows) == 1 and rows[0]["v"] == "seed"
+    with _pytest.raises(ValueError, match="unsupported how"):
+        point_in_time_join(facts, vers, "id", "ts", how="full")
+
+
 def test_point_in_interval_left_join_null_payload_not_duplicated(spark):
     """Left-join matched-row subtraction must be null-safe: a matched
     point carrying a NULL payload column is emitted once (the r5
