@@ -488,6 +488,10 @@ def test_snapshot_commit_time_travel_history_expire(spark):
     assert dropped == [1]
     assert snap.read_snapshot(spark, table).count() == 2  # pointer intact
     assert [h["version"] for h in snap.history(table)] == [2, 3]
+    # reachability-aware expiry: v2's manifest SHARES v1's files
+    # (append staged only the increment), so expiring v1 removes it
+    # from history but must leave every file v2 references readable
+    assert snap.read_snapshot(spark, table, version=2).count() == 8
 
 
 def test_snapshot_partitioned_append_and_partition_filter(spark):
@@ -566,13 +570,26 @@ def test_snapshot_files_and_partitions_metadata_tables(spark):
     files = snap.snapshot_files(spark, table).collect()
     assert all(r["file_path"].endswith(".parquet") for r in files)
     assert all(r["file_size_in_bytes"] > 0 for r in files)
-    # every file's partition tuple comes from its own hive path
+    # every file's partition tuple comes from its own hive path;
+    # paths are TABLE-relative (vNNNNN/event_date=...) because append
+    # manifests legitimately reference ancestor version dirs
     assert all(
         r["partition"].startswith("event_date=")
-        and r["file_path"].startswith(r["partition"])
+        and f"/{r['partition']}/" in f"/{r['file_path']}"
+        and r["file_path"].split("/", 1)[0].startswith("v000")
         for r in files
     )
     assert sum(r["record_count"] for r in files) == 4
+    # O(increment) append attested structurally: the latest manifest
+    # spans BOTH version dirs — v1's dates stay physically in v00001
+    # (shared, not rewritten), only 2024-01-03 was staged into v00002
+    roots = {r["file_path"].split("/", 1)[0] for r in files}
+    assert roots == {"v00001", "v00002"}
+    assert all(
+        r["file_path"].startswith("v00002/")
+        == (r["partition"] == "event_date=2024-01-03")
+        for r in files
+    )
 
     parts = {
         r["partition"]: (r["record_count"], r["file_count"])
@@ -594,6 +611,210 @@ def test_snapshot_files_and_partitions_metadata_tables(spark):
         for r in snap.snapshot_partitions(spark, table, version=1).collect()
     }
     assert v1_parts == {"event_date=2024-01-01", "event_date=2024-01-02"}
+
+
+def test_snapshot_phantom_commit_invisible_and_healed(spark, monkeypatch):
+    """r12 verdict nit #1 / ask #3 — the pointer swap IS the commit.
+    Kill a writer between its metadata write and the ``_LATEST`` swap
+    (the crash window the old code exposed): the phantom version's
+    staged data and metadata exist on disk, but history() must not
+    attest it, readers must refuse to time-travel to it, expiry must
+    not count it against ``keep``, and the next commit must reuse the
+    version number and overwrite the debris (mirrors the SCD2 journal
+    crash tests)."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_phantom")
+    snap.commit_snapshot(spark.range(5).selectExpr("id", "id * 2 AS x"), table)
+
+    def boom(table_dir, version):
+        raise OSError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(snap, "_swap_pointer", boom)
+    with pytest.raises(OSError):
+        snap.commit_snapshot(
+            spark.range(5, 9).selectExpr("id", "id * 2 AS x"),
+            table, mode="append",
+        )
+    monkeypatch.undo()
+
+    # phantom debris is on disk...
+    assert os.path.isdir(os.path.join(table, "v00002"))
+    assert os.path.exists(os.path.join(table, "_meta", "v00002.json"))
+    # ...but invisible everywhere a reader looks
+    assert snap.current_version(table) == 1
+    assert [h["version"] for h in snap.history(table)] == [1]
+    assert snap.read_snapshot(spark, table).count() == 5
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, table, version=2)
+    with pytest.raises(FileNotFoundError):
+        snap.snapshot_files(spark, table, version=2)
+    # expiry counts committed versions only — the phantom must not
+    # push v1 (the sole real snapshot AND pointer target) out of keep
+    assert snap.expire_snapshots(table, keep=1) == []
+    assert snap.read_snapshot(spark, table).count() == 5
+
+    # the retried writer reuses version 2 and overwrites the debris
+    v2 = snap.commit_snapshot(
+        spark.range(5, 8).selectExpr("id", "id * 2 AS x"), table, mode="append"
+    )
+    assert v2 == 2
+    assert snap.read_snapshot(spark, table).count() == 8
+    assert [
+        (h["version"], h["row_count"]) for h in snap.history(table)
+    ] == [(1, 5), (2, 8)]
+
+
+def test_snapshot_append_schema_evolution_and_type_refusal(spark):
+    """Iceberg add-column semantics on the manifest append: an
+    appended increment may ADD columns (ancestor files read them back
+    as NULL under the evolved pinned schema) or OMIT columns (its own
+    files read back NULL), but a same-named column changing type is
+    refused BEFORE anything is staged — and time travel still returns
+    each old version under the schema pinned at ITS commit."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_evolve")
+    snap.commit_snapshot(
+        spark.range(3).selectExpr("id", "id * 2 AS x"), table
+    )
+    snap.commit_snapshot(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS x", "'new' AS y"),
+        table, mode="append",
+    )
+    latest = snap.read_snapshot(spark, table)
+    assert latest.columns == ["id", "x", "y"]
+    rows = {r["id"]: r["y"] for r in latest.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "new", 4: "new"}
+    # v1 time travel keeps its original two-column schema
+    assert snap.read_snapshot(spark, table, version=1).columns == ["id", "x"]
+
+    # an increment omitting x: x survives in the schema, NULL for the
+    # new rows
+    snap.commit_snapshot(
+        spark.range(5, 6).selectExpr("id", "'tail' AS y"), table, mode="append"
+    )
+    v3 = snap.read_snapshot(spark, table)
+    assert v3.columns == ["id", "x", "y"]
+    assert v3.filter("id = 5").collect()[0]["x"] is None
+    assert v3.count() == 6
+
+    # a type flip is refused with no phantom debris and no new version
+    with pytest.raises(ValueError, match="changes type of column 'x'"):
+        snap.commit_snapshot(
+            spark.range(6, 7).selectExpr("id", "'oops' AS x"),
+            table, mode="append",
+        )
+    assert snap.current_version(table) == 3
+    assert not os.path.isdir(os.path.join(table, "v00004"))
+    assert snap.read_snapshot(spark, table).count() == 6
+
+
+def test_snapshot_commit_serialized_by_writer_lease(spark):
+    """Lost-update guard: an append stages against its parent's
+    manifest, so committers must serialize — a second writer finding
+    a live lease fails fast (StoreLockedError), exactly the SCD2
+    store posture, instead of silently dropping the other committer's
+    rows at the pointer swap."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from datapipe_spark.operators import lease, snapshots as snap
+
+    table = fresh_dir("test_snapshots_lease")
+    snap.commit_snapshot(spark.range(4).selectExpr("id"), table)
+    # hold the lease from ANOTHER thread — the lease is reentrant
+    # within its owning thread, so a same-thread hold would not
+    # exercise the second-writer path
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        token = pool.submit(lease.acquire, table).result()
+        try:
+            with pytest.raises(lease.StoreLockedError):
+                snap.commit_snapshot(
+                    spark.range(4, 6).selectExpr("id"), table, mode="append"
+                )
+        finally:
+            pool.submit(lease.release, table, token).result()
+    # lease released → the retried commit lands normally
+    assert snap.commit_snapshot(
+        spark.range(4, 6).selectExpr("id"), table, mode="append"
+    ) == 2
+    assert snap.read_snapshot(spark, table).count() == 6
+
+
+def test_remove_orphan_files_reclaims_phantoms_and_spares_inflight(
+    spark, monkeypatch
+):
+    """Iceberg ``remove_orphan_files`` parity: crashed-writer debris
+    (a phantom version's data + staged metadata) is reclaimed, but
+    only past the ``older_than`` safety valve — a young file may
+    belong to an IN-FLIGHT commit that has not swapped its pointer
+    yet, so a conservative cutoff must leave everything intact."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_orphans")
+    snap.commit_snapshot(spark.range(6).selectExpr("id"), table)
+    monkeypatch.setattr(
+        snap, "_swap_pointer",
+        lambda *_a: (_ for _ in ()).throw(OSError("crash")),
+    )
+    with pytest.raises(OSError):
+        snap.commit_snapshot(
+            spark.range(6, 9).selectExpr("id"), table, mode="append"
+        )
+    monkeypatch.undo()
+
+    # conservative cutoff: the phantom could still be an in-flight
+    # writer — nothing may be touched
+    assert snap.remove_orphan_files(table, older_than_s=3600) == []
+    assert os.path.isdir(os.path.join(table, "v00002"))
+
+    removed = snap.remove_orphan_files(table, older_than_s=0)
+    assert any(r.startswith("v00002/") for r in removed)
+    assert os.path.join("_meta", "v00002.json") in removed
+    assert not os.path.isdir(os.path.join(table, "v00002"))
+    # live data untouched; the table still commits and reads
+    assert snap.read_snapshot(spark, table).count() == 6
+    v2 = snap.commit_snapshot(
+        spark.range(6, 9).selectExpr("id"), table, mode="append"
+    )
+    assert v2 == 2 and snap.read_snapshot(spark, table).count() == 9
+    # a clean table has no orphans at any cutoff
+    assert snap.remove_orphan_files(table, older_than_s=0) == []
+
+
+def test_snapshot_expire_reclaims_only_unreferenced_files(spark):
+    """Reachability-aware retention (r12 verdict ask #2): a chain
+    overwrite→append→append→overwrite, expired down to the last two
+    versions, must physically delete exactly the files no surviving
+    manifest references — v1/v2's shared files stay while they are
+    reachable from v3, and a later expiry that drops v3 reclaims
+    them."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_reach")
+    snap.commit_snapshot(spark.range(4).selectExpr("id"), table)
+    snap.commit_snapshot(
+        spark.range(4, 6).selectExpr("id"), table, mode="append"
+    )
+    snap.commit_snapshot(
+        spark.range(6, 7).selectExpr("id"), table, mode="append"
+    )
+    snap.commit_snapshot(spark.range(100, 103).selectExpr("id"), table)
+
+    assert snap.expire_snapshots(table, keep=2) == [1, 2]
+    # v3's manifest reaches into v00001 and v00002 — both dirs survive
+    assert snap.read_snapshot(spark, table, version=3).count() == 7
+    assert snap.read_snapshot(spark, table).count() == 3
+    assert os.path.isdir(os.path.join(table, "v00001"))
+
+    # dropping v3 leaves v4 (self-contained overwrite) the only
+    # survivor: the shared ancestor files are now unreachable and gone
+    assert snap.expire_snapshots(table, keep=1) == [3]
+    assert not os.path.isdir(os.path.join(table, "v00001"))
+    assert not os.path.isdir(os.path.join(table, "v00002"))
+    assert not os.path.isdir(os.path.join(table, "v00003"))
+    assert snap.read_snapshot(spark, table).count() == 3
+    assert [h["version"] for h in snap.history(table)] == [4]
 
 
 def test_multi_table_changelog_topology(spark, sf_dir):

@@ -948,3 +948,67 @@ def test_purge_minhash_random_backlog_equals_rebuild(spark, tmp_path_factory, ca
         a = sorted(map(repr, spark.read.parquet(f"{idx}/{p}").collect()))
         b = sorted(map(repr, spark.read.parquet(f"{ref}/{p}").collect()))
         assert a == b, p
+
+
+# --- snapshot lifecycle model property (r13) ---------------------------------
+
+_snap_cmds = st.lists(
+    st.one_of(
+        st.tuples(st.just("overwrite"), st.integers(min_value=1, max_value=4)),
+        st.tuples(st.just("append"), st.integers(min_value=1, max_value=4)),
+        st.tuples(st.just("expire"), st.integers(min_value=1, max_value=3)),
+        st.tuples(st.just("sweep"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cmds=_snap_cmds)
+def test_snapshot_lifecycle_matches_model(spark_prop, cmds, tmp_path_factory):
+    """For ANY interleaving of overwrite/append commits, expiries, and
+    orphan sweeps, the manifest-linked snapshot table must agree with
+    a trivial dict model: history lists exactly the surviving
+    committed versions, expiry drops exactly `all but newest keep`,
+    and EVERY surviving version still reads back its exact row set —
+    the reachability property (expiring an appended-onto ancestor
+    never breaks a descendant) under arbitrary schedules, not just
+    the crafted chains in test_pipeline_ops."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = str(tmp_path_factory.mktemp("snap_model") / "tbl")
+    model: dict[int, frozenset[int]] = {}
+    cur = 0
+    next_id = 0
+    for op, arg in cmds:
+        if op in ("overwrite", "append"):
+            ids = frozenset(range(next_id, next_id + arg))
+            next_id += arg
+            df = spark_prop.createDataFrame(
+                [(i,) for i in sorted(ids)], "id long"
+            )
+            v = snap.commit_snapshot(df, table, mode=op)
+            base = model.get(cur, frozenset()) if op == "append" else frozenset()
+            model[v] = base | ids
+            cur = v
+        elif op == "expire":
+            expected_drop = set(sorted(model)[:-arg]) - {cur}
+            assert set(snap.expire_snapshots(table, keep=arg)) == expected_drop
+            model = {v: s for v, s in model.items() if v not in expected_drop}
+        else:
+            snap.remove_orphan_files(table, older_than_s=0)
+        assert [h["version"] for h in snap.history(table)] == sorted(model)
+        if model:
+            got = {
+                r["id"]
+                for r in snap.read_snapshot(spark_prop, table).collect()
+            }
+            assert got == set(model[cur])
+    # final deep check: every surviving version's exact row set
+    for v, ids in model.items():
+        got = {
+            r["id"]
+            for r in snap.read_snapshot(spark_prop, table, version=v).collect()
+        }
+        assert got == set(ids), v
