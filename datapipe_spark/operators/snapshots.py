@@ -171,7 +171,8 @@ def commit_snapshot(
     """Commit a new snapshot. ``mode='append'`` stages ONLY ``df``'s
     rows and links the parent's manifest — O(increment), the Iceberg
     append shape (r12 verdict ask #2) — where ``mode='overwrite'``
-    starts a fresh manifest. ``partition_by`` lays the staged files
+    starts a fresh manifest (``'rewrite'`` is overwrite labeled for
+    history, used by ``rewrite_data_files``). ``partition_by`` lays the staged files
     out hive-partitioned (the reference partitions its Iceberg events
     table by ``(date, hour)`` — .devcontainer/test_spark.py:60-68) so
     partition-pruned reads work against the stand-in exactly as
@@ -202,7 +203,8 @@ def commit_snapshot(
             parent_files = _manifest(table_dir, prev)
             schema = _evolve_schema(_parent_schema(parent_meta, df), df.schema)
         else:
-            mode = "overwrite"
+            if mode != "rewrite":  # 'rewrite' = overwrite, labeled
+                mode = "overwrite"
             parent_meta, parent_files = None, []
             schema = df.schema
         staged = _version_dir(table_dir, version)
@@ -568,6 +570,58 @@ SELECT
 FROM events
 GROUP BY 1, 2
 """
+
+
+def rewrite_data_files(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Iceberg's ``rewrite_data_files`` compaction action on the
+    stand-in: a long chain of O(increment) appends accumulates one
+    small file set per commit — the small-files failure mode every
+    persisted store here already handles (``scd2_compact_closed``,
+    ``compact_minhash_index``). Commits a NEW version whose manifest
+    lists the same rows rewritten into size-targeted files:
+
+    - unpartitioned tables repartition to ``ceil(bytes/target)``
+      write tasks (bytes from the manifest's footer sizes — metadata
+      only, no data read for the sizing);
+    - partitioned tables cluster one write task per partition (the
+      layout the metadata-table oracles pin); per-partition size
+      targeting belongs to the engine that owns real manifests.
+
+    Ancestors stay time-travelable untouched — the rewrite is just a
+    commit, so ``expire_snapshots`` later reclaims the small files
+    exactly when the last version referencing them expires (the
+    reachability rule, no special casing). History records the
+    version with ``mode='rewrite'``. Returns the new version.
+
+    Holds the writer lease across read-plan + commit (the inner
+    commit re-enters it): without the outer hold, a committer landing
+    between this function's snapshot resolution and its commit would
+    have its rows silently erased by the rewrite of the older
+    version."""
+    from datapipe_spark.operators.lease import writer_lease
+
+    with writer_lease(table_dir):
+        cur = current_version(table_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+        meta = _read_meta(table_dir, cur)
+        data = read_snapshot(spark, table_dir, version=cur)
+        partition_by = tuple(meta.get("partition_by") or ())
+        if partition_by:
+            data = data.repartition(*partition_by)
+        else:
+            total = sum(
+                os.path.getsize(os.path.join(table_dir, rel))
+                for rel in _manifest(table_dir, cur)
+            )
+            data = data.repartition(max(1, -(-total // target_bytes)))
+        return commit_snapshot(
+            data, table_dir, mode="rewrite", partition_by=partition_by or None
+        )
 
 
 def remove_orphan_files(

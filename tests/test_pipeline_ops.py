@@ -817,6 +817,80 @@ def test_snapshot_expire_reclaims_only_unreferenced_files(spark):
     assert [h["version"] for h in snap.history(table)] == [4]
 
 
+def test_rewrite_data_files_compacts_append_chain(spark):
+    """Iceberg ``rewrite_data_files`` parity: six O(increment) commits
+    leave one small file set per append; compaction commits a NEW
+    content-identical version with size-targeted files, ancestors
+    stay time-travelable, and the ordinary reachability expiry then
+    reclaims every pre-rewrite file with no special casing."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_rewrite")
+    snap.commit_snapshot(spark.range(0, 1000).selectExpr("id"), table)
+    for i in range(1, 6):
+        snap.commit_snapshot(
+            spark.range(i * 1000, (i + 1) * 1000).selectExpr("id"),
+            table, mode="append",
+        )
+    files_before = snap.snapshot_files(spark, table).count()
+    ids_before = {r["id"] for r in snap.read_snapshot(spark, table).collect()}
+    assert len(ids_before) == 6000
+
+    v = snap.rewrite_data_files(spark, table)
+    assert v == 7
+    hist = snap.history(table)
+    assert hist[-1]["mode"] == "rewrite" and hist[-1]["row_count"] == 6000
+    assert snap.snapshot_files(spark, table).count() == 1 < files_before
+    assert {
+        r["id"] for r in snap.read_snapshot(spark, table).collect()
+    } == ids_before
+    # ancestors untouched: time travel into the middle of the chain
+    assert snap.read_snapshot(spark, table, version=3).count() == 3000
+
+    # expiry reclaims the whole pre-rewrite chain via reachability
+    assert snap.expire_snapshots(table, keep=1) == [1, 2, 3, 4, 5, 6]
+    assert snap.read_snapshot(spark, table).count() == 6000
+    assert not any(
+        os.path.isdir(os.path.join(table, f"v0000{i}")) for i in range(1, 7)
+    )
+    assert snap.remove_orphan_files(table, older_than_s=0) == []
+
+
+def test_rewrite_data_files_preserves_partition_layout(spark):
+    """Partitioned rewrite clusters one write task per partition (the
+    layout the metadata-table oracles pin) and keeps the partition
+    tuple readable + prunable afterward."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_rewrite_part")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}") for i in range(30)],
+        "id long, event_date string",
+    )
+    snap.commit_snapshot(
+        base.repartition(8), table, partition_by=("event_date",)
+    )
+    snap.commit_snapshot(
+        spark.createDataFrame(
+            [(100, "2024-01-04")], "id long, event_date string"
+        ),
+        table, mode="append", partition_by=("event_date",),
+    )
+    assert snap.snapshot_files(spark, table).count() > 4
+    snap.rewrite_data_files(spark, table)
+    parts = {
+        r["partition"]: r["file_count"]
+        for r in snap.snapshot_partitions(spark, table).collect()
+    }
+    assert set(parts) == {
+        f"event_date=2024-01-0{d}" for d in (1, 2, 3, 4)
+    }
+    assert all(n == 1 for n in parts.values())
+    out = snap.read_snapshot(spark, table)
+    assert out.count() == 31 and out.dtypes == base.dtypes
+    assert out.filter(F.col("event_date") == "2024-01-04").count() == 1
+
+
 def test_multi_table_changelog_topology(spark, sf_dir):
     from datapipe_spark.sources.cdc import CDC_TABLES, synth_changelog_multi
 
