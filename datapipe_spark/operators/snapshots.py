@@ -167,6 +167,7 @@ def commit_snapshot(
     table_dir: str,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Commit a new snapshot. ``mode='append'`` stages ONLY ``df``'s
     rows and links the parent's manifest — O(increment), the Iceberg
@@ -214,13 +215,17 @@ def commit_snapshot(
         writer.parquet(staged)
         new_files = _walk_parquet(staged, table_dir)
         # staged row count: zero-column scan of the NEW files only —
-        # never re-reads the base table
-        n_new = df.sparkSession.read.parquet(staged).count()
+        # never re-reads the base table (an empty increment stages no
+        # files at all — a legal commit, e.g. an empty micro-batch)
+        n_new = (
+            df.sparkSession.read.parquet(staged).count() if new_files else 0
+        )
         files = parent_files + new_files
         row_count = n_new + (
             int(parent_meta.get("row_count", 0)) if parent_meta else 0
         )
         meta = {
+            **(extra_meta or {}),
             "version": version, "parent": prev, "committed_at": time.time(),
             "row_count": row_count, "mode": mode,
             "partition_by": list(partition_by or []),
@@ -288,8 +293,16 @@ def read_snapshot(
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(_version_dir(table_dir, v))
+    return _read_files(spark, table_dir, meta["files"], schema)
+
+
+def _read_files(
+    spark: SparkSession, table_dir: str, files: list[str], schema
+) -> DataFrame:
+    """Read an explicit manifest file set, grouped per version dir so
+    each group's hive partition recovery gets the right basePath."""
     by_root: dict[str, list[str]] = {}
-    for rel in meta["files"]:
+    for rel in files:
         root = rel.split(os.sep, 1)[0]
         by_root.setdefault(root, []).append(os.path.join(table_dir, rel))
     parts = []
@@ -300,10 +313,57 @@ def read_snapshot(
         if schema is not None:
             reader = reader.schema(schema)
         parts.append(reader.parquet(*by_root[root]))
+    if not parts:
+        if schema is None:
+            raise ValueError("empty file set with no pinned schema")
+        return spark.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_incremental(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Iceberg's incremental scan (``start-snapshot-id`` /
+    ``end-snapshot-id``): ONLY the rows added after ``from_version``
+    up to ``to_version`` (default latest) — the manifests make this a
+    file-set difference, so the scan reads none of the base table's
+    bytes, which is what makes incremental downstream processing
+    (``plans/incremental.py``'s watermark pattern) work at 100 TB:
+    each consumer tick costs O(new data). Every version in the range
+    must be an append; an overwrite/rewrite in the range raises (its
+    rows REPLACED history — same contract as Iceberg, which refuses
+    incremental reads across non-append snapshots). Reads under the
+    ``to`` version's pinned schema, so columns added mid-range come
+    back NULL for files that predate them."""
+    v1 = _resolve_version(table_dir, to_version)
+    v0 = _resolve_version(table_dir, from_version)
+    if v0 > v1:
+        raise ValueError(f"from_version {v0} is after to_version {v1}")
+    # an EXPIRED from_version must raise (its manifest is gone — a
+    # silent fallback would return a full scan as "the increment")
+    _read_meta(table_dir, v0)
+    for v in range(v0 + 1, v1 + 1):
+        mode = _read_meta(table_dir, v).get("mode")
+        if mode != "append":
+            raise ValueError(
+                f"incremental read across non-append version {v} "
+                f"(mode={mode!r}): its commit replaced history"
+            )
+    to_meta = _read_meta(table_dir, v1)
+    schema = None
+    if to_meta.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(to_meta["schema"])
+    base = set(_manifest(table_dir, v0))
+    new = [f for f in _manifest(table_dir, v1) if f not in base]
+    return _read_files(spark, table_dir, new, schema)
 
 
 def history(table_dir: str) -> list[dict]:
@@ -688,6 +748,70 @@ def _remove_orphans_locked(table_dir: str, older_than_s: float) -> list[str]:
                 os.remove(mp)
                 removed.append(os.path.join("_meta", name))
     return sorted(removed)
+
+
+def committed_batch_ids(table_dir: str) -> set[int]:
+    """Micro-batch ids already committed into the table (recorded in
+    each version's metadata by ``commit_snapshot_batch``)."""
+    return {
+        int(h["batch_id"]) for h in history(table_dir) if "batch_id" in h
+    }
+
+
+def commit_snapshot_batch(
+    df: DataFrame,
+    table_dir: str,
+    batch_id: int,
+    partition_by: tuple[str, ...] | None = None,
+) -> int | None:
+    """Exactly-once micro-batch append — the ``foreachBatch`` sink
+    contract for streaming ingestion into the snapshot table (the
+    reference's Kafka→Iceberg pipeline: streaming events committed to
+    an ACID table, 1-data-ingestion-pipeline requirements + the task6
+    events table). Structured Streaming replays a batch when the
+    writer succeeded but the checkpoint advance did not (T10); the
+    batch id is recorded in the version's commit metadata, and a
+    replayed id is SKIPPED under the writer lease (check and commit
+    in one critical section, so a racing replica cannot double-
+    commit). Returns the new version, or None for a replay."""
+    from datapipe_spark.operators.lease import writer_lease
+
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    with writer_lease(table_dir):
+        if int(batch_id) in committed_batch_ids(table_dir):
+            return None
+        return commit_snapshot(
+            df, table_dir, mode="append", partition_by=partition_by,
+            extra_meta={"batch_id": int(batch_id)},
+        )
+
+
+def snapshot_incremental_read_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the incremental scan: rows added between the
+    cached events table's v1 (first 15 days) and v2 (the append).
+    Oracle (``SNAPSHOT_INCREMENTAL_SQL``): DuckDB selects exactly the
+    on-or-after-split rows from the raw events — hash equality attests
+    the manifest file-diff returns precisely the appended increment,
+    with zero rows leaked from (or lost to) the shared v1 files."""
+    from pyspark.sql import functions as F
+
+    tbl = _cached_events_snapshot(spark, sf_dir)
+    return read_incremental(spark, tbl, from_version=1).select(
+        F.col("event_id"), F.col("user_id"),
+        F.col("event_type"), F.col("event_date"),
+    )
+
+
+SNAPSHOT_INCREMENTAL_SQL = f"""
+WITH b AS (
+  SELECT MIN(CAST(ts AS DATE)) + INTERVAL {SNAPSHOT_SPLIT_DAYS} DAY AS split
+  FROM events
+)
+SELECT event_id, user_id, event_type,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+FROM events
+WHERE CAST(ts AS DATE) >= (SELECT split FROM b)
+"""
 
 
 def expire_snapshots(table_dir: str, keep: int = 2) -> list[int]:

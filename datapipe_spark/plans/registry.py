@@ -248,6 +248,21 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         snapshots.snapshot_files_meta,
         snapshots.SNAPSHOT_FILES_SQL,
     ),
+    # Iceberg incremental scan (start/end-snapshot-id): the manifest
+    # file-diff between v1 and the appended v2 must return exactly
+    # the increment's rows — none leaked from the shared v1 files,
+    # none lost
+    "snapshot_incremental_read": (
+        snapshots.snapshot_incremental_read_meta,
+        snapshots.SNAPSHOT_INCREMENTAL_SQL,
+    ),
+    # the reference's ingestion backbone: stream → exactly-once ACID
+    # appends into the versioned table (Kafka→Iceberg); one manifest
+    # append per micro-batch, replays skipped via batch-id metadata
+    "streaming_snapshot_ingest": (
+        stream.streaming_snapshot_ingest,
+        stream.STREAMING_SNAPSHOT_INGEST_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

@@ -357,6 +357,48 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ntz(spark.read.parquet(sink))
 
 
+def streaming_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ingestion backbone end-to-end: Kafka-stand-in
+    stream → exactly-once ACID appends into the versioned snapshot
+    table (Kafka→Iceberg, 1-data-ingestion-pipeline requirements +
+    the task6 date-partitioned events table). Each micro-batch is one
+    ``snapshots.commit_snapshot_batch`` — an O(increment) manifest
+    append whose commit metadata records the batch id, so the replays
+    Structured Streaming issues after a sink-committed/checkpoint-
+    lost crash are SKIPPED under the writer lease (T10 exactly-once
+    on an ACID table instead of an idempotent file sink). The oracle
+    is the full events projection: hash equality attests the table
+    holds exactly-once content, and ``.history`` carries one append
+    per micro-batch as Iceberg would."""
+    from datapipe_spark.operators import snapshots as snap
+
+    out = src.fresh_dir("snap_ingest")
+    table = os.path.join(out, "table")
+    events = (
+        _events_stream(spark, sf_dir, sentinel=True)
+        .filter(F.col("event_type") != src.SENTINEL_TYPE)
+        .withColumn("event_date", F.to_date("ts").cast("string"))
+    )
+
+    def commit(bdf: DataFrame, bid: int) -> None:
+        snap.commit_snapshot_batch(
+            bdf, table, bid, partition_by=("event_date",)
+        )
+
+    with _stream_shuffle(spark):
+        _run(
+            events.writeStream.foreachBatch(commit), os.path.join(out, "cp")
+        )
+    return _ntz(snap.read_snapshot(spark, table))
+
+
+STREAMING_SNAPSHOT_INGEST_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+FROM events
+"""
+
+
 def interval_join_error_purchases(events: DataFrame, window_minutes: int | None = None) -> DataFrame:
     """The stream-stream interval join's plan, source-agnostic: split a
     (possibly streaming) events frame into watermarked error and

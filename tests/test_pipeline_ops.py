@@ -817,6 +817,54 @@ def test_snapshot_expire_reclaims_only_unreferenced_files(spark):
     assert [h["version"] for h in snap.history(table)] == [4]
 
 
+def test_snapshot_incremental_read_is_exact_file_diff(spark):
+    """Iceberg incremental scan on the manifest stand-in: the
+    (from, to] range returns exactly the appended rows (a file-set
+    diff — no base-table bytes touched), refuses ranges crossing a
+    non-append commit or starting at an expired version, and reads
+    mid-range schema additions back under the TO version's evolved
+    schema."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_incr")
+    snap.commit_snapshot(spark.range(5).selectExpr("id"), table)
+    snap.commit_snapshot(
+        spark.range(5, 8).selectExpr("id", "'b2' AS src"), table, mode="append"
+    )
+    snap.commit_snapshot(
+        spark.range(8, 9).selectExpr("id", "'b3' AS src"), table, mode="append"
+    )
+
+    inc = snap.read_incremental(spark, table, from_version=1)
+    assert inc.columns == ["id", "src"]  # TO version's evolved schema
+    assert {(r["id"], r["src"]) for r in inc.collect()} == {
+        (5, "b2"), (6, "b2"), (7, "b2"), (8, "b3"),
+    }
+    assert {
+        r["id"] for r in snap.read_incremental(spark, table, 2, 3).collect()
+    } == {8}
+    # empty range
+    assert snap.read_incremental(spark, table, 3, 3).count() == 0
+
+    # an overwrite breaks the append chain: range crossing it raises
+    snap.commit_snapshot(spark.range(2).selectExpr("id"), table)
+    with pytest.raises(ValueError, match="non-append version 4"):
+        snap.read_incremental(spark, table, from_version=1)
+    # ...but a range strictly before it still works
+    assert snap.read_incremental(spark, table, 1, 3).count() == 4
+
+    # expired from_version must raise, never degrade to a full scan
+    snap.commit_snapshot(
+        spark.range(2, 3).selectExpr("id"), table, mode="append"
+    )
+    snap.expire_snapshots(table, keep=2)
+    with pytest.raises(FileNotFoundError):
+        snap.read_incremental(spark, table, from_version=1)
+    assert {
+        r["id"] for r in snap.read_incremental(spark, table, 4, 5).collect()
+    } == {2}
+
+
 def test_rewrite_data_files_compacts_append_chain(spark):
     """Iceberg ``rewrite_data_files`` parity: six O(increment) commits
     leave one small file set per append; compaction commits a NEW

@@ -54,6 +54,39 @@ def test_stateful_queries_run_on_rocksdb_state_store(spark, sf_dir):
     assert not any(f.endswith(".delta") for f in state_files)
 
 
+def test_streaming_snapshot_ingest_exactly_once_acid_appends(spark, sf_dir):
+    """Kafka→Iceberg parity (T10 on an ACID table): the stream lands
+    in the snapshot table with exactly-once content, `.history`
+    carries one batch-id-stamped append per micro-batch, and a
+    REPLAYED micro-batch (the sink-committed/checkpoint-lost crash
+    window) is skipped — no new version, no duplicate rows."""
+    from datapipe_spark.operators import snapshots as snap
+    from datapipe_spark.sources.tables import load_table
+    from datapipe_spark.util import scratch_root
+
+    out = jobs.streaming_snapshot_ingest(spark, sf_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+    table = os.path.join(scratch_root(), "snap_ingest", "table")
+    hist = snap.history(table)
+    assert len(hist) >= 2  # files_per_trigger=3 over 4+flush drops
+    assert [h["batch_id"] for h in hist] == list(range(len(hist)))
+    assert all(h["mode"] == "append" for h in hist[1:])
+    assert hist[-1]["row_count"] == n_events
+
+    # replay of an already-committed batch id: skipped entirely
+    cur = snap.current_version(table)
+    replay = load_table(spark, sf_dir, "events").limit(5).selectExpr(
+        "event_id", "user_id", "event_type",
+        "CAST(value AS DOUBLE) AS value",
+    )
+    assert snap.commit_snapshot_batch(replay, table, batch_id=0) is None
+    assert snap.current_version(table) == cur
+    assert snap.read_snapshot(spark, table).count() == n_events
+
+
 def test_streaming_funnel_equals_batch_and_oracle(spark, sf_dir):
     got = jobs.streaming_funnel_daily(spark, sf_dir)
     assert _rows(got) == _rows(ev.funnel_daily(spark, sf_dir))
