@@ -1012,3 +1012,44 @@ def test_snapshot_lifecycle_matches_model(spark_prop, cmds, tmp_path_factory):
             for r in snap.read_snapshot(spark_prop, table, version=v).collect()
         }
         assert got == set(ids), v
+
+
+_batch_plan = st.lists(
+    st.integers(min_value=0, max_value=5), min_size=1, max_size=10
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(plan=_batch_plan)
+def test_snapshot_batch_commits_idempotent_under_replay(
+    spark_prop, plan, tmp_path_factory
+):
+    """For ANY micro-batch schedule with replays (the at-least-once
+    delivery Structured Streaming gives a foreachBatch sink), the
+    snapshot table must equal exactly-once processing: each batch id
+    commits exactly once, every replay is a no-op, and the final
+    table holds precisely the union of the distinct batches' rows."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = str(tmp_path_factory.mktemp("snap_batches") / "tbl")
+    seen: set[int] = set()
+    expected: set[int] = set()
+    for bid in plan:
+        ids = {bid * 100 + j for j in range(3)}
+        df = spark_prop.createDataFrame([(i,) for i in sorted(ids)], "id long")
+        v = snap.commit_snapshot_batch(df, table, batch_id=bid)
+        if bid in seen:
+            assert v is None
+        else:
+            assert v is not None
+            seen.add(bid)
+            expected |= ids
+    got = {
+        r["id"] for r in snap.read_snapshot(spark_prop, table).collect()
+    }
+    assert got == expected
+    hist = snap.history(table)
+    assert [h["batch_id"] for h in hist] == [
+        b for i, b in enumerate(plan) if b not in set(plan[:i])
+    ]
+    assert hist[-1]["row_count"] == len(expected)
