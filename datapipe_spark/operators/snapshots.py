@@ -168,87 +168,112 @@ def commit_snapshot(
     mode: str = "overwrite",
     partition_by: tuple[str, ...] | None = None,
     extra_meta: dict | None = None,
+    retries: int = 0,
+    retry_wait_s: float = 0.5,
 ) -> int:
     """Commit a new snapshot. ``mode='append'`` stages ONLY ``df``'s
     rows and links the parent's manifest — O(increment), the Iceberg
     append shape (r12 verdict ask #2) — where ``mode='overwrite'``
-    starts a fresh manifest (``'rewrite'`` is overwrite labeled for
-    history, used by ``rewrite_data_files``). ``partition_by`` lays the staged files
-    out hive-partitioned (the reference partitions its Iceberg events
-    table by ``(date, hour)`` — .devcontainer/test_spark.py:60-68) so
-    partition-pruned reads work against the stand-in exactly as
-    against Iceberg metadata. Returns the new version.
+    starts a fresh manifest (``'rewrite'``/``'delete'``/``'merge'``
+    are fresh-manifest commits labeled for history, used by the
+    maintenance/DML actions below). ``partition_by`` lays the staged
+    files out hive-partitioned (the reference partitions its Iceberg
+    events table by ``(date, hour)`` — .devcontainer/test_spark.py:
+    60-68) so partition-pruned reads work against the stand-in
+    exactly as against Iceberg metadata. Returns the new version.
 
     Committers are serialized by the store writer lease
     (``operators/lease.py`` — the same single-writer contract the
     SCD2 store and band index enforce): an append stages against its
     parent's manifest, so two interleaved committers would otherwise
     both claim version N+1 and the last pointer swap silently drops
-    the other's rows (Iceberg closes this with CAS-retry on the
-    metadata pointer; the stand-in fails fast with
-    ``StoreLockedError``, matching the repo's writer posture). A
-    committer that dies mid-stage leaves a phantom the lease's
-    dead-holder steal unblocks and ``remove_orphan_files``
+    the other's rows. Iceberg closes this with optimistic CAS-retry
+    on the metadata pointer; the stand-in fails fast by default, and
+    ``retries`` (the reference's own ``commit.retry.num-retries=4``,
+    task6-ecommerce-tables-job.yaml:261) opts into the retry posture
+    — each attempt re-resolves the parent under the lease, so a
+    retried append lands on TOP of the competing commit instead of
+    erasing it. A committer that dies mid-stage leaves a phantom the
+    lease's dead-holder steal unblocks and ``remove_orphan_files``
     reclaims."""
-    from datapipe_spark.operators.lease import writer_lease
+    from datapipe_spark.operators.lease import StoreLockedError, writer_lease
 
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
-    with writer_lease(table_dir):
-        prev = current_version(table_dir)
-        version = (prev or 0) + 1
-        # resolve parent metadata and the committed (possibly
-        # EVOLVED) schema BEFORE staging, so an incompatible append
-        # fails fast with zero debris
-        if mode == "append" and prev is not None:
-            parent_meta = _read_meta(table_dir, prev)
-            parent_files = _manifest(table_dir, prev)
-            schema = _evolve_schema(_parent_schema(parent_meta, df), df.schema)
-        else:
-            if mode != "rewrite":  # 'rewrite' = overwrite, labeled
-                mode = "overwrite"
-            parent_meta, parent_files = None, []
-            schema = df.schema
-        staged = _version_dir(table_dir, version)
-        writer = df.write.mode("overwrite")  # overwrite clears phantom debris
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(staged)
-        new_files = _walk_parquet(staged, table_dir)
-        # staged row count: zero-column scan of the NEW files only —
-        # never re-reads the base table (an empty increment stages no
-        # files at all — a legal commit, e.g. an empty micro-batch)
-        n_new = (
-            df.sparkSession.read.parquet(staged).count() if new_files else 0
-        )
-        files = parent_files + new_files
-        row_count = n_new + (
-            int(parent_meta.get("row_count", 0)) if parent_meta else 0
-        )
-        meta = {
-            **(extra_meta or {}),
-            "version": version, "parent": prev, "committed_at": time.time(),
-            "row_count": row_count, "mode": mode,
-            "partition_by": list(partition_by or []),
-            # manifest: every data file of this snapshot,
-            # table-relative; append entries point into ancestor
-            # version dirs (shared, not copied)
-            "files": files,
-            # committed schema, pinned: hive partition directories
-            # erase the partition columns' types, and Spark's
-            # partition type INFERENCE on read would coerce them
-            # (string '2024-01-01' comes back as DATE) — readers
-            # apply this schema instead, so read_snapshot always
-            # returns exactly what was committed (appends: the
-            # EVOLVED union schema — old files' missing columns read
-            # back as NULL, Iceberg's add-column semantics)
-            "schema": json.loads(schema.json()),
-        }
-        tmp = _meta_path(table_dir, version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, _meta_path(table_dir, version))
-        _swap_pointer(table_dir, version)
-        return version
+    for attempt in range(max(0, retries) + 1):
+        try:
+            with writer_lease(table_dir):
+                return _commit_locked(
+                    df, table_dir, mode, partition_by, extra_meta
+                )
+        except StoreLockedError:
+            if attempt >= retries:
+                raise
+            time.sleep(retry_wait_s * (attempt + 1))
+    raise AssertionError("unreachable")
+
+
+def _commit_locked(
+    df: DataFrame,
+    table_dir: str,
+    mode: str,
+    partition_by: tuple[str, ...] | None,
+    extra_meta: dict | None,
+) -> int:
+    prev = current_version(table_dir)
+    version = (prev or 0) + 1
+    # resolve parent metadata and the committed (possibly
+    # EVOLVED) schema BEFORE staging, so an incompatible append
+    # fails fast with zero debris
+    if mode == "append" and prev is not None:
+        parent_meta = _read_meta(table_dir, prev)
+        parent_files = _manifest(table_dir, prev)
+        schema = _evolve_schema(_parent_schema(parent_meta, df), df.schema)
+    else:
+        if mode not in ("rewrite", "delete", "merge"):  # labeled overwrites
+            mode = "overwrite"
+        parent_meta, parent_files = None, []
+        schema = df.schema
+    staged = _version_dir(table_dir, version)
+    writer = df.write.mode("overwrite")  # overwrite clears phantom debris
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staged)
+    new_files = _walk_parquet(staged, table_dir)
+    # staged row count: zero-column scan of the NEW files only —
+    # never re-reads the base table (an empty increment stages no
+    # files at all — a legal commit, e.g. an empty micro-batch)
+    n_new = (
+        df.sparkSession.read.parquet(staged).count() if new_files else 0
+    )
+    files = parent_files + new_files
+    row_count = n_new + (
+        int(parent_meta.get("row_count", 0)) if parent_meta else 0
+    )
+    meta = {
+        **(extra_meta or {}),
+        "version": version, "parent": prev, "committed_at": time.time(),
+        "row_count": row_count, "mode": mode,
+        "partition_by": list(partition_by or []),
+        # manifest: every data file of this snapshot,
+        # table-relative; append entries point into ancestor
+        # version dirs (shared, not copied)
+        "files": files,
+        # committed schema, pinned: hive partition directories
+        # erase the partition columns' types, and Spark's
+        # partition type INFERENCE on read would coerce them
+        # (string '2024-01-01' comes back as DATE) — readers
+        # apply this schema instead, so read_snapshot always
+        # returns exactly what was committed (appends: the
+        # EVOLVED union schema — old files' missing columns read
+        # back as NULL, Iceberg's add-column semantics)
+        "schema": json.loads(schema.json()),
+    }
+    tmp = _meta_path(table_dir, version) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(table_dir, version))
+    _swap_pointer(table_dir, version)
+    return version
 
 
 def _resolve_version(table_dir: str, version: int | None) -> int:
@@ -684,6 +709,139 @@ def rewrite_data_files(
         )
 
 
+def delete_rows(
+    spark: SparkSession, table_dir: str, predicate: str
+) -> int:
+    """Iceberg ``DELETE FROM ... WHERE predicate`` under the
+    reference's own table property ``write.delete.mode=
+    'copy-on-write'`` (task5-iceberg-catalog-config.yaml:36,
+    task6-ecommerce-tables-config.yaml:59): commit a new version
+    holding the current rows the predicate does NOT match. SQL DELETE
+    semantics on NULL: a row whose predicate evaluates NULL is KEPT
+    (only ``true`` deletes). History records ``mode='delete'``;
+    ancestors stay time-travelable, so this is also the COW leg of
+    the erasure story (the SCD2/merge-on-read leg is
+    ``scd2_queue_purge`` — a full GDPR purge must also expire the
+    ancestor versions that still reach the old files). Returns the
+    new version. Holds the writer lease across resolve + commit."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.operators.lease import writer_lease
+
+    with writer_lease(table_dir):
+        cur = current_version(table_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+        meta = _read_meta(table_dir, cur)
+        keep = read_snapshot(spark, table_dir, version=cur).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
+        partition_by = tuple(meta.get("partition_by") or ())
+        if partition_by:
+            keep = keep.repartition(*partition_by)
+        return commit_snapshot(
+            keep, table_dir, mode="delete",
+            partition_by=partition_by or None,
+        )
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    on: list[str] | str,
+) -> int:
+    """Iceberg ``MERGE INTO`` (matched → update with the source row,
+    not matched → insert) under the reference's ``write.merge.mode=
+    'copy-on-write'`` (task5-iceberg-catalog-config.yaml:35): commit
+    a new version = current rows whose key has no source match, plus
+    every source row. The source may add or omit columns — the same
+    union-of-fields evolution appends get (missing sides read back
+    NULL). History records ``mode='merge'``. Returns the new
+    version. Holds the writer lease across resolve + commit."""
+    from datapipe_spark.operators.lease import writer_lease
+
+    keys = [on] if isinstance(on, str) else list(on)
+    with writer_lease(table_dir):
+        cur = current_version(table_dir)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+        meta = _read_meta(table_dir, cur)
+        current = read_snapshot(spark, table_dir, version=cur)
+        merged = current.join(
+            source.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(source, allowMissingColumns=True)
+        partition_by = tuple(meta.get("partition_by") or ())
+        if partition_by:
+            merged = merged.repartition(*partition_by)
+        return commit_snapshot(
+            merged, table_dir, mode="merge",
+            partition_by=partition_by or None,
+        )
+
+
+def snapshot_dml_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry form of the copy-on-write DML pair: load an orders
+    slice as v1, ``DELETE WHERE o_orderstatus='F'`` (v2), then
+    ``MERGE`` an update+insert source (v3) — the write.delete/merge
+    .mode='copy-on-write' lifecycle the reference configures on its
+    Iceberg tables. Oracle (``SNAPSHOT_DML_SQL``): DuckDB replays the
+    delete predicate and the merge's anti-join ∪ source from the raw
+    orders; hash equality attests both DML actions' row-level
+    semantics (including NULL-predicate keeps and key replacement)."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.sources.tables import load_table
+    from datapipe_spark.util import fresh_dir
+
+    table = fresh_dir("snap_dml")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter("o_orderkey % 7 = 0").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("total")
+    )
+    commit_snapshot(base, table)
+    delete_rows(spark, table, "o_orderstatus = 'F'")
+    src = (
+        orders.filter("o_orderkey % 21 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 2).alias("total"),
+        )
+        .unionByName(
+            orders.filter("o_orderkey % 35 = 0").select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000))
+                .cast("long")
+                .alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(0.0).alias("total"),
+            )
+        )
+    )
+    merge_snapshot(spark, table, src, on="o_orderkey")
+    return read_snapshot(spark, table)
+
+
+SNAPSHOT_DML_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS total
+  FROM orders WHERE o_orderkey % 7 = 0
+), kept AS (
+  SELECT * FROM base WHERE NOT COALESCE(o_orderstatus = 'F', FALSE)
+), src AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 2 AS total
+  FROM orders WHERE o_orderkey % 21 = 0
+  UNION ALL
+  SELECT CAST(o_orderkey + 1000000000 AS BIGINT), 'N', 0.0
+  FROM orders WHERE o_orderkey % 35 = 0
+)
+SELECT o_orderkey, o_orderstatus, total FROM kept
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, total FROM src
+"""
+
+
 def remove_orphan_files(
     table_dir: str, older_than_s: float = 86_400.0
 ) -> list[str]:
@@ -814,29 +972,56 @@ WHERE CAST(ts AS DATE) >= (SELECT split FROM b)
 """
 
 
-def expire_snapshots(table_dir: str, keep: int = 2) -> list[int]:
+def expire_snapshots(
+    table_dir: str,
+    keep: int = 2,
+    max_age_s: float | None = None,
+    min_keep: int | None = None,
+) -> list[int]:
     """Retention: drop all but the newest ``keep`` snapshots
     (snapshot expiry, task6-ecommerce-tables-config.yaml:51-61).
-    Never drops the current pointer target. REACHABILITY-AWARE
-    (r12 verdict ask #2 / nit #2): append manifests share data files
-    with their ancestors, so expiring a version deletes only the
-    files no SURVIVING version's manifest references — expiring v1
-    under an appended v2 removes v1 from history but leaves its
-    shared files on disk for v2's readers. Returns expired
-    versions. Takes the writer lease — expiry deletes files, so it
-    must not interleave with a committer or an orphan sweep."""
+    ``max_age_s``/``min_keep`` are the reference's OWN retention
+    knobs (``history.expire.max-snapshot-age-ms`` = 5 days /
+    ``min-snapshots-to-keep`` = 100, task6-ecommerce-tables-job.yaml:
+    262-263): with ``max_age_s`` set, a version expires only once its
+    commit is older than the horizon, and ``min_keep`` newest
+    versions survive regardless of age. Never drops the current
+    pointer target. REACHABILITY-AWARE (r12 verdict ask #2 / nit
+    #2): append manifests share data files with their ancestors, so
+    expiring a version deletes only the files no SURVIVING version's
+    manifest references — expiring v1 under an appended v2 removes
+    v1 from history but leaves its shared files on disk for v2's
+    readers. Returns expired versions. Takes the writer lease —
+    expiry deletes files, so it must not interleave with a committer
+    or an orphan sweep."""
     from datapipe_spark.operators.lease import writer_lease
 
     if not os.path.isdir(table_dir):
         return []
     with writer_lease(table_dir):
-        return _expire_locked(table_dir, keep)
+        return _expire_locked(table_dir, keep, max_age_s, min_keep)
 
 
-def _expire_locked(table_dir: str, keep: int) -> list[int]:
+def _expire_locked(
+    table_dir: str,
+    keep: int,
+    max_age_s: float | None = None,
+    min_keep: int | None = None,
+) -> list[int]:
     cur = current_version(table_dir)
-    versions = sorted(h["version"] for h in history(table_dir))
-    to_drop = [v for v in versions[:-keep] if v != cur]
+    hist = history(table_dir)
+    versions = sorted(h["version"] for h in hist)
+    if max_age_s is not None:
+        floor = min_keep if min_keep is not None else keep
+        horizon = time.time() - max_age_s
+        aged = {
+            h["version"] for h in hist
+            if float(h.get("committed_at", 0)) <= horizon
+        }
+        candidates = versions[:-floor] if floor > 0 else versions
+        to_drop = [v for v in candidates if v in aged and v != cur]
+    else:
+        to_drop = [v for v in versions[:-keep] if v != cur]
     survivors = [v for v in versions if v not in to_drop]
     live = set()
     for v in survivors:

@@ -263,6 +263,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         stream.streaming_snapshot_ingest,
         stream.STREAMING_SNAPSHOT_INGEST_SQL,
     ),
+    # copy-on-write DELETE + MERGE lifecycle (the reference's
+    # write.delete/merge.mode='copy-on-write' table properties),
+    # replayed row-for-row by DuckDB from the raw orders
+    "snapshot_dml": (
+        snapshots.snapshot_dml_meta,
+        snapshots.SNAPSHOT_DML_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

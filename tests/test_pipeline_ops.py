@@ -817,6 +817,120 @@ def test_snapshot_expire_reclaims_only_unreferenced_files(spark):
     assert [h["version"] for h in snap.history(table)] == [4]
 
 
+def test_snapshot_cow_delete_and_merge(spark):
+    """The reference's write.delete.mode / write.merge.mode =
+    'copy-on-write' table properties (task5-iceberg-catalog-config
+    .yaml:35-37): DELETE commits a version without the matched rows
+    (NULL predicate keeps the row — SQL DELETE semantics), MERGE
+    upserts the source (matched rows replaced, new keys inserted,
+    added columns evolving the schema), and every ancestor stays
+    time-travelable."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_dml")
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", i * 10) for i in range(10)]
+        + [(100, None, 0)],
+        "id long, status string, value long",
+    )
+    snap.commit_snapshot(base, table)
+
+    v2 = snap.delete_rows(spark, table, "status = 'a'")
+    assert v2 == 2
+    kept = snap.read_snapshot(spark, table)
+    assert kept.count() == 6  # five 'b' rows + the NULL-status row
+    assert kept.filter("status = 'a'").count() == 0
+    assert kept.filter("id = 100").count() == 1  # NULL predicate keeps
+    assert snap.read_snapshot(spark, table, version=1).count() == 11
+
+    source = spark.createDataFrame(
+        [(1, "b", 999, "upd"), (200, "c", 5, "ins")],
+        "id long, status string, value long, src string",
+    )
+    v3 = snap.merge_snapshot(spark, table, source, on="id")
+    assert v3 == 3
+    merged = snap.read_snapshot(spark, table)
+    assert merged.count() == 7  # 6 - 1 replaced + 2 source rows
+    rows = {r["id"]: (r["value"], r["src"]) for r in merged.collect()}
+    assert rows[1] == (999, "upd") and rows[200] == (5, "ins")
+    assert rows[3] == (30, None)  # untouched row, evolved col NULL
+    assert [h["mode"] for h in snap.history(table)] == [
+        "overwrite", "delete", "merge",
+    ]
+
+
+def test_snapshot_expire_by_age_with_min_keep_floor(spark):
+    """The reference's own retention knobs
+    (history.expire.max-snapshot-age-ms + min-snapshots-to-keep,
+    task6-ecommerce-tables-job.yaml:262-263): age-based expiry drops
+    only versions older than the horizon, and the min-keep floor
+    holds even when everything has aged out."""
+    import json as _json
+
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_age")
+    for i in range(4):
+        snap.commit_snapshot(
+            spark.range(i, i + 3).selectExpr("id"), table, mode="append"
+        )
+
+    def _age(version, committed_at):
+        p = os.path.join(table, "_meta", f"v{version:05d}.json")
+        with open(p) as f:
+            m = _json.load(f)
+        m["committed_at"] = committed_at
+        with open(p, "w") as f:
+            _json.dump(m, f)
+
+    old = 1_000_000_000.0  # 2001 — far past any horizon
+    _age(1, old)
+    _age(2, old)
+    # young versions survive any horizon; aged ones drop, floor holds
+    assert snap.expire_snapshots(
+        table, max_age_s=3600, min_keep=1
+    ) == [1, 2]
+    assert [h["version"] for h in snap.history(table)] == [3, 4]
+    assert snap.read_snapshot(spark, table).count() == 12  # append chain
+    # all aged out, but the floor keeps the newest two
+    _age(3, old)
+    _age(4, old)
+    assert snap.expire_snapshots(table, max_age_s=3600, min_keep=2) == []
+    assert snap.expire_snapshots(table, max_age_s=3600, min_keep=1) == [3]
+    assert [h["version"] for h in snap.history(table)] == [4]
+
+
+def test_snapshot_commit_retries_until_lease_frees(spark):
+    """The reference's commit.retry.num-retries=4
+    (task6-ecommerce-tables-job.yaml:261): with retries opted in, a
+    committer blocked by a live lease backs off and lands once the
+    holder releases — each attempt re-resolves the parent under the
+    lease, so the retried append stacks on top instead of erasing."""
+    import threading
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from datapipe_spark.operators import lease, snapshots as snap
+
+    table = fresh_dir("test_snapshots_retry")
+    snap.commit_snapshot(spark.range(3).selectExpr("id"), table)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        token = pool.submit(lease.acquire, table).result()
+        timer = threading.Timer(
+            1.2, lambda: pool.submit(lease.release, table, token).result()
+        )
+        timer.start()
+        t0 = _time.monotonic()
+        v = snap.commit_snapshot(
+            spark.range(3, 5).selectExpr("id"), table,
+            mode="append", retries=4, retry_wait_s=0.4,
+        )
+        waited = _time.monotonic() - t0
+        timer.join()
+    assert v == 2 and waited >= 1.0  # actually blocked, then landed
+    assert snap.read_snapshot(spark, table).count() == 5
+
+
 def test_snapshot_incremental_read_is_exact_file_diff(spark):
     """Iceberg incremental scan on the manifest stand-in: the
     (from, to] range returns exactly the appended rows (a file-set
