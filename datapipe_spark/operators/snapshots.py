@@ -780,6 +780,88 @@ def merge_snapshot(
         )
 
 
+def _file_partition(rel: str) -> str:
+    """Hive partition tuple of a table-relative file path ('' when
+    unpartitioned) — the same derivation ``snapshot_files`` uses."""
+    return "/".join(seg for seg in rel.split(os.sep)[:-1] if "=" in seg)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: tuple[str, ...],
+) -> int:
+    """Iceberg's dynamic partition overwrite (Spark's
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` /
+    ``DataFrameWriterV2.overwritePartitions``) on the manifest table:
+    commit a version where ONLY the partitions present in ``df`` are
+    replaced — untouched partitions carry their parent's files by
+    manifest reference, no rewrite. This is the idempotent-backfill
+    write mode the batch layer's daily jobs use
+    (``plans/incremental.py``'s dynamic overwrite, reference batch
+    design.md incremental loads): re-running a day replaces exactly
+    that day. O(touched partitions), not O(table).
+
+    History records ``mode='overwrite-partitions'``;
+    ``read_incremental`` correctly refuses to cross it (rows were
+    replaced, not appended). The dropped parent files' row counts are
+    read from their footers (bounded by the touched partitions) to
+    keep the committed ``row_count`` exact."""
+    import pyarrow.parquet as pq
+
+    from datapipe_spark.operators.lease import writer_lease
+
+    if not partition_by:
+        raise ValueError("overwrite_partitions requires partition columns")
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    with writer_lease(table_dir):
+        prev = current_version(table_dir)
+        if prev is None:
+            # first commit: a plain partitioned overwrite
+            return _commit_locked(
+                df, table_dir, "overwrite-partitions", partition_by, None
+            )
+        parent_meta = _read_meta(table_dir, prev)
+        if tuple(parent_meta.get("partition_by") or ()) != tuple(partition_by):
+            raise ValueError(
+                "overwrite_partitions partition columns "
+                f"{tuple(partition_by)} do not match the table's "
+                f"{tuple(parent_meta.get('partition_by') or ())}"
+            )
+        schema = _evolve_schema(_parent_schema(parent_meta, df), df.schema)
+        version = prev + 1
+        staged = _version_dir(table_dir, version)
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(staged)
+        new_files = _walk_parquet(staged, table_dir)
+        touched = {_file_partition(rel) for rel in new_files}
+        kept, dropped = [], []
+        for rel in _manifest(table_dir, prev):
+            (dropped if _file_partition(rel) in touched else kept).append(rel)
+        n_new = (
+            df.sparkSession.read.parquet(staged).count() if new_files else 0
+        )
+        n_dropped = sum(
+            pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
+            for rel in dropped
+        )
+        meta = {
+            "version": version, "parent": prev,
+            "committed_at": time.time(),
+            "row_count": int(parent_meta.get("row_count", 0))
+            - n_dropped + n_new,
+            "mode": "overwrite-partitions",
+            "partition_by": list(partition_by),
+            "files": kept + new_files,
+            "schema": json.loads(schema.json()),
+        }
+        tmp = _meta_path(table_dir, version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, _meta_path(table_dir, version))
+        _swap_pointer(table_dir, version)
+        return version
+
+
 def snapshot_dml_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry form of the copy-on-write DML pair: load an orders
     slice as v1, ``DELETE WHERE o_orderstatus='F'`` (v2), then
@@ -820,6 +902,55 @@ def snapshot_dml_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merge_snapshot(spark, table, src, on="o_orderkey")
     return read_snapshot(spark, table)
+
+
+def snapshot_partition_overwrite_meta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry form of dynamic partition overwrite: commit the first
+    three event days date-partitioned, then re-run day 2 as a backfill
+    with doubled values — only that partition's files are replaced,
+    days 1 and 3 carry by manifest reference. Oracle
+    (``SNAPSHOT_PARTITION_OVERWRITE_SQL``): DuckDB replays the
+    day-2-doubled projection from the raw events; hash equality
+    attests the overwrite touched exactly the backfilled partition."""
+    from pyspark.sql import functions as F
+
+    from datapipe_spark.util import fresh_dir
+
+    table = fresh_dir("snap_pow")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    base = (
+        ev.withColumn("d", F.to_date("ts"))
+        .filter(F.col("d") < F.lit(d0) + F.expr("INTERVAL 3 DAY"))
+        .select(
+            "event_id", "event_type", "value",
+            F.col("d").cast("string").alias("event_date"),
+        )
+        .repartition("event_date")
+    )
+    commit_snapshot(base, table, partition_by=("event_date",))
+    backfill = (
+        base.filter(
+            F.col("event_date") == F.date_add(F.lit(d0), 1).cast("string")
+        )
+        .withColumn("value", F.col("value") * 2)
+        .repartition("event_date")
+    )
+    overwrite_partitions(backfill, table, partition_by=("event_date",))
+    return read_snapshot(spark, table)
+
+
+SNAPSHOT_PARTITION_OVERWRITE_SQL = """
+WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events)
+SELECT event_id, event_type,
+       CASE WHEN CAST(ts AS DATE) = (SELECT d0 + INTERVAL 1 DAY FROM b)
+            THEN value * 2 ELSE value END AS value,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+FROM events
+WHERE CAST(ts AS DATE) < (SELECT d0 + INTERVAL 3 DAY FROM b)
+"""
 
 
 SNAPSHOT_DML_SQL = """

@@ -270,6 +270,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         snapshots.snapshot_dml_meta,
         snapshots.SNAPSHOT_DML_SQL,
     ),
+    # dynamic partition overwrite (idempotent backfill): re-running a
+    # day replaces exactly that day's partition, manifest-carrying the
+    # rest — DuckDB replays the day-2-doubled projection
+    "snapshot_partition_overwrite": (
+        snapshots.snapshot_partition_overwrite_meta,
+        snapshots.SNAPSHOT_PARTITION_OVERWRITE_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

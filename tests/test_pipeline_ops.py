@@ -817,6 +817,54 @@ def test_snapshot_expire_reclaims_only_unreferenced_files(spark):
     assert [h["version"] for h in snap.history(table)] == [4]
 
 
+def test_overwrite_partitions_replaces_only_touched(spark):
+    """Dynamic partition overwrite (idempotent backfill): only the
+    partitions present in the frame are replaced — untouched ones
+    carry the PARENT's physical files by manifest reference (no
+    rewrite), the committed row_count stays exact, time travel sees
+    the pre-backfill day, and an incremental read refuses to cross
+    the replacement."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_pow")
+    base = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}", i * 10) for i in range(9)],
+        "id long, event_date string, value long",
+    ).repartition("event_date")
+    snap.commit_snapshot(base, table, partition_by=("event_date",))
+
+    backfill = spark.createDataFrame(
+        [(100, "2024-01-02", 7), (101, "2024-01-02", 8)],
+        "id long, event_date string, value long",
+    ).repartition("event_date")
+    v2 = snap.overwrite_partitions(backfill, table, ("event_date",))
+    assert v2 == 2
+
+    latest = snap.read_snapshot(spark, table)
+    assert latest.count() == 8  # 3 + 2 + 3
+    assert {
+        r["id"] for r in latest.filter("event_date = '2024-01-02'").collect()
+    } == {100, 101}
+    # untouched partitions: physically the PARENT's files
+    files = snap.snapshot_files(spark, table).collect()
+    by_part = {r["partition"]: r["file_path"] for r in files}
+    assert by_part["event_date=2024-01-01"].startswith("v00001/")
+    assert by_part["event_date=2024-01-03"].startswith("v00001/")
+    assert by_part["event_date=2024-01-02"].startswith("v00002/")
+    assert snap.history(table)[-1]["row_count"] == 8
+    assert snap.read_snapshot(spark, table, version=1).count() == 9
+    with pytest.raises(ValueError, match="non-append version 2"):
+        snap.read_incremental(spark, table, 1, 2)
+    # partition-column mismatch and unpartitioned calls are refused
+    with pytest.raises(ValueError, match="do not match"):
+        snap.overwrite_partitions(backfill, table, ("id",))
+    with pytest.raises(ValueError, match="requires partition columns"):
+        snap.overwrite_partitions(backfill, table, ())
+    # idempotent backfill: the same overwrite lands the same content
+    snap.overwrite_partitions(backfill, table, ("event_date",))
+    assert snap.read_snapshot(spark, table).count() == 8
+
+
 def test_snapshot_cow_delete_and_merge(spark):
     """The reference's write.delete.mode / write.merge.mode =
     'copy-on-write' table properties (task5-iceberg-catalog-config
