@@ -767,6 +767,10 @@ def merge_snapshot(
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot in {table_dir}")
         meta = _read_meta(table_dir, cur)
+        # refuse a type-flipping source BEFORE the union: unionByName
+        # would silently widen (long ∪ string → string), corrupting
+        # the pinned schema where appends would have raised
+        _evolve_schema(_parent_schema(meta, source), source.schema)
         current = read_snapshot(spark, table_dir, version=cur)
         merged = current.join(
             source.select(*keys).distinct(), keys, "left_anti"

@@ -905,6 +905,14 @@ def test_snapshot_cow_delete_and_merge(spark):
     assert [h["mode"] for h in snap.history(table)] == [
         "overwrite", "delete", "merge",
     ]
+    # a type-flipping merge source is refused BEFORE any union/staging
+    # (unionByName would silently widen long ∪ string → string)
+    bad = spark.createDataFrame(
+        [(7, "b", "not-a-number")], "id long, status string, value string"
+    )
+    with pytest.raises(ValueError, match="changes type of column 'value'"):
+        snap.merge_snapshot(spark, table, bad, on="id")
+    assert snap.current_version(table) == 3
 
 
 def test_snapshot_expire_by_age_with_min_keep_floor(spark):
