@@ -163,8 +163,17 @@ def snapshot_append_scale(spark, scratch: str) -> None:
         snap.commit_snapshot(base.repartition(8), table)
         inc = spark.range(base_rows, base_rows + increment).selectExpr(*payload)
         t0 = time.monotonic()
-        snap.commit_snapshot(inc, table, mode="append")
+        v2 = snap.commit_snapshot(inc, table, mode="append")
         append_wall = time.monotonic() - t0
+        # incremental scan: the manifest file-diff must also be flat
+        # in base size (it reads only the appended files)
+        t0 = time.monotonic()
+        n_inc = snap.read_incremental(spark, table, v2 - 1, v2).count()
+        incr_read_wall = time.monotonic() - t0
+        assert n_inc == increment, n_inc
+        t0 = time.monotonic()
+        snap.read_snapshot(spark, table).count()
+        full_read_wall = time.monotonic() - t0
         # control: the pre-r13 copy-on-write shape (base ∪ increment
         # fully rewritten) — what an O(table) append costs
         rewrite_dir = os.path.join(scratch, f"snap_rw_{base_rows}")
@@ -177,6 +186,8 @@ def snapshot_append_scale(spark, scratch: str) -> None:
             "base_rows": base_rows,
             "append_wall_s": round(append_wall, 2),
             "cow_rewrite_wall_s": round(rewrite_wall, 2),
+            "incremental_read_wall_s": round(incr_read_wall, 2),
+            "full_read_wall_s": round(full_read_wall, 2),
         })
         print(
             json.dumps({"experiment": "snapshot_append_scale", **rows[-1]}),
