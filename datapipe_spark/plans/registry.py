@@ -277,6 +277,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         snapshots.snapshot_partition_overwrite_meta,
         snapshots.SNAPSHOT_PARTITION_OVERWRITE_SQL,
     ),
+    # the consumer side of the table backbone: tail the snapshot
+    # table as a STREAM via the custom Python DataSource (version
+    # offsets, manifest file-diff partitions, executor-side Arrow
+    # reads) — initial load + append increments, exactly once
+    "streaming_snapshot_change_feed": (
+        stream.streaming_snapshot_change_feed,
+        stream.STREAMING_SNAPSHOT_FEED_SQL,
+    ),
     # --- rounds 4-5 additions, first driver-verified in r6 -----------
     # stand-in extractor byte math replayed in DuckDB value-for-value
     "multimodal_features": (multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_SQL),

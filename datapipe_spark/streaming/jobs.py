@@ -399,6 +399,40 @@ FROM events
 """
 
 
+def streaming_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer side of the table backbone: tail the versioned
+    snapshot table AS A STREAM (Iceberg's incremental/changelog
+    consumption) through the custom Python DataSource
+    (``sources/snapshot_stream.py`` — offsets are committed versions,
+    partitions are manifest file-diffs, reads are executor-side Arrow
+    batches). availableNow over the cached two-version events table
+    consumes v1 as the initial load and v2's increment as the next
+    batch; the oracle is the full events projection, so hash equality
+    attests the feed delivered every version's rows exactly once."""
+    from datapipe_spark.operators.snapshots import _cached_events_snapshot
+    from datapipe_spark.sources.snapshot_stream import read_snapshot_stream
+
+    tbl = _cached_events_snapshot(spark, sf_dir)
+    out = src.fresh_dir("snap_feed")
+    sink = os.path.join(out, "sink")
+    feed = read_snapshot_stream(spark, tbl).select(
+        "event_id", "user_id", "event_type", "event_date"
+    )
+    with _stream_shuffle(spark):
+        _run(
+            feed.writeStream.format("parquet").option("path", sink),
+            os.path.join(out, "cp"),
+        )
+    return spark.read.parquet(sink)
+
+
+STREAMING_SNAPSHOT_FEED_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date
+FROM events
+"""
+
+
 def interval_join_error_purchases(events: DataFrame, window_minutes: int | None = None) -> DataFrame:
     """The stream-stream interval join's plan, source-agnostic: split a
     (possibly streaming) events frame into watermarked error and

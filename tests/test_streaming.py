@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from datapipe_spark.plans import events_queries as ev
@@ -85,6 +86,70 @@ def test_streaming_snapshot_ingest_exactly_once_acid_appends(spark, sf_dir):
     assert snap.commit_snapshot_batch(replay, table, batch_id=0) is None
     assert snap.current_version(table) == cur
     assert snap.read_snapshot(spark, table).count() == n_events
+
+
+def test_snapshot_change_feed_stream_source(spark, sf_dir):
+    """The custom Python DataSource streaming the snapshot table:
+    initial load + append increments arrive exactly once across
+    restarts, schema evolution reads back NULL for pre-evolution
+    files with partition columns reconstructed at their pinned types,
+    and a non-append commit mid-chain fails the stream instead of
+    silently re-emitting rewritten rows."""
+    from datapipe_spark.operators import snapshots as snap
+    from datapipe_spark.sources.snapshot_stream import read_snapshot_stream
+    from datapipe_spark.util import fresh_dir
+
+    root = fresh_dir("snap_feed_unit")
+    tbl = os.path.join(root, "tbl")
+    sink, cp = os.path.join(root, "sink"), os.path.join(root, "cp")
+    snap.commit_snapshot(
+        spark.createDataFrame(
+            [(i, f"2024-01-0{1 + i % 2}") for i in range(6)],
+            "id long, d string",
+        ).repartition("d"),
+        tbl, partition_by=("d",),
+    )
+    snap.commit_snapshot(
+        spark.createDataFrame(
+            [(100, "2024-01-03", "x")], "id long, d string, extra string"
+        ),
+        tbl, mode="append", partition_by=("d",),
+    )
+
+    def run():
+        q = (
+            read_snapshot_stream(spark, tbl)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got = spark.read.parquet(sink)
+    assert got.count() == 7
+    assert dict(got.dtypes)["d"] == "string"  # pinned partition type
+    rows = {r["id"]: r["extra"] for r in got.collect()}
+    assert rows[100] == "x" and rows[0] is None  # evolution NULLs
+
+    # restart consumes ONLY the new append (offsets in checkpoint)
+    snap.commit_snapshot(
+        spark.createDataFrame(
+            [(200, "2024-01-04", "y")], "id long, d string, extra string"
+        ),
+        tbl, mode="append", partition_by=("d",),
+    )
+    run()
+    assert spark.read.parquet(sink).count() == 8
+
+    # replaced history is not streamable: DELETE then restart fails
+    snap.delete_rows(spark, tbl, "id = 0")
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="non-append version"):
+        run()
 
 
 def test_streaming_funnel_equals_batch_and_oracle(spark, sf_dir):
