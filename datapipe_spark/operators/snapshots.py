@@ -292,15 +292,78 @@ def _resolve_version(table_dir: str, version: int | None) -> int:
     return version
 
 
+def _refs_path(table_dir: str) -> str:
+    return os.path.join(_meta_dir(table_dir), "refs.json")
+
+
+def refs(table_dir: str) -> dict[str, int]:
+    """Named snapshot refs (Iceberg tags): name → version."""
+    try:
+        with open(_refs_path(table_dir)) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def tag_snapshot(
+    table_dir: str, name: str, version: int | None = None
+) -> int:
+    """Tag a committed version with a name (Iceberg's ``refs`` /
+    ``VERSION AS OF 'tag'``): ``read_snapshot(ref=name)`` resolves it
+    and ``expire_snapshots`` NEVER drops a tagged version — tags are
+    retention roots, exactly like the current pointer, and the
+    reachability rule then keeps their files alive automatically.
+    Returns the tagged version. Under the writer lease (tags gate
+    expiry, so they must not race it)."""
+    from datapipe_spark.operators.lease import writer_lease
+
+    with writer_lease(table_dir):
+        v = _resolve_version(table_dir, version)
+        _read_meta(table_dir, v)  # tagging an expired version: raise
+        r = refs(table_dir)
+        r[name] = v
+        tmp = _refs_path(table_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(r, f)
+        os.replace(tmp, _refs_path(table_dir))
+        return v
+
+
+def drop_tag(table_dir: str, name: str) -> None:
+    """Remove a tag; the version becomes expirable again."""
+    from datapipe_spark.operators.lease import writer_lease
+
+    with writer_lease(table_dir):
+        r = refs(table_dir)
+        r.pop(name, None)
+        tmp = _refs_path(table_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(r, f)
+        os.replace(tmp, _refs_path(table_dir))
+
+
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read the latest snapshot, or time-travel to ``version`` —
-    the manifest's file set under the schema pinned at commit time
-    (see ``commit_snapshot``), so partitioned snapshots round-trip
-    their exact column types. Append manifests span version dirs;
-    each dir's files are read with that dir as ``basePath`` so hive
-    partition recovery works on explicit file lists."""
+    """Read the latest snapshot, or time-travel to ``version`` or a
+    tagged ``ref`` — the manifest's file set under the schema pinned
+    at commit time (see ``commit_snapshot``), so partitioned
+    snapshots round-trip their exact column types. Append manifests
+    span version dirs; each dir's files are read with that dir as
+    ``basePath`` so hive partition recovery works on explicit file
+    lists."""
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass either version or ref, not both")
+        try:
+            version = refs(table_dir)[ref]
+        except KeyError:
+            raise FileNotFoundError(
+                f"no ref {ref!r} on {table_dir}"
+            ) from None
     v = _resolve_version(table_dir, version)
     try:
         meta = _read_meta(table_dir, v)
@@ -1146,6 +1209,10 @@ def _expire_locked(
     cur = current_version(table_dir)
     hist = history(table_dir)
     versions = sorted(h["version"] for h in hist)
+    # retention roots: the pointer target and every tagged version
+    # (Iceberg refs block expiry; reachability then keeps their
+    # files alive)
+    pinned = {cur} | set(refs(table_dir).values())
     if max_age_s is not None:
         floor = min_keep if min_keep is not None else keep
         horizon = time.time() - max_age_s
@@ -1154,9 +1221,9 @@ def _expire_locked(
             if float(h.get("committed_at", 0)) <= horizon
         }
         candidates = versions[:-floor] if floor > 0 else versions
-        to_drop = [v for v in candidates if v in aged and v != cur]
+        to_drop = [v for v in candidates if v in aged and v not in pinned]
     else:
-        to_drop = [v for v in versions[:-keep] if v != cur]
+        to_drop = [v for v in versions[:-keep] if v not in pinned]
     survivors = [v for v in versions if v not in to_drop]
     live = set()
     for v in survivors:

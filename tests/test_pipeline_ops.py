@@ -865,6 +865,43 @@ def test_overwrite_partitions_replaces_only_touched(spark):
     assert snap.read_snapshot(spark, table).count() == 8
 
 
+def test_snapshot_tags_block_expiry_and_resolve_reads(spark):
+    """Iceberg refs: a tagged version reads by name, survives every
+    expiry (a retention root like the pointer target, its files kept
+    by reachability), and becomes expirable again once the tag is
+    dropped."""
+    from datapipe_spark.operators import snapshots as snap
+
+    table = fresh_dir("test_snapshots_tags")
+    for i in range(4):
+        snap.commit_snapshot(
+            spark.range(i * 10, i * 10 + 3).selectExpr("id"),
+            table, mode="append",
+        )
+    assert snap.tag_snapshot(table, "baseline", version=2) == 2
+    assert snap.refs(table) == {"baseline": 2}
+    assert snap.read_snapshot(spark, table, ref="baseline").count() == 6
+
+    # keep=1 would normally drop v1-v3; the tag pins v2
+    assert snap.expire_snapshots(table, keep=1) == [1, 3]
+    assert snap.read_snapshot(spark, table, ref="baseline").count() == 6
+    assert snap.read_snapshot(spark, table).count() == 12
+    assert [h["version"] for h in snap.history(table)] == [2, 4]
+
+    # tagging an expired version raises; unknown ref raises
+    with pytest.raises(FileNotFoundError):
+        snap.tag_snapshot(table, "gone", version=1)
+    with pytest.raises(FileNotFoundError):
+        snap.read_snapshot(spark, table, ref="nope")
+    with pytest.raises(ValueError, match="not both"):
+        snap.read_snapshot(spark, table, version=2, ref="baseline")
+
+    snap.drop_tag(table, "baseline")
+    assert snap.expire_snapshots(table, keep=1) == [2]
+    assert snap.read_snapshot(spark, table).count() == 12
+    assert snap.refs(table) == {}
+
+
 def test_snapshot_cow_delete_and_merge(spark):
     """The reference's write.delete.mode / write.merge.mode =
     'copy-on-write' table properties (task5-iceberg-catalog-config
