@@ -430,13 +430,17 @@ def read_incremental(
     ``to`` version's pinned schema, so columns added mid-range come
     back NULL for files that predate them."""
     v1 = _resolve_version(table_dir, to_version)
-    v0 = _resolve_version(table_dir, from_version)
+    v0 = 0 if from_version == 0 else _resolve_version(table_dir, from_version)
     if v0 > v1:
         raise ValueError(f"from_version {v0} is after to_version {v1}")
-    # an EXPIRED from_version must raise (its manifest is gone — a
-    # silent fallback would return a full scan as "the increment")
-    _read_meta(table_dir, v0)
-    for v in range(v0 + 1, v1 + 1):
+    if v0 > 0:
+        # an EXPIRED from_version must raise (its manifest is gone —
+        # a silent fallback would return a full scan as "the
+        # increment"); from_version=0 means "from genesis" and the
+        # first consumed version is the initial load (any mode),
+        # matching the stream source's semantics
+        _read_meta(table_dir, v0)
+    for v in range(max(v0, 1) + 1, v1 + 1):
         mode = _read_meta(table_dir, v).get("mode")
         if mode != "append":
             raise ValueError(

@@ -1047,6 +1047,8 @@ def test_snapshot_incremental_read_is_exact_file_diff(spark):
     assert {(r["id"], r["src"]) for r in inc.collect()} == {
         (5, "b2"), (6, "b2"), (7, "b2"), (8, "b3"),
     }
+    # from genesis (v0=0): the initial load counts as the increment
+    assert snap.read_incremental(spark, table, from_version=0).count() == 9
     assert {
         r["id"] for r in snap.read_incremental(spark, table, 2, 3).collect()
     } == {8}
