@@ -135,6 +135,21 @@ class SnapshotStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return []
+        # a consumer lagging past retention must fail loudly: if the
+        # start version's metadata has been EXPIRED, its manifest is
+        # gone and the file-diff would silently degrade to "everything
+        # is new" — duplicates, the one thing a change feed must never
+        # emit. (Kafka calls this falling off the retention cliff.)
+        if v0 > 0:
+            try:
+                _read_meta(self._table_dir, v0)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot stream offset version {v0} has been "
+                    f"expired from {self._table_dir}: the consumer fell "
+                    "behind retention — reset the checkpoint (re-consume "
+                    "from the current snapshot) or keep more history"
+                ) from None
         # the first consumed version is the stream's initial load;
         # everything after must be an append (replaced history is
         # not incrementally consumable)

@@ -151,6 +151,19 @@ def test_snapshot_change_feed_stream_source(spark, sf_dir):
     with pytest.raises(StreamingQueryException, match="non-append version"):
         run()
 
+    # retention-cliff guard: append more, then expire the consumer's
+    # committed offset version — the stream must fail loudly instead
+    # of silently re-emitting the whole table as "new"
+    snap.commit_snapshot(
+        spark.createDataFrame(
+            [(300, "2024-01-05", "z")], "id long, d string, extra string"
+        ),
+        tbl, mode="append", partition_by=("d",),
+    )
+    snap.expire_snapshots(tbl, keep=1)
+    with pytest.raises(StreamingQueryException, match="expired"):
+        run()
+
 
 def test_streaming_funnel_equals_batch_and_oracle(spark, sf_dir):
     got = jobs.streaming_funnel_daily(spark, sf_dir)
