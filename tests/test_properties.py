@@ -958,6 +958,9 @@ _snap_cmds = st.lists(
         st.tuples(st.just("append"), st.integers(min_value=1, max_value=4)),
         st.tuples(st.just("expire"), st.integers(min_value=1, max_value=3)),
         st.tuples(st.just("sweep"), st.just(0)),
+        # COW DML: delete ids divisible by k; merge k new/replacing ids
+        st.tuples(st.just("delete"), st.integers(min_value=2, max_value=4)),
+        st.tuples(st.just("merge"), st.integers(min_value=1, max_value=3)),
     ),
     min_size=1,
     max_size=6,
@@ -992,11 +995,27 @@ def test_snapshot_lifecycle_matches_model(spark_prop, cmds, tmp_path_factory):
             base = model.get(cur, frozenset()) if op == "append" else frozenset()
             model[v] = base | ids
             cur = v
+        elif op == "delete" and model:
+            v = snap.delete_rows(spark_prop, table, f"id % {arg} = 0")
+            model[v] = frozenset(
+                i for i in model[cur] if i % arg != 0
+            )
+            cur = v
+        elif op == "merge" and model:
+            ids = frozenset(range(next_id, next_id + arg))
+            low = sorted(model[cur])[:1]  # replace the lowest key too
+            next_id += arg
+            src = spark_prop.createDataFrame(
+                [(i,) for i in sorted(ids | frozenset(low))], "id long"
+            )
+            v = snap.merge_snapshot(spark_prop, table, src, on="id")
+            model[v] = model[cur] | ids
+            cur = v
         elif op == "expire":
             expected_drop = set(sorted(model)[:-arg]) - {cur}
             assert set(snap.expire_snapshots(table, keep=arg)) == expected_drop
             model = {v: s for v, s in model.items() if v not in expected_drop}
-        else:
+        elif op == "sweep":
             snap.remove_orphan_files(table, older_than_s=0)
         assert [h["version"] for h in snap.history(table)] == sorted(model)
         if model:
