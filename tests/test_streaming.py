@@ -165,6 +165,41 @@ def test_snapshot_change_feed_stream_source(spark, sf_dir):
         run()
 
 
+def test_ingest_to_change_feed_end_to_end(spark, sf_dir):
+    """The full reference backbone composed: Kafka-stand-in stream →
+    exactly-once ACID appends into the snapshot table
+    (streaming_snapshot_ingest) → a SECOND streaming consumer tailing
+    that same table through the change-feed source. The consumer's
+    sink must hold exactly the producer's rows (per-version appends
+    arriving exactly once), proving the two halves compose into a
+    working pub-sub over the versioned table."""
+    from datapipe_spark.operators import snapshots as snap
+    from datapipe_spark.sources.snapshot_stream import read_snapshot_stream
+    from datapipe_spark.sources.tables import load_table
+    from datapipe_spark.util import fresh_dir, scratch_root
+
+    jobs.streaming_snapshot_ingest(spark, sf_dir)  # producer leg
+    table = os.path.join(scratch_root(), "snap_ingest", "table")
+    assert len(snap.history(table)) >= 2
+
+    out = fresh_dir("e2e_feed")
+    sink, cp = os.path.join(out, "sink"), os.path.join(out, "cp")
+    q = (
+        read_snapshot_stream(spark, table)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    consumed = spark.read.parquet(sink)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert consumed.count() == n_events
+    assert consumed.select("event_id").distinct().count() == n_events
+
+
 def test_streaming_funnel_equals_batch_and_oracle(spark, sf_dir):
     got = jobs.streaming_funnel_daily(spark, sf_dir)
     assert _rows(got) == _rows(ev.funnel_daily(spark, sf_dir))
