@@ -228,11 +228,22 @@ def _commit_locked(
         parent_meta = _read_meta(table_dir, prev)
         parent_files = _manifest(table_dir, prev)
         schema = _evolve_schema(_parent_schema(parent_meta, df), df.schema)
+        # lineage base: the most recent non-append version at-or-
+        # before this one — appends inherit it, everything else
+        # resets it to itself. Incremental readers check it in O(1)
+        # (valid iff lineage_base(to) <= from), which stays correct
+        # even when tag-pinned expiry leaves holes in history where
+        # the old per-version mode walk would crash. Legacy parents
+        # without the field count as non-append (conservative).
+        lineage_base = int(parent_meta.get("lineage_base", prev))
     else:
-        if mode not in ("rewrite", "delete", "merge"):  # labeled overwrites
+        if mode not in (  # labeled fresh-manifest commits
+            "rewrite", "delete", "merge", "overwrite-partitions"
+        ):
             mode = "overwrite"
         parent_meta, parent_files = None, []
         schema = df.schema
+        lineage_base = version
     staged = _version_dir(table_dir, version)
     writer = df.write.mode("overwrite")  # overwrite clears phantom debris
     if partition_by:
@@ -253,6 +264,7 @@ def _commit_locked(
         **(extra_meta or {}),
         "version": version, "parent": prev, "committed_at": time.time(),
         "row_count": row_count, "mode": mode,
+        "lineage_base": lineage_base,
         "partition_by": list(partition_by or []),
         # manifest: every data file of this snapshot,
         # table-relative; append entries point into ancestor
@@ -411,6 +423,53 @@ def _read_files(
     return out
 
 
+def _check_append_chain(
+    table_dir: str, v0: int, v1: int, what: str
+) -> None:
+    """Validate that ``(v0, v1]`` is incrementally consumable.
+    ``v0 == 0`` is always valid — the diff against an empty base IS
+    the ``v1`` snapshot, the genesis/initial load (any commit mode).
+    Otherwise the range must contain no non-append commit: checked in
+    O(1) via ``lineage_base`` (the most recent non-append version
+    at-or-before ``v1``, carried forward through appends at commit
+    time), which stays answerable even when tag-pinned expiry leaves
+    HOLES in history where a per-version mode walk would crash on
+    missing metadata. An EXPIRED ``v0`` must raise loudly — its
+    manifest is gone, and a silent fallback would return a full scan
+    as "the increment"."""
+    if v0 == 0 or v0 == v1:
+        return
+    try:
+        _read_meta(table_dir, v0)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{what} start version {v0} has been expired from "
+            f"{table_dir}: the consumer fell behind retention — "
+            "reset to a full read of the current snapshot or keep "
+            "more history"
+        ) from None
+    to_meta = _read_meta(table_dir, v1)
+    base = to_meta.get("lineage_base")
+    if base is None:
+        # pre-lineage meta: fall back to the mode walk (holes raise)
+        for v in range(v0 + 1, v1 + 1):
+            mode = _read_meta(table_dir, v).get("mode")
+            if mode != "append":
+                raise ValueError(
+                    f"{what} across non-append version {v} "
+                    f"(mode={mode!r}): its commit replaced history"
+                )
+        return
+    if int(base) > v0:
+        mode = _read_meta(table_dir, int(base)).get("mode", "?") if (
+            os.path.exists(_meta_path(table_dir, int(base)))
+        ) else "?"
+        raise ValueError(
+            f"{what} across non-append version {int(base)} "
+            f"(mode={mode!r}): its commit replaced history"
+        )
+
+
 def read_incremental(
     spark: SparkSession,
     table_dir: str,
@@ -433,20 +492,7 @@ def read_incremental(
     v0 = 0 if from_version == 0 else _resolve_version(table_dir, from_version)
     if v0 > v1:
         raise ValueError(f"from_version {v0} is after to_version {v1}")
-    if v0 > 0:
-        # an EXPIRED from_version must raise (its manifest is gone —
-        # a silent fallback would return a full scan as "the
-        # increment"); from_version=0 means "from genesis" and the
-        # first consumed version is the initial load (any mode),
-        # matching the stream source's semantics
-        _read_meta(table_dir, v0)
-    for v in range(max(v0, 1) + 1, v1 + 1):
-        mode = _read_meta(table_dir, v).get("mode")
-        if mode != "append":
-            raise ValueError(
-                f"incremental read across non-append version {v} "
-                f"(mode={mode!r}): its commit replaced history"
-            )
+    _check_append_chain(table_dir, v0, v1, "incremental read")
     to_meta = _read_meta(table_dir, v1)
     schema = None
     if to_meta.get("schema") is not None:
@@ -921,6 +967,8 @@ def overwrite_partitions(
             "row_count": int(parent_meta.get("row_count", 0))
             - n_dropped + n_new,
             "mode": "overwrite-partitions",
+            # rows were REPLACED: incremental reads must not cross
+            "lineage_base": version,
             "partition_by": list(partition_by),
             "files": kept + new_files,
             "schema": json.loads(schema.json()),
@@ -1097,14 +1145,25 @@ def _remove_orphans_locked(table_dir: str, older_than_s: float) -> list[str]:
         # itself alive, and its presence keeps its dir alive too
         if not _walk_parquet(vdir, table_dir):
             shutil.rmtree(vdir, ignore_errors=True)
-    # staged metadata of uncommitted (phantom) versions
+    # metadata debris: phantom-version metas (v<digits>.json with
+    # v > cur) and stale .tmp leftovers of interrupted atomic writes.
+    # Anything else in _meta/ (refs.json, committed metas) is LIVE
+    # control state and must never be touched by the sweep.
     meta = _meta_dir(table_dir)
     if os.path.isdir(meta):
         for name in os.listdir(meta):
             mp = os.path.join(meta, name)
-            stem = name.split(".")[0]
-            v = int(stem[1:]) if stem[1:].isdigit() else None
-            if (v is None or v > cur) and _old(mp):
+            if name.endswith(".tmp"):
+                debris = True  # a completed write never leaves its tmp
+            else:
+                stem = name.split(".")[0]
+                debris = (
+                    name == f"{stem}.json"
+                    and stem.startswith("v")
+                    and stem[1:].isdigit()
+                    and int(stem[1:]) > cur
+                )
+            if debris and _old(mp):
                 os.remove(mp)
                 removed.append(os.path.join("_meta", name))
     return sorted(removed)
@@ -1129,20 +1188,36 @@ def commit_snapshot_batch(
     reference's Kafka→Iceberg pipeline: streaming events committed to
     an ACID table, 1-data-ingestion-pipeline requirements + the task6
     events table). Structured Streaming replays a batch when the
-    writer succeeded but the checkpoint advance did not (T10); the
-    batch id is recorded in the version's commit metadata, and a
-    replayed id is SKIPPED under the writer lease (check and commit
-    in one critical section, so a racing replica cannot double-
-    commit). Returns the new version, or None for a replay."""
+    writer succeeded but the checkpoint advance did not (T10); batch
+    ids are MONOTONIC — a replay re-delivers an already-seen id,
+    never an older id as new work — so the skip check is O(1): the
+    latest version's carried ``last_batch_id`` (each batch commit
+    stamps the running maximum into its metadata; a full history scan
+    was O(batches²) across a long-lived stream). A maintenance commit
+    (compaction/DML) between batches drops the carried field; the
+    rare fallback rescans history once. Check and commit run in one
+    writer-lease critical section, so a racing replica cannot
+    double-commit. Returns the new version, or None for a replay."""
     from datapipe_spark.operators.lease import writer_lease
 
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     with writer_lease(table_dir):
-        if int(batch_id) in committed_batch_ids(table_dir):
+        cur = current_version(table_dir)
+        last = -1
+        if cur is not None:
+            m = _read_meta(table_dir, cur)
+            if "last_batch_id" in m or "batch_id" in m:
+                last = int(m.get("last_batch_id", m.get("batch_id")))
+            else:
+                last = max(committed_batch_ids(table_dir), default=-1)
+        if int(batch_id) <= last:
             return None
         return commit_snapshot(
             df, table_dir, mode="append", partition_by=partition_by,
-            extra_meta={"batch_id": int(batch_id)},
+            extra_meta={
+                "batch_id": int(batch_id),
+                "last_batch_id": int(batch_id),
+            },
         )
 
 

@@ -135,11 +135,21 @@ class SnapshotStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return []
-        # a consumer lagging past retention must fail loudly: if the
-        # start version's metadata has been EXPIRED, its manifest is
-        # gone and the file-diff would silently degrade to "everything
-        # is new" — duplicates, the one thing a change feed must never
-        # emit. (Kafka calls this falling off the retention cliff.)
+        # v0 == 0 is the genesis batch: the diff against an empty base
+        # IS the end version's snapshot — the initial load, valid for
+        # ANY commit-mode history (a compacted or DML-touched table
+        # must stay streamable for NEW consumers). Past genesis, two
+        # loud refusals:
+        #
+        # 1. retention cliff — if the start version's metadata was
+        #    EXPIRED, its manifest is gone and the file-diff would
+        #    silently degrade to "everything is new" (duplicates, the
+        #    one thing a change feed must never emit);
+        # 2. replaced history — a non-append commit inside the range,
+        #    checked in O(1) via the carried ``lineage_base`` (the
+        #    most recent non-append version at-or-before the end),
+        #    which stays answerable even when tag-pinned expiry
+        #    leaves holes where a per-version mode walk would crash.
         if v0 > 0:
             try:
                 _read_meta(self._table_dir, v0)
@@ -150,15 +160,22 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     "behind retention — reset the checkpoint (re-consume "
                     "from the current snapshot) or keep more history"
                 ) from None
-        # the first consumed version is the stream's initial load;
-        # everything after must be an append (replaced history is
-        # not incrementally consumable)
-        for v in range(max(v0, 1) + 1, v1 + 1):
-            mode = _read_meta(self._table_dir, v).get("mode")
-            if mode != "append":
+            to_meta = _read_meta(self._table_dir, v1)
+            base = to_meta.get("lineage_base")
+            if base is None:
+                # pre-lineage metadata: per-version mode walk
+                for v in range(v0 + 1, v1 + 1):
+                    mode = _read_meta(self._table_dir, v).get("mode")
+                    if mode != "append":
+                        raise ValueError(
+                            "snapshot stream cannot cross non-append "
+                            f"version {v} (mode={mode!r}): its commit "
+                            "replaced history"
+                        )
+            elif int(base) > v0:
                 raise ValueError(
-                    f"snapshot stream cannot cross non-append version "
-                    f"{v} (mode={mode!r}): its commit replaced history"
+                    "snapshot stream cannot cross non-append version "
+                    f"{int(base)}: its commit replaced history"
                 )
         base = set(_manifest(self._table_dir, v0)) if v0 else set()
         new = [
@@ -191,13 +208,23 @@ class SnapshotStreamReader(DataSourceStreamReader):
 
         schema = StructType.fromJson(json.loads(partition.schema_json))
         target = to_arrow_schema(schema)
+        from urllib.parse import unquote
+
         for rel in partition.rel_paths:
             tbl = pq.read_table(os.path.join(partition.table_dir, rel))
-            part_vals = dict(
-                seg.split("=", 1)
-                for seg in rel.split(os.sep)[:-1]
-                if "=" in seg
-            )
+            # hive dir names percent-encode special chars and spell
+            # NULL as __HIVE_DEFAULT_PARTITION__ — decode both, so
+            # the feed's VALUES equal what read_snapshot returns,
+            # not the escaped path spelling
+            part_vals = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, val = seg.split("=", 1)
+                    part_vals[k] = (
+                        None
+                        if val == "__HIVE_DEFAULT_PARTITION__"
+                        else unquote(val)
+                    )
             n = tbl.num_rows
             cols = []
             for field in target:

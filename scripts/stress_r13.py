@@ -13,9 +13,10 @@
 
 2. ``snapshot_append_scale`` — r13 rewrote ``commit_snapshot`` to
    manifest-linked appends. Append a FIXED 20k-row increment onto
-   bases of 0.25M / 1M / 4M rows: the commit wall must be flat in
-   base size (the pre-r13 copy-on-write shape — re-written here as
-   the explicit ``rewrite`` control — grows linearly).
+   bases of 1M / 4M / 16M rows (~170 B/row): the commit wall must be
+   flat in base size (the pre-r13 copy-on-write shape — re-written
+   here as the explicit ``rewrite`` control — grows linearly), and
+   so must the manifest-diff incremental read of that increment.
 
 3. ``tombstone_gate_cliff`` — r12 measured tombstone-queue read drag
    only in the broadcast regime; the post-gate shuffle anti-join

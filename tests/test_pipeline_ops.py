@@ -896,6 +896,15 @@ def test_snapshot_tags_block_expiry_and_resolve_reads(spark):
     with pytest.raises(ValueError, match="not both"):
         snap.read_snapshot(spark, table, version=2, ref="baseline")
 
+    # incremental read FROM the tagged version across the history
+    # hole (v3 expired, its append files alive in v4's manifest):
+    # the O(1) lineage check answers where a mode walk would crash
+    inc = snap.read_incremental(spark, table, from_version=2)
+    assert {r["id"] for r in inc.collect()} == {20, 21, 22, 30, 31, 32}
+    # an orphan sweep must never touch the refs file (tags survive)
+    snap.remove_orphan_files(table, older_than_s=0)
+    assert snap.refs(table) == {"baseline": 2}
+
     snap.drop_tag(table, "baseline")
     assert snap.expire_snapshots(table, keep=1) == [2]
     assert snap.read_snapshot(spark, table).count() == 12
@@ -1062,12 +1071,13 @@ def test_snapshot_incremental_read_is_exact_file_diff(spark):
     # ...but a range strictly before it still works
     assert snap.read_incremental(spark, table, 1, 3).count() == 4
 
-    # expired from_version must raise, never degrade to a full scan
+    # expired from_version must raise loudly (retention cliff),
+    # never degrade to a full scan
     snap.commit_snapshot(
         spark.range(2, 3).selectExpr("id"), table, mode="append"
     )
     snap.expire_snapshots(table, keep=2)
-    with pytest.raises(FileNotFoundError):
+    with pytest.raises(ValueError, match="expired"):
         snap.read_incremental(spark, table, from_version=1)
     assert {
         r["id"] for r in snap.read_incremental(spark, table, 4, 5).collect()

@@ -1044,31 +1044,33 @@ def test_snapshot_batch_commits_idempotent_under_replay(
     spark_prop, plan, tmp_path_factory
 ):
     """For ANY micro-batch schedule with replays (the at-least-once
-    delivery Structured Streaming gives a foreachBatch sink), the
-    snapshot table must equal exactly-once processing: each batch id
-    commits exactly once, every replay is a no-op, and the final
-    table holds precisely the union of the distinct batches' rows."""
+    delivery Structured Streaming gives a foreachBatch sink — batch
+    ids are MONOTONIC, so anything at-or-below the committed maximum
+    is a replay), the snapshot table must equal exactly-once
+    processing: each advancing id commits exactly once, every replay
+    is a no-op, and the final table holds precisely the committed
+    batches' rows."""
     from datapipe_spark.operators import snapshots as snap
 
     table = str(tmp_path_factory.mktemp("snap_batches") / "tbl")
-    seen: set[int] = set()
+    last = -1
+    committed: list[int] = []
     expected: set[int] = set()
     for bid in plan:
         ids = {bid * 100 + j for j in range(3)}
         df = spark_prop.createDataFrame([(i,) for i in sorted(ids)], "id long")
         v = snap.commit_snapshot_batch(df, table, batch_id=bid)
-        if bid in seen:
-            assert v is None
-        else:
+        if bid > last:
             assert v is not None
-            seen.add(bid)
+            last = bid
+            committed.append(bid)
             expected |= ids
+        else:
+            assert v is None
     got = {
         r["id"] for r in snap.read_snapshot(spark_prop, table).collect()
     }
     assert got == expected
     hist = snap.history(table)
-    assert [h["batch_id"] for h in hist] == [
-        b for i, b in enumerate(plan) if b not in set(plan[:i])
-    ]
+    assert [h["batch_id"] for h in hist] == committed
     assert hist[-1]["row_count"] == len(expected)

@@ -151,6 +151,23 @@ def test_snapshot_change_feed_stream_source(spark, sf_dir):
     with pytest.raises(StreamingQueryException, match="non-append version"):
         run()
 
+    # ...but a FRESH consumer (genesis offset) on the DML-touched
+    # table must work: the initial load is the current snapshot,
+    # whatever the commit-mode history (a compacted table must stay
+    # streamable for new consumers)
+    fresh_sink = os.path.join(root, "sink2")
+    fresh_cp = os.path.join(root, "cp2")
+    q = (
+        read_snapshot_stream(spark, tbl)
+        .writeStream.format("parquet")
+        .option("path", fresh_sink)
+        .option("checkpointLocation", fresh_cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(fresh_sink).count() == 7  # post-delete
+
     # retention-cliff guard: append more, then expire the consumer's
     # committed offset version — the stream must fail loudly instead
     # of silently re-emitting the whole table as "new"
@@ -163,6 +180,42 @@ def test_snapshot_change_feed_stream_source(spark, sf_dir):
     snap.expire_snapshots(tbl, keep=1)
     with pytest.raises(StreamingQueryException, match="expired"):
         run()
+
+
+def test_change_feed_decodes_escaped_and_null_partitions(spark):
+    """Hive dir names percent-encode special characters and spell
+    NULL as __HIVE_DEFAULT_PARTITION__; the feed must emit the
+    DECODED values (what read_snapshot returns), not the path
+    spelling."""
+    from datapipe_spark.operators import snapshots as snap
+    from datapipe_spark.sources.snapshot_stream import read_snapshot_stream
+    from datapipe_spark.util import fresh_dir
+
+    root = fresh_dir("snap_feed_escape")
+    tbl = os.path.join(root, "tbl")
+    snap.commit_snapshot(
+        spark.createDataFrame(
+            [(1, "a:b"), (2, "plain"), (3, None)], "id long, k string"
+        ),
+        tbl, partition_by=("k",),
+    )
+    q = (
+        read_snapshot_stream(spark, tbl)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(root, "sink"))
+        .option("checkpointLocation", os.path.join(root, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["id"]: r["k"]
+        for r in spark.read.parquet(os.path.join(root, "sink")).collect()
+    }
+    want = {
+        r["id"]: r["k"] for r in snap.read_snapshot(spark, tbl).collect()
+    }
+    assert got == want == {1: "a:b", 2: "plain", 3: None}
 
 
 def test_ingest_to_change_feed_end_to_end(spark, sf_dir):
