@@ -482,12 +482,15 @@ def read_incremental(
     file-set difference, so the scan reads none of the base table's
     bytes, which is what makes incremental downstream processing
     (``plans/incremental.py``'s watermark pattern) work at 100 TB:
-    each consumer tick costs O(new data). Every version in the range
+    each consumer tick costs O(new data). ``from_version=0`` is the
+    genesis read — the increment IS the ``to`` snapshot (any commit
+    mode, the initial load). Past genesis, every version in the range
     must be an append; an overwrite/rewrite in the range raises (its
     rows REPLACED history — same contract as Iceberg, which refuses
-    incremental reads across non-append snapshots). Reads under the
-    ``to`` version's pinned schema, so columns added mid-range come
-    back NULL for files that predate them."""
+    incremental reads across non-append snapshots), checked in O(1)
+    via the carried lineage base (``_check_append_chain``). Reads
+    under the ``to`` version's pinned schema, so columns added
+    mid-range come back NULL for files that predate them."""
     v1 = _resolve_version(table_dir, to_version)
     v0 = 0 if from_version == 0 else _resolve_version(table_dir, from_version)
     if v0 > v1:
