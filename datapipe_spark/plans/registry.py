@@ -560,6 +560,12 @@ def _driver_safe(fn: QueryFn) -> QueryFn:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        from datapipe_spark.util import ensure_workers_can_import
+
+        # cwd-independence for the worker-side repo imports some
+        # entries ship (session machine, Pandas-UDF helpers): one
+        # addPyFile per session
+        ensure_workers_can_import(spark)
         df = fn(spark, sf_dir)
         complex_cols = {
             f.name

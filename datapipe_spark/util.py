@@ -49,6 +49,44 @@ def atomic_write_json(path: str, obj) -> None:
         os.close(dfd)
 
 
+def ensure_workers_can_import(spark) -> None:
+    """Make ``datapipe_spark`` importable inside executor Python
+    workers regardless of the driver process's cwd/PYTHONPATH.
+
+    Operators that ship repo-module-referencing functions to workers
+    (the ``applyInPandasWithState`` session machine, Pandas-UDF
+    helpers) are pickled with by-REFERENCE globals: the worker must
+    ``import datapipe_spark``. That has always resolved via the
+    driver's working directory landing on ``sys.path['']`` — true for
+    the test/replica/driver harnesses, but an embedding application
+    launching from elsewhere would hit ``ModuleNotFoundError`` deep
+    inside a task. One ``addPyFile`` of a fresh package zip per
+    session removes the cwd dependency (SparkFiles prepends it to
+    every worker's path). Cost: ~10 ms once per session."""
+    if getattr(spark, "_datapipe_pyfiles_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import datapipe_spark
+
+    pkg_root = os.path.dirname(os.path.abspath(datapipe_spark.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"datapipe_spark_pyfiles_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            for n in files:
+                if n.endswith(".py"):
+                    full = os.path.join(dirpath, n)
+                    rel = os.path.join(
+                        "datapipe_spark", os.path.relpath(full, pkg_root)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    spark._datapipe_pyfiles_shipped = True
+
+
 def build_once(
     src: str, version_tag: str, env_var: str, default_root: str, builder
 ) -> str:
