@@ -79,6 +79,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datapipe_spark.operators.lease import guards_writer
+from datapipe_spark.util import write_empty_parquet
 
 # stored rows additionally carry _written_inc — the batch that WROTE
 # the version (closed rows also carry `inc`, the batch that CLOSED
@@ -367,9 +368,7 @@ def scd2_init(
             "watermark. Remove the store directory first to rebuild."
         )
     os.makedirs(dim_dir, exist_ok=True)
-    spark.createDataFrame([], _STORE_SCHEMA).write.mode("overwrite").parquet(
-        _p(dim_dir, "current/bucket=0")
-    )
+    write_empty_parquet(_p(dim_dir, "current/bucket=0"), _STORE_SCHEMA)
     _write_meta(
         dim_dir,
         {"last_batch_id": -1, "n_buckets": int(n_buckets), "layout": _LAYOUT},
@@ -449,19 +448,23 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     small, falling back to a shuffle join past
     ``SCD2_BROADCAST_MAX_ROWS`` (a snapshot-sized backfill must not
     OOM the driver on a forced broadcast). Returns
-    ``(chained, cur_untouched, touched_buckets)``."""
+    ``(chained, cur_untouched, touched_buckets, extras, inc)`` — the
+    caller owns unpersisting ``inc``."""
     meta = _meta(dim_dir)
     n_buckets = int(meta["n_buckets"])
     extras = _evolved_extras(meta, increment)
     inc = (
         _normalize_increment(increment, extras)
         .withColumn("_written_inc", F.lit(batch_id).cast("int"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
     touched = inc.select("id").distinct()
     # one aggregation serves both the touched-bucket set and the
-    # broadcast gate's row count (the increment is checkpointed, so
-    # this is one cheap job, not a rescan)
+    # broadcast gate's row count AND materializes the increment into
+    # the cache (persist is lazy — this collect is the computing
+    # action, so the merge below never rescans the caller's changelog;
+    # r13: persist replaces an eager localCheckpoint, folding the
+    # separate materialization job into this stats job)
     stats = inc.groupBy(_bucket_of(n_buckets).alias("b")).count().collect()
     tb = sorted(r["b"] for r in stats)
     n_rows = sum(r["count"] for r in stats)
@@ -493,7 +496,7 @@ def _merge_plan(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
         .filter(F.col("__op") != "d")
         .select(*_store_cols(extras))
     )
-    return chained, cur_untouched, tb, extras
+    return chained, cur_untouched, tb, extras, inc
 
 
 @guards_writer
@@ -519,7 +522,7 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
     meta = _meta(dim_dir)
     if batch_id <= int(meta.get("last_batch_id", -1)):
         return False
-    chained, cur_untouched, tb, extras = _merge_plan(
+    chained, cur_untouched, tb, extras, inc = _merge_plan(
         spark, dim_dir, increment, batch_id
     )
     # schema evolution commits WITH the increment (one journal): the
@@ -531,10 +534,15 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
         "extra_cols": [list(e) for e in extras],
     }
     if not tb:  # empty increment: advance the watermark, touch nothing
+        inc.unpersist()
         _write_journal(dim_dir, {"moves": [], "swaps": [], "meta": new_meta})
         _roll_forward(dim_dir, sweep=True)
         return True
-    chained = chained.localCheckpoint(eager=True)
+    # persist (not eager localCheckpoint): the closed-delta write below
+    # is the computing action, so the re-chain shuffle runs once and
+    # the current-slice write reuses the cached rows — one fewer full
+    # pass per increment (r13, guide §1.2/§5)
+    chained = chained.persist()
     token = uuid.uuid4().hex[:12]
     stage = _p(dim_dir, f".staging-{token}")
     n_buckets = int(meta["n_buckets"])
@@ -568,6 +576,8 @@ def scd2_upsert(spark: SparkSession, dim_dir: str, increment: DataFrame, batch_i
 
     _write_journal(dim_dir, {"moves": moves, "swaps": swaps, "meta": new_meta})
     _roll_forward(dim_dir, sweep=True)
+    chained.unpersist()
+    inc.unpersist()
     return True
 
 
@@ -591,13 +601,10 @@ def _bucket_swaps(
     empty one so the stale open rows still get replaced (one spelling
     for upsert and purge)."""
     swaps = []
-    empty = None
     for b in tb:
         src = os.path.join(stage, f"current/bucket={b}")
         if not os.path.isdir(src):
-            if empty is None:
-                empty = spark.createDataFrame([], ddl)
-            empty.write.mode("overwrite").parquet(src)
+            write_empty_parquet(src, ddl)
         swaps.append([src, _p(dim_dir, f"current/bucket={b}")])
     return swaps
 
@@ -824,9 +831,9 @@ def scd2_rebucket(spark: SparkSession, dim_dir: str, n_buckets: int) -> None:
             os.remove(p)
     if not any(n.startswith("bucket=") for n in os.listdir(stage)):
         # empty store: keep a typed empty bucket so reads stay schema'd
-        spark.createDataFrame([], _store_ddl(_extras(meta))).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(stage, "bucket=0"))
+        write_empty_parquet(
+            os.path.join(stage, "bucket=0"), _store_ddl(_extras(meta))
+        )
     _write_journal(
         dim_dir,
         {
@@ -1084,9 +1091,7 @@ def scd2_migrate(
     if not any(
         n.startswith("bucket=") for n in os.listdir(os.path.join(stage, "current"))
     ):
-        spark.createDataFrame([], _STORE_SCHEMA).write.mode("overwrite").parquet(
-            os.path.join(stage, "current/bucket=0")
-        )
+        write_empty_parquet(os.path.join(stage, "current/bucket=0"), _STORE_SCHEMA)
     swaps = [[os.path.join(stage, "current"), _p(dim_dir, "current")]]
 
     closed_root = _p(dim_dir, "closed")

@@ -129,6 +129,25 @@ def fresh_dir(*parts: str) -> str:
     return path
 
 
+def write_empty_parquet(path: str, ddl: str) -> None:
+    """Write a typed, zero-row parquet file without launching a Spark
+    job (r13: an empty ``createDataFrame([]).write`` costs a full
+    job + commit protocol — ~1-2 s of pure overhead on the store-init
+    and empty-bucket-swap paths). The file's arrow schema maps exactly
+    to the Spark DDL (timestamps as us/UTC, matching the UTC session),
+    so an explicit-schema read treats it like any Spark-written part
+    file."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        to_arrow_schema(_parse_datatype_string(ddl)).empty_table(),
+        os.path.join(path, "part-00000-empty.parquet"),
+    )
+
+
 def materialize_and_release(df, *caches):
     """Materialize ``df`` via ``localCheckpoint`` and unpersist the
     mid-query ``caches`` it was built from.

@@ -483,7 +483,7 @@ def test_scd2_upsert_broadcasts_touched_keys_into_store_scans(spark, sf_dir, tmp
     d = str(tmp_path / "scd2_plan")
     scd2.scd2_init(spark, d)
     scd2.scd2_upsert(spark, d, log.filter(F.col("__op") == "c"), batch_id=0)
-    chained, cur_untouched, tb, _extras = scd2._merge_plan(
+    chained, cur_untouched, tb, _extras, _inc = scd2._merge_plan(
         spark, d, log.filter(F.col("__op") != "c"), batch_id=1
     )
     assert tb  # the tail increment touches at least one bucket
@@ -525,7 +525,7 @@ def test_scd2_snapshot_sized_increment_skips_broadcast(
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        chained, cur_untouched, _tb, _extras = scd2._merge_plan(
+        chained, cur_untouched, _tb, _extras, _inc = scd2._merge_plan(
             spark, d, log.filter(F.col("__op") != "c"), batch_id=1
         )
         for df, label in ((chained, "chain"), (cur_untouched, "untouched")):
