@@ -164,33 +164,59 @@ def write_sequential_drops(
     parent: DataFrame, preds, drops_root: str
 ) -> None:
     """Write micro-batch drops ``drop_{i:02d}`` — one per predicate
-    over ``parent`` — with the two invariants every streaming job
-    needs, spelled once (r12 review: four hand-repeated copies):
+    over ``parent`` — with the invariants every streaming job needs,
+    spelled once (r12 review: four hand-repeated copies):
 
-    - ``parent`` is persisted across the loop, so N drops cost ONE
-      source scan instead of N full recomputations of the upstream
-      plan (synth_changelog's explode, the corpus tag split);
+    - ONE Spark job writes every drop (r13, guide §1.2 fewer passes):
+      the predicate list folds into a first-match-wins drop index and
+      a single dynamic-partitioned write replaces the old
+      persist + N × (filter → coalesce(1) → write) loop — one source
+      scan, one commit, no cache. All call sites pass disjoint
+      predicates, so first-match-wins is observably identical; rows
+      matching no predicate are dropped (unchanged). Repartitioning
+      on the drop index keeps the one-file-per-drop invariant the
+      ``maxFilesPerTrigger=1`` consumers define a micro-batch by. A
+      predicate with NO rows still yields a (typed, empty) drop file
+      so batch numbering is preserved.
     - file mtimes are pinned strictly increasing in drop order (the
       r6 advisory): FileStreamSource orders replay by timestamp, and
       sequential writes on a coarse-mtime filesystem can collide —
       swapped arrival order silently diverges the stateful operators'
       arrival-order oracles.
     """
+    import shutil
     import time as _time
 
+    from datapipe_spark.util import write_empty_parquet
+
+    preds = list(preds)
+    idx = F.when(preds[0], F.lit(0))
+    for i, pred in enumerate(preds[1:], start=1):
+        idx = idx.when(pred, F.lit(i))
+    schema_ddl = parent.schema.simpleString()
+    staged = drops_root + ".part"
+    (
+        parent.withColumn("_drop", idx)
+        .filter(F.col("_drop").isNotNull())
+        .repartition(len(preds), "_drop")
+        .write.mode("overwrite")
+        .partitionBy("_drop")
+        .parquet(staged)
+    )
     base = _time.time()
-    parent = parent.persist()
-    try:
-        for i, pred in enumerate(preds):
-            drop_dir = os.path.join(drops_root, f"drop_{i:02d}")
-            parent.filter(pred).coalesce(1).write.mode("overwrite").parquet(
-                drop_dir
-            )
-            for name in sorted(os.listdir(drop_dir)):
-                if name.endswith(".parquet"):
-                    os.utime(os.path.join(drop_dir, name), (base + i, base + i))
-    finally:
-        parent.unpersist()
+    os.makedirs(drops_root, exist_ok=True)
+    for i in range(len(preds)):
+        part_dir = os.path.join(staged, f"_drop={i}")
+        drop_dir = os.path.join(drops_root, f"drop_{i:02d}")
+        shutil.rmtree(drop_dir, ignore_errors=True)
+        if os.path.isdir(part_dir):
+            os.rename(part_dir, drop_dir)
+        else:
+            write_empty_parquet(drop_dir, schema_ddl)
+        for name in sorted(os.listdir(drop_dir)):
+            if name.endswith(".parquet"):
+                os.utime(os.path.join(drop_dir, name), (base + i, base + i))
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def _write_drop(df: DataFrame, path: str, as_json: bool, corrupt_every: int) -> None:
