@@ -82,24 +82,50 @@ STATE_STORE = os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").lower()
 
 _PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
 
+# Changelog checkpointing for the RocksDB provider (guide §1/§2:
+# measured r13 optimization). Without it every micro-batch COMMIT
+# synchronously writes a full RocksDB snapshot into the checkpoint —
+# O(state) per batch, and the direct cause of the 3-4× commit-time
+# spikes measured on the stateful entries (interleaved in-session A/B,
+# 3 rounds: sessionize_stateful [5.5, 14.6, 5.2] s without vs
+# [5.4, 5.5, 5.0] s with; the interval join spiked to 18.9 s without).
+# With it the commit uploads only the batch's changelog — O(delta) —
+# and full snapshots move to background maintenance, which is also the
+# only posture that scales to 100 TB state (snapshot cost off the
+# latency path). Spark pins the setting into each checkpoint at first
+# start; all registry checkpoints are fresh per run, so the flip is
+# safe here. Env override: SPARK_GRAFT_ROCKSDB_CHANGELOG ∈ {1, 0}.
+_CHANGELOG_CONF = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+ROCKSDB_CHANGELOG = os.environ.get("SPARK_GRAFT_ROCKSDB_CHANGELOG", "1") != "0"
+
 
 @contextmanager
 def _stream_shuffle(spark: SparkSession):
     """Per-query streaming confs (shuffle width + state store
-    provider), set at runtime so they hold under the external
-    driver's vanilla session too, and always restored."""
+    provider + RocksDB changelog checkpointing), set at runtime so
+    they hold under the external driver's vanilla session too, and
+    always restored."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)
+    prev_chlog = spark.conf.get(_CHANGELOG_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
     spark.conf.set(_PROVIDER_CONF, _STATE_STORE_PROVIDERS[STATE_STORE])
+    if STATE_STORE == "rocksdb" and ROCKSDB_CHANGELOG:
+        spark.conf.set(_CHANGELOG_CONF, "true")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        if prev_provider is None:
-            spark.conf.unset(_PROVIDER_CONF)
-        else:
-            spark.conf.set(_PROVIDER_CONF, prev_provider)
+        for conf, prev_val in (
+            (_PROVIDER_CONF, prev_provider),
+            (_CHANGELOG_CONF, prev_chlog),
+        ):
+            if prev_val is None:
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, prev_val)
 
 
 def _start(writer, checkpoint: str):

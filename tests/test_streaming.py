@@ -51,7 +51,14 @@ def test_stateful_queries_run_on_rocksdb_state_store(spark, sf_dir):
     state_files = glob.glob(
         os.path.join(ckpt, "state", "**", "*"), recursive=True
     )
-    assert any(f.endswith(".zip") for f in state_files)
+    # RocksDB evidence in the state dir: with changelog checkpointing
+    # (the r13 default — commit uploads O(delta) .changelog files and
+    # full .zip snapshots move to background maintenance) the commit
+    # artifact is .changelog; without it, .zip snapshots land at
+    # commit. The HDFS provider writes neither (.delta files).
+    assert any(
+        f.endswith(".zip") or f.endswith(".changelog") for f in state_files
+    )
     assert not any(f.endswith(".delta") for f in state_files)
 
 
