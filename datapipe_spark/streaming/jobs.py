@@ -776,9 +776,17 @@ def streaming_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = src.parse_events(raw)
 
     def route(batch: DataFrame, _bid: int) -> None:
-        valid, invalid = src.split_valid(batch)
-        valid.write.mode("append").parquet(valid_p)
-        invalid.write.mode("append").parquet(dlq_p)
+        # two sinks = two actions over the same micro-batch: without a
+        # persist the second write re-scans the drop files and re-runs
+        # the from_json parse (guide §5.1 — cache what two actions
+        # share); the batch is micro-batch-sized by contract
+        batch.persist()
+        try:
+            valid, invalid = src.split_valid(batch)
+            valid.write.mode("append").parquet(valid_p)
+            invalid.write.mode("append").parquet(dlq_p)
+        finally:
+            batch.unpersist()
 
     with _stream_shuffle(spark):
         _run(parsed.writeStream.foreachBatch(route), os.path.join(out, "cp"))
