@@ -7,6 +7,8 @@ synthesized deterministic changelog, so each is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -139,7 +141,14 @@ def cdc_archive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     changelog = synth_changelog(spark, sf_dir)
     write_archive(changelog, path, granularity="month")
 
-    first_year = changelog.select(F.min(F.year("__source_ts_ms"))).first()[0]
+    # min year comes from the hive layout the write just produced (one
+    # directory listing), not a second full changelog computation — the
+    # archive is partitioned by year, so its year= dirs ARE the year set
+    first_year = min(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("year=")
+    )
     archived = spark.read.parquet(path)
     return (
         archived.filter(F.col("year") == first_year)
