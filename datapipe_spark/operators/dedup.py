@@ -1147,33 +1147,124 @@ def simhash_dedup(
     return simhash_dedup_frame(d, max_hamming=max_hamming, hash=hash)
 
 
+def _md5_fingerprints_arrow(reps: DataFrame) -> DataFrame:
+    """(doc_id, simhash) for every representative doc, computed in one
+    Arrow-batched map pass — see ``_rep_fingerprints`` for why this is
+    bit-identical to (and replaces) the explode/aggregate expression
+    form in md5 mode. Documents with no shingles (NULL text or < 3
+    words) emit no row, exactly as the exploded form's empty groups.
+    The vote matrix is chunked so a pathological million-shingle doc
+    stays within a bounded numpy temp instead of an O(shingles × 60)
+    allocation."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def _fp_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(60, dtype=np.uint64)
+        one = np.uint64(1)
+        for pdf in batches:
+            ids: list[int] = []
+            fps: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                w = text.split(" ")
+                if len(w) < 3:
+                    continue
+                sh = {
+                    w[i] + " " + w[i + 1] + " " + w[i + 2]
+                    for i in range(len(w) - 2)
+                }
+                n = len(sh)
+                # first 15 hex chars of md5 == (first 8 digest bytes
+                # big-endian) >> 4 — the exact conv(substring(md5, 1,
+                # 15), 16, 10) parse of _hash_expr
+                hv = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+                        )
+                        >> 4
+                        for s in sh
+                    ),
+                    dtype=np.uint64,
+                    count=n,
+                )
+                counts = np.zeros(60, dtype=np.int64)
+                for lo in range(0, n, 1 << 16):
+                    chunk = hv[lo : lo + (1 << 16)]
+                    counts += ((chunk[:, None] >> shifts) & one).sum(
+                        axis=0, dtype=np.int64
+                    )
+                fp = int(((counts * 2 > n).astype(np.uint64) << shifts).sum())
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype="int64"),
+                    "simhash": np.asarray(fps, dtype="int64"),
+                }
+            )
+
+    return reps.select("doc_id", "text").mapInPandas(_fp_batches, out_schema)
+
+
 def _rep_fingerprints(d: DataFrame, hash: str = "md5"):
     """Verbatim-collapse + per-representative simhash fingerprints.
     Returns ``(mem, sh)``: ``mem`` the persisted text-copy membership
     (caller releases), ``sh`` the lazy (doc_id, simhash) frame over
     text representatives.
 
-    Fingerprint math: distinct-shingle bit votes in ONE shuffle —
-    explode → hash → branch-free LANE-PACKED bit sums (map-side
-    partial agg halves the shuffle). Three bit-counters share one
-    64-bit accumulator in 20-bit lanes (each lane counts set bits for
-    one simhash bit — sound for ≤ 2^20 ≈ 1M distinct shingles per
-    document, far above any real document), so 60/64 bits need 20/22
-    SUM columns instead of one per bit — 3× narrower
-    partial-agg/shuffle rows (local wall time is flat vs the
-    one-column-per-bit form — A/B'd within noise at sf0.1 — the win
-    is shuffle volume at scale). The ±1 vote per bit is recovered
-    arithmetically post-agg: vote_i > 0 ⟺ 2·count_i > n (strict
-    inequality preserved; ties pack 0, same as the ±1 formulation).
-    NOTE a per-document array-fold ("zero shuffle") formulation was
-    tried and rejected: Spark's higher-order array functions execute
-    interpreted (no whole-stage codegen), making the 64-counter fold
-    ~30× slower than these codegen'd aggregates.
+    Fingerprint math, md5 mode (the oracled default): ZERO-shuffle
+    Arrow pass (r13, guide §2.4 + §4.2) — one ``mapInPandas`` over the
+    text representatives computes shingling, md5, distinct-shingle bit
+    votes and packing per document in vectorized numpy, emitting only
+    (doc_id, simhash). The per-doc fingerprint depends on nothing
+    outside the row, so the explode (≈|shingles| row blowup), the
+    interpreted ``zip_with`` shingle lambdas, and the groupBy exchange
+    of the previous expression form all disappear; text crosses the
+    Python boundary once and nothing rides along back (the boundary
+    tax that sank the minhash Arrow rewrite does not apply — minhash
+    needed the shingle arrays downstream for verification, simhash
+    verification is pure fingerprint Hamming). Bit-identical to the
+    expression form: same ``split(' ')`` tokenization (empty tokens
+    preserved), same null-padded trigram construction, distinct set,
+    md5-of-UTF-8 first-15-hex-chars parse, and the same strict
+    majority 2·count_i > n (ties pack 0) — equality locked by
+    ``exceptAll`` in both directions over the full sf0.1 corpus when
+    the swap landed, and by tests/test_llm_ops.py's oracle replay.
+
+    xxhash64 mode (the cheap-hash 100 TB variant) keeps the previous
+    expression form — Spark's seed-42 xxhash64 has no cheap Python
+    twin, and that mode's per-shingle hash is already one codegen'd
+    JVM op: explode → hash → branch-free LANE-PACKED bit sums
+    (map-side partial agg halves the shuffle; three bit-counters
+    share one 64-bit accumulator in 20-bit lanes — sound for ≤ 2^20
+    distinct shingles per document — so 64 bits need 22 SUM columns,
+    3× narrower partial-agg/shuffle rows). The ±1 vote per bit is
+    recovered arithmetically post-agg: vote_i > 0 ⟺ 2·count_i > n.
+    NOTE a per-document array-fold ("zero shuffle") JVM formulation
+    was tried and rejected in r5: Spark's higher-order array
+    functions execute interpreted (no whole-stage codegen), making
+    the 64-counter fold ~30× slower than the codegen'd aggregates.
     """
-    base = _hash_expr("tok", hash)
     n_bits = 60 if hash == "md5" else 64
     mem = _collapse_exact(d).persist()
     reps = _rep_docs(d, mem)
+    if hash == "md5":
+        return mem, _md5_fingerprints_arrow(reps)
+    base = _hash_expr("tok", hash)
     toks = (
         reps.withColumn("_sh", _shingles())
         .select("doc_id", F.explode("_sh").alias("tok"))

@@ -1259,6 +1259,89 @@ def test_simhash_guard_rep2_groupby_equals_window_form(spark):
     mem.unpersist()
 
 
+def test_simhash_arrow_fingerprints_equal_jvm_expression_form(spark):
+    """The r13 Arrow fingerprint pass (``_md5_fingerprints_arrow``)
+    must be bit-identical to the retired JVM explode/aggregate
+    expression form it replaced — same tokenization (empty tokens from
+    consecutive/leading/trailing spaces preserved), same null-padded
+    trigram set, md5-of-UTF-8 first-15-hex parse, strict 2·count > n
+    majority — and docs with no shingles (NULL text, < 3 words) must
+    be ABSENT, exactly like the exploded form's empty groups. The
+    expression twin is kept here verbatim as the semantics pin."""
+    from datapipe_spark.operators.dedup import (
+        _hash_expr,
+        _md5_fingerprints_arrow,
+        _shingles,
+    )
+
+    def jvm_expr_fingerprints(reps):
+        n_bits = 60
+        toks = (
+            reps.withColumn("_sh", _shingles())
+            .select("doc_id", F.explode("_sh").alias("tok"))
+            .select("doc_id", F.expr(_hash_expr("tok", "md5")).alias("h"))
+        )
+        lane = 20
+        groups = [
+            list(range(g, min(g + 3, n_bits))) for g in range(0, n_bits, 3)
+        ]
+
+        def packed(bits):
+            col = F.lit(0).cast("long")
+            for ln, i in enumerate(bits):
+                col = col + F.shiftleft(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)).cast("long"),
+                    ln * lane,
+                )
+            return F.sum(col)
+
+        sums = toks.groupBy("doc_id").agg(
+            F.count("*").alias("_n"),
+            *[packed(b).alias(f"g{gi}") for gi, b in enumerate(groups)],
+        )
+
+        def count(i):
+            gi, ln = i // 3, i % 3
+            return F.shiftright(F.col(f"g{gi}"), ln * lane).bitwiseAND(
+                F.lit((1 << lane) - 1)
+            )
+
+        halfw = n_bits // 2
+        half = lambda lo: sum(  # noqa: E731
+            (
+                F.when(count(i) * 2 > F.col("_n"), F.lit(1 << (i - lo))).otherwise(
+                    F.lit(0)
+                )
+                for i in range(lo, lo + halfw)
+            ),
+            start=F.lit(0),
+        )
+        return sums.select(
+            "doc_id",
+            F.shiftleft(half(halfw).cast("long"), halfw)
+            .bitwiseOR(half(0).cast("long"))
+            .alias("simhash"),
+        )
+
+    rows = [
+        (1, "plain three word shingle document here"),
+        (2, None),                       # NULL text: absent from output
+        (3, "two words"),                # < 3 words: absent
+        (4, ""),                         # empty: absent
+        (5, "a  b c d"),                 # consecutive spaces → empty token
+        (6, " leading and trailing spaces "),
+        (7, "naïve café déjà vu — unicode UTF-8 bytes"),
+        (8, "rep rep rep rep rep rep"),  # heavy duplicate shingles
+        (9, "x y z"),                    # exactly one shingle
+        (10, " ".join(f"w{i % 37}" for i in range(400))),  # long, repeats
+    ]
+    reps = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {tuple(r) for r in _md5_fingerprints_arrow(reps).collect()}
+    want = {tuple(r) for r in jvm_expr_fingerprints(reps).collect()}
+    assert got == want
+    assert {r[0] for r in got} == {1, 5, 6, 7, 8, 9, 10}
+
+
 def test_ppjoin_freq_order_prunes_boilerplate_candidates(spark):
     """Canonical PPJoin token order (global df asc) must shrink the
     candidate set on a boilerplate-heavy corpus — hot shingles sort to
