@@ -65,21 +65,40 @@ def _p(index_dir: str, part: str) -> str:
 def _write_parts(
     mem: DataFrame, sigs: DataFrame, index_dir: str, mode: str
 ) -> None:
-    mem.select("doc_id", "ghash", "rep_id").write.mode(mode).parquet(
-        _p(index_dir, "mem")
-    )
-    sigs.select("doc_id", F.col("_sh").alias("sh"), "signature").write.mode(
-        mode
-    ).parquet(_p(index_dir, "sigs"))
+    # the three part writes are independent actions over persisted/
+    # checkpointed inputs (both callers cache mem and sigs first) —
+    # submit them concurrently so the driver's per-action planning and
+    # commit overhead overlaps instead of serializing (guide §2.6; r14:
+    # the append path's per-batch wall was dominated by sequential
+    # sub-second jobs). Concurrent first-touch of a cached partition is
+    # safe: the block manager computes it once and blocks other readers.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mem() -> None:
+        mem.select("doc_id", "ghash", "rep_id").write.mode(mode).parquet(
+            _p(index_dir, "mem")
+        )
+
+    def _sigs() -> None:
+        sigs.select("doc_id", F.col("_sh").alias("sh"), "signature").write.mode(
+            mode
+        ).parquet(_p(index_dir, "sigs"))
+
     # flat layout: every probe touches all _BANDS bands, so partitioning
     # by band_id prunes nothing and multiplies files 8×; the 100 TB
     # layout win is bucketing by band_key (co-located probe join), which
     # a lakehouse table format would declare on this same column.
     # band_key keeps its mode-native type — string for md5, int64 for
     # xxhash64 (the 8-byte key IS that mode's size/shuffle win)
-    band_rows(sigs, hash=_meta_hash_of(sigs)).write.mode(mode).parquet(
-        _p(index_dir, "bands")
-    )
+    def _bands() -> None:
+        band_rows(sigs, hash=_meta_hash_of(sigs)).write.mode(mode).parquet(
+            _p(index_dir, "bands")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [pool.submit(fn) for fn in (_mem, _sigs, _bands)]
+        for f in futs:
+            f.result()
 
 
 _JOURNAL = "commit-pending.json"
@@ -112,6 +131,12 @@ def _prepare_commit(
                 moves.append(
                     [os.path.join(sdir, name), _p(index_dir, f"{part}/{token}-{name}")]
                 )
+    # r14 (guide §2.6): ``new_meta`` may be a zero-arg callable resolved
+    # only here — AFTER the staged writes — so the caller can overlap
+    # its meta-count jobs with the staging writes on a thread pool
+    # instead of serializing two more driver actions in front of them.
+    if callable(new_meta):
+        new_meta = new_meta()
     return _commit_journal(
         index_dir, {"stage": stage, "moves": moves, "meta": new_meta}
     )
@@ -421,15 +446,29 @@ def append_minhash_index(
     # the dict from scratch dropped n_tombstones, silently losing the
     # queued erasure backlog after any append (readers gate the
     # tombstone anti-join on that counter).
-    new_meta = {
-        **meta,
-        "hash": h,
-        "n_docs": meta["n_docs"] + mem.count(),
-        "n_reps": meta["n_reps"] + sigs.count(),
-    }
-    if batch_id is not None:
-        new_meta["last_batch_id"] = batch_id
-    _prepare_commit(index_dir, mem, sigs, new_meta)
+    # r14 (guide §2.6): the two count jobs and the three staged part
+    # writes are all independent actions over the two checkpoints —
+    # run the counts on a helper pool so they overlap the staging
+    # writes (the journal resolves the meta callable only after every
+    # staged write has finished, keeping the commit-point semantics).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as cpool:
+        nd_f = cpool.submit(mem.count)
+        nr_f = cpool.submit(sigs.count)
+
+        def _new_meta() -> dict:
+            nm = {
+                **meta,
+                "hash": h,
+                "n_docs": meta["n_docs"] + nd_f.result(),
+                "n_reps": meta["n_reps"] + nr_f.result(),
+            }
+            if batch_id is not None:
+                nm["last_batch_id"] = batch_id
+            return nm
+
+        _prepare_commit(index_dir, mem, sigs, _new_meta)
     _roll_forward(index_dir, sweep=True)
     return True
 
