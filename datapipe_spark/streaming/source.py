@@ -115,30 +115,87 @@ def prepare_event_drops(
     if dup_every:
         dups = e.filter(F.col("event_id") % dup_every == 0)
         e = e.unionByName(dups)
-    e = e.persist()
-    try:
-        for i in range(n_drops):
-            chunk = e.filter(F.col("_batch") == i).drop("_batch")
-            _write_drop(chunk, os.path.join(out, f"drop_{i:02d}"), as_json, corrupt_every)
-        if sentinel:
-            flush = (
-                e.select("user_id").distinct()
-                .select(
-                    (-F.col("user_id") - 1).alias("event_id"),
-                    (
-                        F.timestamp_micros(F.lit(hi_us))
-                        .cast(EVENT_SCHEMA["ts"].dataType.simpleString())
-                        + F.expr("INTERVAL 30 DAYS")
-                    ).alias("ts"),
-                    "user_id",
-                    F.lit(SENTINEL_TYPE).alias("event_type"),
-                    F.lit(None).cast("double").alias("value"),
-                    F.lit(None).cast("string").alias("props"),
-                )
+    parts = e
+    if sentinel:
+        flush = (
+            e.select("user_id").distinct()
+            .select(
+                (-F.col("user_id") - 1).alias("event_id"),
+                (
+                    F.timestamp_micros(F.lit(hi_us))
+                    .cast(EVENT_SCHEMA["ts"].dataType.simpleString())
+                    + F.expr("INTERVAL 30 DAYS")
+                ).alias("ts"),
+                "user_id",
+                F.lit(SENTINEL_TYPE).alias("event_type"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(None).cast("string").alias("props"),
             )
-            _write_drop(flush, os.path.join(out, f"drop_{n_drops:02d}_flush"), as_json, 0)
-    finally:
-        e.unpersist()
+            .withColumn("_batch", F.lit(n_drops).cast("int"))
+        )
+        parts = e.unionByName(flush)
+    # ONE Spark job writes every drop (r14, guide §1.2 — the last
+    # N-jobs-per-write loop in the tree, the same fold
+    # write_sequential_drops already carries): the batch index becomes
+    # a dynamic partition column and one staged write replaces the old
+    # persist + N × (filter → coalesce(1) → write) loop. Repartitioning
+    # on the index keeps one file per drop (the micro-batch unit the
+    # maxFilesPerTrigger=1 consumers define); the corruption rule is
+    # keyed on event_id exactly as before and never touches the flush
+    # drop (the old loop passed corrupt_every=0 for it). An empty
+    # chunk (possible only for degenerate time distributions) still
+    # materializes a typed empty drop so batch numbering holds.
+    n_total = n_drops + (1 if sentinel else 0)
+    staged = out + ".part"
+    if not as_json:
+        (
+            parts.repartition(n_total, "_batch")
+            .write.mode("overwrite")
+            .partitionBy("_batch")
+            .parquet(staged)
+        )
+    else:
+        raw = parts.select(
+            F.col("event_id").alias("_id"),
+            F.to_json(F.struct(*_EVENT_COLS)).alias("value"),
+            "_batch",
+        )
+        if corrupt_every:
+            raw = raw.select(
+                F.when(
+                    (F.col("_id") % corrupt_every == 0)
+                    & (F.col("_batch") < n_drops),
+                    F.expr("substring(value, 1, length(value) - 5)"),
+                )
+                .otherwise(F.col("value"))
+                .alias("value"),
+                "_batch",
+            )
+        else:
+            raw = raw.select("value", "_batch")
+        (
+            raw.repartition(n_total, "_batch")
+            .write.mode("overwrite")
+            .partitionBy("_batch")
+            .text(staged)
+        )
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in EVENT_SCHEMA.fields
+    )
+    for i in range(n_total):
+        part_dir = os.path.join(staged, f"_batch={i}")
+        name = f"drop_{i:02d}" if i < n_drops else f"drop_{n_drops:02d}_flush"
+        drop_dir = os.path.join(out, name)
+        if os.path.isdir(part_dir):
+            os.rename(part_dir, drop_dir)
+        elif not as_json:
+            from datapipe_spark.util import write_empty_parquet
+
+            write_empty_parquet(drop_dir, schema_ddl)
+        else:
+            os.makedirs(drop_dir, exist_ok=True)
+            open(os.path.join(drop_dir, "part-00000.txt"), "w").close()
+    shutil.rmtree(staged, ignore_errors=True)
     # pin strictly increasing mtimes in drop order (the r6 advisory the
     # per-job drop writers already carry, applied to the SHARED drop
     # set too — r12 review): FileStreamSource orders replay by
@@ -217,27 +274,6 @@ def write_sequential_drops(
             if name.endswith(".parquet"):
                 os.utime(os.path.join(drop_dir, name), (base + i, base + i))
     shutil.rmtree(staged, ignore_errors=True)
-
-
-def _write_drop(df: DataFrame, path: str, as_json: bool, corrupt_every: int) -> None:
-    if not as_json:
-        df.coalesce(1).write.mode("overwrite").parquet(path)
-        return
-    raw = df.select(
-        F.col("event_id").alias("_id"), F.to_json(F.struct(*_EVENT_COLS)).alias("value")
-    )
-    if corrupt_every:
-        raw = raw.select(
-            F.when(
-                F.col("_id") % corrupt_every == 0,
-                F.expr("substring(value, 1, length(value) - 5)"),
-            )
-            .otherwise(F.col("value"))
-            .alias("value")
-        )
-    else:
-        raw = raw.select("value")
-    raw.coalesce(1).write.mode("overwrite").text(path)
 
 
 def read_event_stream(spark: SparkSession, drops_dir: str, files_per_trigger: int = 1) -> DataFrame:
