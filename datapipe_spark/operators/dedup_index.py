@@ -550,18 +550,37 @@ def compact_minhash_index(
     skip_bands = folded and target_bytes is None
     token = uuid.uuid4().hex[:12]
     stage = _p(index_dir, f".staging-{token}")
+    # r14 (guide §2.6): the three part rewrites read disjoint live dirs
+    # and share no uncached subtree — run them concurrently so each
+    # rewrite's planning + write overlaps the others instead of
+    # serializing; the journal below still commits only after every
+    # staged rewrite finished.
+    from concurrent.futures import ThreadPoolExecutor
+
     swaps = []
+    jobs = []
     for part in ("mem", "sigs"):
         live = _p(index_dir, part)
-        compact_parquet_into(spark, live, os.path.join(stage, part), target_bytes=tb)
+        jobs.append(
+            (
+                lambda live=live, part=part: compact_parquet_into(
+                    spark, live, os.path.join(stage, part), target_bytes=tb
+                )
+            )
+        )
         swaps.append([os.path.join(stage, part), live])
     if not skip_bands:
         live = _p(index_dir, "bands")
-        cluster_parquet_into(
-            spark, live, os.path.join(stage, "bands"), ["band_key"],
-            target_bytes=tb,
+        jobs.append(
+            lambda live=live: cluster_parquet_into(
+                spark, live, os.path.join(stage, "bands"), ["band_key"],
+                target_bytes=tb,
+            )
         )
         swaps.append([os.path.join(stage, "bands"), live])
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        for f in [pool.submit(j) for j in jobs]:
+            f.result()
     with open(_p(index_dir, "meta.json")) as f:
         meta = json.load(f)
     _commit_journal(index_dir, {"moves": [], "swaps": swaps, "meta": meta})
@@ -1002,20 +1021,35 @@ def purge_minhash_index(
     mem_out, sigs_out, bands_out = _purge_rewrite_plans(
         spark, index_dir, probe, trans, gated
     )
-    mem_out.write.mode("overwrite").parquet(os.path.join(stage, "mem"))
-    sigs_out.write.mode("overwrite").parquet(os.path.join(stage, "sigs"))
     # preserve the compacted layout's band_key clustering (probe
     # pruning): same range-cluster shape as compact_minhash_index,
     # sized from the pre-purge bytes (erasure only shrinks the part)
     n_files = max(
         1, math.ceil(table_bytes(_p(index_dir, "bands")) / TARGET_FILE_BYTES)
     )
-    (
-        bands_out.repartitionByRange(n_files, "band_key")
-        .sortWithinPartitions("band_key")
-        .write.mode("overwrite")
-        .parquet(os.path.join(stage, "bands"))
-    )
+    # r14 (guide §2.6): the three staged rewrites read disjoint live
+    # parts joined against checkpointed small frames (kb/trans) — no
+    # shared uncached subtree — so they run concurrently; the journal
+    # below still commits only after all three finished.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _w_mem() -> None:
+        mem_out.write.mode("overwrite").parquet(os.path.join(stage, "mem"))
+
+    def _w_sigs() -> None:
+        sigs_out.write.mode("overwrite").parquet(os.path.join(stage, "sigs"))
+
+    def _w_bands() -> None:
+        (
+            bands_out.repartitionByRange(n_files, "band_key")
+            .sortWithinPartitions("band_key")
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "bands"))
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(fn) for fn in (_w_mem, _w_sigs, _w_bands)]:
+            f.result()
 
     new_meta = dict(meta)
     new_meta["n_docs"] = int(meta["n_docs"]) - n_found

@@ -1387,24 +1387,22 @@ def scd2_purge_keys(
     stage = _p(dim_dir, f".staging-{token}")
 
     # current/: rewrite only the touched buckets, minus the spec
-    cur = _read_current(spark, dim_dir, meta).filter(F.col("bucket").isin(tb))
-    kept = _minus_spec(cur).select(*_store_cols(_extras(meta)))
-    (
-        kept.withColumn("bucket", _bucket_of(n_buckets))
-        .repartition(len(tb), "bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(stage, "current"))
-    )
-    swaps = _bucket_swaps(
-        spark, stage, dim_dir, tb, _store_ddl(_extras(meta))
-    )
+    def _w_current() -> None:
+        cur = _read_current(spark, dim_dir, meta).filter(F.col("bucket").isin(tb))
+        kept = _minus_spec(cur).select(*_store_cols(_extras(meta)))
+        (
+            kept.withColumn("bucket", _bucket_of(n_buckets))
+            .repartition(len(tb), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(stage, "current"))
+        )
 
     # closed/: footer-prune the rewrite to the files whose cbucket
     # range intersects the purged keys' cbuckets (docstring cost shape)
-    moves: list[list[str]] = []
-    deletes: list[str] = []
-    if _has_closed(dim_dir):
+    def _w_closed() -> tuple[list[list[str]], list[str]]:
+        if not _has_closed(dim_dir):
+            return [], []
         cbs = sorted(
             r[0]
             for r in kb.select(_cbucket_of().alias("cb"))
@@ -1412,26 +1410,43 @@ def scd2_purge_keys(
             .collect()  # ≤ SCD2_CLOSED_KEY_BUCKETS rows by construction
         )
         touched_files = _closed_files_touching(_p(dim_dir, "closed"), cbs)
-        if touched_files:
-            closed = spark.read.schema(
-                _store_ddl(_extras(meta)) + ", inc int, cbucket int"
-            ).parquet(*touched_files)
-            kept_closed = _heal_cbucket(_minus_spec(closed))
-            cols = ["cbucket", "inc"]
-            (
-                kept_closed.repartitionByRange(
-                    max(1, min(len(touched_files),
-                               spark.sparkContext.defaultParallelism)),
-                    *cols,
-                )
-                .sortWithinPartitions(*cols)
-                .write.mode("overwrite")
-                .parquet(os.path.join(stage, "closed"))
+        if not touched_files:
+            return [], []
+        closed = spark.read.schema(
+            _store_ddl(_extras(meta)) + ", inc int, cbucket int"
+        ).parquet(*touched_files)
+        kept_closed = _heal_cbucket(_minus_spec(closed))
+        cols = ["cbucket", "inc"]
+        (
+            kept_closed.repartitionByRange(
+                max(1, min(len(touched_files),
+                           spark.sparkContext.defaultParallelism)),
+                *cols,
             )
-            moves = _staged_moves(
+            .sortWithinPartitions(*cols)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, "closed"))
+        )
+        return (
+            _staged_moves(
                 os.path.join(stage, "closed"), _p(dim_dir, "closed"), token
-            )
-            deletes = list(touched_files)
+            ),
+            list(touched_files),
+        )
+
+    # r14 (guide §2.6): the two slice rewrites touch disjoint outputs
+    # and read disjoint store slices against the checkpointed key set —
+    # run them concurrently; the journal still commits only after both.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ppool:
+        cur_f = ppool.submit(_w_current)
+        closed_f = ppool.submit(_w_closed)
+        cur_f.result()
+        moves, deletes = closed_f.result()
+    swaps = _bucket_swaps(
+        spark, stage, dim_dir, tb, _store_ddl(_extras(meta))
+    )
     deletes += tomb_files  # fold: the queue is cleared in this commit
 
     _write_journal(
