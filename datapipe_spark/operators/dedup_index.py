@@ -105,7 +105,11 @@ _JOURNAL = "commit-pending.json"
 
 
 def _prepare_commit(
-    index_dir: str, mem: DataFrame, sigs: DataFrame, new_meta: dict
+    index_dir: str,
+    mem: DataFrame,
+    sigs: DataFrame,
+    new_meta: dict,
+    commit_barrier=None,
 ) -> str:
     """First half of the atomic append commit (the r7 advisory's torn-
     append fix): write the batch's mem/sigs/bands delta files into a
@@ -137,6 +141,17 @@ def _prepare_commit(
     # instead of serializing two more driver actions in front of them.
     if callable(new_meta):
         new_meta = new_meta()
+    # ``commit_barrier``: zero-arg callable invoked after the staged
+    # delta writes and immediately before the commit journal. The
+    # probe-then-append caller passes the probe sink-write future's
+    # ``result`` here, so the sink write and the append's staging
+    # overlap while the exactly-once ordering is preserved: the journal
+    # (whose watermark implies "sink done" on replay) still cannot
+    # exist until the sink write has completed, and a failure in the
+    # sink aborts the append before its commit point (staging debris is
+    # swept by the next entry's recovery, the batch replays wholesale).
+    if commit_barrier is not None:
+        commit_barrier()
     return _commit_journal(
         index_dir, {"stage": stage, "moves": moves, "meta": new_meta}
     )
@@ -346,6 +361,7 @@ def append_minhash_index(
     new_docs: DataFrame,
     precollapsed: tuple[DataFrame, DataFrame] | None = None,
     batch_id: int | None = None,
+    commit_barrier=None,
 ) -> bool:
     """Incremental add with the frozen index contract (faiss ``add()``
     posture, same as ``append_ivf_index``): rep identity is stable once
@@ -366,6 +382,12 @@ def append_minhash_index(
     re-signing the batch (probe-then-append does the dominant batch
     work once). The caller must have materialized the probe (its sink
     write / checkpoint) first and owns unpersisting the pair.
+
+    ``commit_barrier``: optional zero-arg callable invoked after the
+    staged delta writes, immediately before the commit journal (see
+    ``_prepare_commit``) — lets a probe-then-append caller overlap its
+    sink write with the append's staging while the journal still only
+    lands once the sink completed.
 
     ``batch_id``: exactly-once guard for replayed micro-batches
     (reference T10's idempotent posture, data-ingestion design.md:54,
@@ -468,7 +490,7 @@ def append_minhash_index(
                 nm["last_batch_id"] = batch_id
             return nm
 
-        _prepare_commit(index_dir, mem, sigs, _new_meta)
+        _prepare_commit(index_dir, mem, sigs, _new_meta, commit_barrier)
     _roll_forward(index_dir, sweep=True)
     return True
 

@@ -621,13 +621,36 @@ def streaming_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             # per-batch overwrite dir (T10 idempotent-archival shape): a
             # crash BEFORE the append replays the batch, and the rewrite
-            # replaces rather than duplicates the probe output
-            out_df.withColumnRenamed("corpus_doc_id", "matched_doc_id").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(sink, f"b_{bid:05d}"))
-            append_minhash_index(
-                spark, index_dir, bdf, precollapsed=(bmem, bsigs), batch_id=bid
-            )
+            # replaces rather than duplicates the probe output.
+            # r14 (guide §2.6): the sink write runs on a helper thread
+            # so the append's read-only staging (existing-rep lookup,
+            # checkpoints, delta writes — all against the pre-append
+            # snapshot; staging dirs are invisible to readers) overlaps
+            # it; the barrier hands the future's result to the append,
+            # which joins it AFTER staging and BEFORE the commit
+            # journal — the index still cannot commit (and therefore no
+            # replay can skip the batch) until the probe output is
+            # durably in the sink, and the index dirs are only mutated
+            # by the roll-forward AFTER the sink scan finished, so
+            # within-batch self-matches stay impossible.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as spool:
+                sink_f = spool.submit(
+                    lambda: out_df.withColumnRenamed(
+                        "corpus_doc_id", "matched_doc_id"
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(sink, f"b_{bid:05d}"))
+                )
+                append_minhash_index(
+                    spark,
+                    index_dir,
+                    bdf,
+                    precollapsed=(bmem, bsigs),
+                    batch_id=bid,
+                    commit_barrier=sink_f.result,
+                )
         finally:
             # unpersist even when the write/append throws (r12 review:
             # a skipped unpersist pins the plans in the session cache
