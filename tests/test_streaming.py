@@ -912,6 +912,62 @@ def test_torn_index_append_commit_recovers_exactly_once(spark, tmp_path, monkeyp
     assert di.last_applied_batch(spark, idx_torn) == 1
 
 
+def test_append_commit_barrier_failure_aborts_pre_commit(spark, tmp_path):
+    """r14: the probe-then-append job overlaps its sink write with the
+    append's staging and hands the sink future's result to the append
+    as ``commit_barrier``, invoked after staging and immediately before
+    the commit journal. A barrier that raises (= the sink write failed)
+    must abort the append PRE-commit: watermark unmoved, live part
+    dirs unmutated, only invisible staging debris — and the replayed
+    batch then applies exactly once."""
+    from datapipe_spark.operators import dedup_index as di
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = mk(
+        [
+            (i, f"corpus document number {i} holding plenty of distinct "
+                f"shingle words alpha beta gamma {i * 7} delta")
+            for i in range(4)
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    di.build_minhash_index(spark, corpus, idx)
+
+    def counts():
+        return tuple(
+            spark.read.parquet(di._p(idx, part)).count()
+            for part in ("mem", "sigs", "bands")
+        )
+
+    base = counts()
+    batch = mk(
+        [(100, "an entirely fresh batch document with its own novel "
+               "words epsilon zeta eta theta iota kappa")]
+    )
+
+    import pytest
+
+    def sink_failed():
+        raise RuntimeError("simulated sink-write failure")
+
+    with pytest.raises(RuntimeError, match="sink-write failure"):
+        di.append_minhash_index(
+            spark, idx, batch, batch_id=0, commit_barrier=sink_failed
+        )
+    # pre-commit abort: no journal, watermark unmoved, live dirs intact
+    assert not os.path.exists(di._p(idx, di._JOURNAL))
+    assert di.last_applied_batch(spark, idx) == -1
+    assert counts() == base
+    # the replayed batch (sink now "succeeds") applies exactly once,
+    # and the failed attempt's staging debris is swept by this entry
+    assert di.append_minhash_index(spark, idx, batch, batch_id=0) is True
+    assert di.last_applied_batch(spark, idx) == 0
+    assert counts() > base
+    assert not [n for n in os.listdir(idx) if n.startswith(".staging-")]
+
+
 def test_live_trigger_probe_then_append_mutates_index(spark, tmp_path):
     """r6 verdict ask #6: the probe-then-append corpus gate under a
     LIVE processingTime trigger (not availableNow replay) — two drops
